@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship knowledge-graph pipeline (synthetic
+web_pages → extract → segment → NER → relations → link → canonicalize →
+triples). ``queries()`` / ``oracle_sql()`` expose the operator registry in
+``search_spark/queries.py`` — each Spark implementation sits next to its
+DuckDB oracle SQL there.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on a deterministic synthetic
+    corpus (the documents/embeddings testdata parquet feeds the oracle
+    queries; the KG pipeline's authoritative input shape is web_pages —
+    BASELINE.json input_hint)."""
+    from search_spark import datagen
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 60, seed=42)
+    return build_triples(spark, pages, PipelineConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_spark.queries import QUERIES
+
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}

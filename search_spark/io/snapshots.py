@@ -1,0 +1,160 @@
+"""Snapshot-based table layout with lineage rows and anti-join resume.
+
+Production target is Iceberg (``df.writeTo("cat.db.triples").append()``,
+partitioned by ``bucket(N, url)``); this sandbox has no Iceberg runtime jar,
+so the same contract is implemented over parquet directories:
+
+    <root>/data/snapshot=<k>/...            (parquet, bucketed by url hash)
+    <root>/_lineage/snapshot=<k>.json       (per-partition lineage + metrics)
+
+Semantics preserved from the reference and required by the north rule:
+
+  * **idempotent restart**: the reference re-mines by DELETE-then-repopulate
+    per entity type (mining_cache.py:291-302) and resumes embeddings by
+    scanning unpopulated H5 rows (utils.py:335-371). Here: a restart
+    anti-joins the input against the set of already-processed ``url``s
+    recorded in committed snapshots and only processes the remainder.
+  * **per-partition lineage rows**: one row per url-hash bucket per snapshot
+    with document/mention/triple counts and throughput (north rule:
+    "checkpoint-resumable per Iceberg snapshot with per-partition lineage
+    rows and metrics").
+
+Swapping this module for real Iceberg changes only the write/commit calls —
+the pipeline sees the same ``load / processed_urls / append`` interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS_DEFAULT = 64
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: int
+    table: str
+    n_rows: int
+    n_urls: int
+    wall_seconds: float
+    extra: dict
+
+
+class SnapshotTable:
+    """A parquet-backed table with snapshot commits and lineage."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = N_BUCKETS_DEFAULT):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n_buckets = n_buckets
+        os.makedirs(f"{self.root}/_lineage", exist_ok=True)
+
+    # -- read ------------------------------------------------------------
+    def snapshots(self) -> list[int]:
+        lineage_dir = f"{self.root}/_lineage"
+        ids = []
+        for name in os.listdir(lineage_dir):
+            if name.startswith("snapshot=") and name.endswith(".json"):
+                ids.append(int(name[len("snapshot="):-len(".json")]))
+        return sorted(ids)
+
+    def load(self) -> DataFrame | None:
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        paths = [f"{self.root}/data/snapshot={k}" for k in snaps]
+        return (
+            self.spark.read.option("basePath", f"{self.root}/data")
+            .parquet(*paths)
+        )
+
+    def processed_urls(self) -> DataFrame | None:
+        """Distinct processed urls across committed snapshots (anti-join resume).
+
+        Read from the ``processed/`` sidecar (written at commit time from the
+        *input* batch, not the output) so that documents which legitimately
+        produced zero triples are still marked done and never reprocessed.
+        """
+        snaps = self.snapshots()
+        paths = [
+            p
+            for k in snaps
+            if os.path.isdir(p := f"{self.root}/processed/snapshot={k}")
+        ]
+        if not paths:
+            return None
+        return (
+            self.spark.read.option("basePath", f"{self.root}/processed")
+            .parquet(*paths)
+            .select("url")
+            .distinct()
+        )
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for k in self.snapshots():
+            with open(f"{self.root}/_lineage/snapshot={k}.json") as f:
+                out.append(json.load(f))
+        return out
+
+    # -- write -----------------------------------------------------------
+    def append(
+        self,
+        df: DataFrame,
+        extra_metrics: dict | None = None,
+        processed_keys: DataFrame | None = None,
+    ) -> SnapshotInfo:
+        """Write one snapshot: url-hash-bucketed parquet + lineage JSON.
+
+        The bucket column is ``pmod(xxhash64(url), n_buckets)`` — the
+        Iceberg ``bucket(N, url)`` analogue; it both balances writers and
+        gives downstream readers a co-location key.
+        """
+        snapshot_id = (self.snapshots() or [0])[-1] + 1
+        t0 = time.time()
+        bucketed = df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets))
+        )
+        path = f"{self.root}/data/snapshot={snapshot_id}"
+        bucketed.write.partitionBy("bucket").mode("errorifexists").parquet(path)
+        if processed_keys is not None:
+            processed_keys.select("url").distinct().write.mode(
+                "errorifexists"
+            ).parquet(f"{self.root}/processed/snapshot={snapshot_id}")
+        wall = time.time() - t0
+
+        written = self.spark.read.parquet(path)
+        per_bucket = (
+            written.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("url").alias("n_urls"),
+            )
+            .collect()
+        )
+        n_rows = sum(r["n_rows"] for r in per_bucket)
+        n_urls = sum(r["n_urls"] for r in per_bucket)
+        info = SnapshotInfo(
+            snapshot_id=snapshot_id,
+            table=self.root,
+            n_rows=n_rows,
+            n_urls=n_urls,
+            wall_seconds=wall,
+            extra=extra_metrics or {},
+        )
+        lineage = {
+            **asdict(info),
+            "partitions": [r.asDict() for r in per_bucket],
+        }
+        tmp = f"{self.root}/_lineage/.snapshot={snapshot_id}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=2, default=str)
+        # atomic rename = the commit point (Iceberg metadata-swap analogue)
+        os.rename(tmp, f"{self.root}/_lineage/snapshot={snapshot_id}.json")
+        return info

@@ -1,0 +1,155 @@
+"""Stage 6 — canonicalization via distributed connected components.
+
+Entities that share an ontology concept or an alias must collapse to one
+canonical id before triples materialize. The alias/similarity graph is an
+edge DataFrame; components are computed with the **alternating
+large-star / small-star** algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14 — the algorithm GraphFrames/GraphX use for
+`connectedComponents`), implemented directly over DataFrame ops:
+
+  * ``large_star``: every node points its larger neighbors at the minimum of
+    its neighborhood (including itself);
+  * ``small_star``: every node points its not-larger neighbors (and itself)
+    at that minimum;
+  * iterate until the edge multiset stops changing. Each iteration ends in
+    ``localCheckpoint`` to cut the growing lineage (SURVEY.md §7.3).
+
+Node ids are strings; ``min`` is lexicographic, which is a total order —
+all that convergence needs. The reference has no distributed equivalent
+(its canonical ids are whatever the ontology says); this is the scale piece
+the north rule adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    a, b = edges.columns[0], edges.columns[1]
+    fwd = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    rev = edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # Neighborhoods are over the *undirected* graph → symmetrize first
+    # (every iteration — the star steps emit directed edges).
+    sym = _symmetrize(edges)
+    # m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    # operate on canonical direction u ≥ v; m = min(Γ≤(u) ∪ {u});
+    # emit (x, m) for x ∈ Γ≤(u) ∪ {u}, x ≠ m
+    canon = sym.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = canon.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    nbrs = canon.join(mins, on="u").select(
+        F.col("v").alias("x"), F.col("m").alias("m")
+    )
+    selfs = mins.select(F.col("u").alias("x"), F.col("m").alias("m"))
+    return (
+        nbrs.unionByName(selfs)
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Compute components of an undirected string-id edge list.
+
+    Parameters
+    ----------
+    edges
+        DataFrame with columns ``src``, ``dst``.
+
+    Returns
+    -------
+    DataFrame ``(id, component)`` — every node that appears in any edge,
+    mapped to its component representative (the lexicographic minimum).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # canonical (greater → smaller) direction; the star steps re-symmetrize
+    cur = (
+        _symmetrize(edges)
+        .filter(F.col("u") > F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        after_large = _large_star(cur)
+        # small-star output is always (greater → smaller), like `cur`
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # converged ⇔ the directed edge set is stable
+        if (
+            after_small.exceptAll(cur).isEmpty()
+            and cur.exceptAll(after_small).isEmpty()
+        ):
+            cur = after_small
+            break
+        cur = after_small
+    # after convergence every edge is (node → its component min)
+    mapping = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), "component"
+    )
+    return (
+        nodes.join(mapping, on="id", how="left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def canonical_mapping(
+    linked_mentions: DataFrame, concepts: DataFrame
+) -> DataFrame:
+    """Build the surface-form → canonical-id mapping.
+
+    Edges:
+      * surface form → linked concept_id (from the linking stage),
+      * concept ↔ concept for concepts sharing a lowercased alias
+        (FIXTURES.md §4 — the merge cases for canonicalization).
+
+    Returns ``(form, canonical_id)`` — small (distinct forms), meant to be
+    broadcast onto the triple stream.
+    """
+    form_edges = (
+        linked_mentions.filter(F.col("concept_id").isNotNull())
+        .select(
+            F.lower(F.col("mention")).alias("src"),
+            F.col("concept_id").alias("dst"),
+        )
+        .distinct()
+    )
+    alias_pairs = concepts.select(
+        "concept_id", F.explode("aliases").alias("alias")
+    ).select("concept_id", F.lower(F.col("alias")).alias("alias"))
+    a1 = alias_pairs.withColumnRenamed("concept_id", "src")
+    a2 = alias_pairs.withColumnRenamed("concept_id", "dst")
+    concept_edges = (
+        a1.join(a2, on="alias")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    comps = connected_components(form_edges.unionByName(concept_edges))
+    return comps.select(F.col("id").alias("form"), F.col("component").alias("canonical_id"))

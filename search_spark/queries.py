@@ -1,0 +1,952 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator: dedup, similarity search, text analysis)
+over the driver's parquet tables (`documents`, `embeddings`, `events`,
+TPC-H-ish tables). The Spark body and the ANSI-SQL oracle are kept
+*adjacent* in one :class:`Q` so they can be reviewed for semantic equality
+line by line.
+
+Alignment rules (the driver hash-compares values after sorting columns by
+name):
+  * every computed column is aliased identically on both sides;
+  * integer outputs are BIGINT on both sides (DuckDB ``sum`` yields HUGEINT —
+    always cast);
+  * float outputs are computed in DOUBLE and ``round(x, 4)``-ed;
+  * top-k orderings tie-break on a unique key so the selected *set* is
+    deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared fixtures (inlined identically on both sides)
+# ---------------------------------------------------------------------------
+
+# token-level gazetteer over the documents vocabulary — the PatternCreator
+# stand-in for the SQL-oracle-able mining pipeline (mining/entity.py:30-96)
+DOC_GAZETTEER: list[tuple[str, str]] = [
+    ("spark", "ENGINE"),
+    ("join", "OPERATOR"),
+    ("sort", "OPERATOR"),
+    ("scan", "OPERATOR"),
+    ("filter", "OPERATOR"),
+    ("merge", "OPERATOR"),
+    ("agg", "OPERATOR"),
+    ("table", "OBJECT"),
+    ("row", "OBJECT"),
+    ("column", "OBJECT"),
+    ("key", "OBJECT"),
+    ("customer", "OBJECT"),
+    ("dup", "NaE"),  # excluded type — mining/pipeline.py:113-117
+]
+
+DOC_ONTOLOGY: list[tuple[str, str]] = [
+    ("ENGINE", "WIKIDATA"),
+    ("OPERATOR", "DBPEDIA"),
+    ("OBJECT", "SCHEMA_ORG"),
+]
+
+SAME = "START_WITH_SAME_LETTER"
+DIFF = "START_WITH_DIFFERENT_LETTER"
+REL_DISTANCE = 6
+STOPWORDS = ("the", "a")
+
+_GAZ_SQL = "gaz(pattern, entity_type) AS (VALUES {})".format(
+    ", ".join(f"('{t}', '{e}')" for t, e in DOC_GAZETTEER)
+)
+_ONT_SQL = "ont(entity_type, ontology_source) AS (VALUES {})".format(
+    ", ".join(f"('{t}', '{s}')" for t, s in DOC_ONTOLOGY)
+)
+
+# tokens CTE: doc_id, tpos (BIGINT, 0-based), tok
+_TOKS_SQL = (
+    "toks AS (SELECT doc_id,"
+    " generate_subscripts(string_split(text, ' '), 1) - 1 AS tpos,"
+    " unnest(string_split(text, ' ')) AS tok FROM documents)"
+)
+
+# mentions CTE (token-level NER, NaE excluded)
+_MENTIONS_SQL = (
+    f"WITH {_TOKS_SQL}, {_GAZ_SQL}, "
+    "mentions AS (SELECT doc_id, tpos, tok AS mention, entity_type "
+    "FROM toks JOIN gaz ON tok = pattern WHERE entity_type <> 'NaE')"
+)
+
+# 3-gram shingles CTE (docs with ≥ 3 tokens); DuckDB lists are 1-based
+_SHINGLES_SQL = (
+    "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle"
+    " FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+    " WHERE len(t) >= 3)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, tpos BIGINT, tok) via JVM-side split+posexplode."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("tpos", "tok"),
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = spark.createDataFrame(DOC_GAZETTEER, ["pattern", "entity_type"])
+    return (
+        _tokens(spark, sf_dir)
+        .join(F.broadcast(gaz), F.col("tok") == F.col("pattern"), "inner")
+        .filter(F.col("entity_type") != "NaE")
+        .select("doc_id", "tpos", F.col("tok").alias("mention"), "entity_type")
+    )
+
+
+def _doc_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _doc_mentions(spark, sf_dir)
+    s = m.select(
+        "doc_id",
+        F.col("tpos").alias("s_tpos"),
+        F.col("mention").alias("subj"),
+        F.col("entity_type").alias("s_type"),
+    )
+    o = m.select(
+        "doc_id",
+        F.col("tpos").alias("o_tpos"),
+        F.col("mention").alias("obj"),
+        F.col("entity_type").alias("o_type"),
+    )
+    return (
+        s.join(o, on="doc_id")
+        .filter(
+            (F.col("s_type") == "OPERATOR")
+            & (F.col("o_type") == "OBJECT")
+            & (F.col("s_tpos") != F.col("o_tpos"))
+            & (F.abs(F.col("s_tpos") - F.col("o_tpos")) <= REL_DISTANCE)
+        )
+        .select(
+            "doc_id",
+            "s_tpos",
+            "o_tpos",
+            "subj",
+            F.when(
+                F.substring("subj", 1, 1) == F.substring("obj", 1, 1),
+                F.lit(SAME),
+            ).otherwise(F.lit(DIFF)).alias("pred"),
+            "obj",
+        )
+    )
+
+
+_RELATIONS_SQL_BODY = f"""
+relations AS (
+  SELECT s.doc_id, s.tpos AS s_tpos, o.tpos AS o_tpos, s.mention AS subj,
+         CASE WHEN substr(s.mention, 1, 1) = substr(o.mention, 1, 1)
+              THEN '{SAME}' ELSE '{DIFF}' END AS pred,
+         o.mention AS obj
+  FROM mentions s JOIN mentions o
+    ON s.doc_id = o.doc_id AND s.tpos <> o.tpos
+   AND abs(s.tpos - o.tpos) <= {REL_DISTANCE}
+  WHERE s.entity_type = 'OPERATOR' AND o.entity_type = 'OBJECT')
+"""
+
+
+def _cosine_double(a, b) -> F.Column:
+    """Cosine over array<float> cast to double (matches the SQL oracle's
+    explode-and-sum-in-double formulation to float-ulp level)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+# SQL helper: exploded embedding values (vec_id, i, v DOUBLE)
+_EMB_EXPLODED_SQL = (
+    "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+    " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)"
+)
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Q:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only)
+
+
+def _q_kg_doc_mentions(spark, sf_dir):
+    return _doc_mentions(spark, sf_dir)
+
+
+_SQL_KG_DOC_MENTIONS = f"""
+{_MENTIONS_SQL}
+SELECT doc_id, tpos, mention, entity_type FROM mentions
+"""
+
+
+def _q_kg_doc_relations(spark, sf_dir):
+    return _doc_relations(spark, sf_dir)
+
+
+_SQL_KG_DOC_RELATIONS = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY}
+SELECT doc_id, s_tpos, o_tpos, subj, pred, obj FROM relations
+"""
+
+
+def _q_kg_doc_triples(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    has_type = m.select(
+        F.col("mention").alias("subj"),
+        F.lit("has_type").alias("pred"),
+        F.col("entity_type").alias("obj"),
+        F.concat_ws(":", "doc_id", "tpos").alias("prov"),
+    )
+    rel = _doc_relations(spark, sf_dir).select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat_ws(":", "doc_id", "s_tpos").alias("prov"),
+    )
+    return has_type.unionByName(rel)
+
+
+_SQL_KG_DOC_TRIPLES = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY}
+SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(tpos AS VARCHAR) AS prov
+FROM mentions
+UNION ALL
+SELECT subj, pred, obj,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov
+FROM relations
+"""
+
+
+def _q_kg_mention_counts(spark, sf_dir):
+    return (
+        _doc_mentions(spark, sf_dir)
+        .groupBy("entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_SQL_KG_MENTION_COUNTS = f"""
+{_MENTIONS_SQL}
+SELECT entity_type, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM mentions GROUP BY entity_type
+"""
+
+
+def _q_kg_ontology_join(spark, sf_dir):
+    ont = spark.createDataFrame(DOC_ONTOLOGY, ["entity_type", "ontology_source"])
+    return (
+        _doc_mentions(spark, sf_dir)
+        .join(F.broadcast(ont), on="entity_type", how="left")
+        .groupBy("entity_type", "ontology_source")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+_SQL_KG_ONTOLOGY_JOIN = f"""
+{_MENTIONS_SQL}, {_ONT_SQL}
+SELECT m.entity_type, o.ontology_source, CAST(count(*) AS BIGINT) AS n_mentions
+FROM mentions m LEFT JOIN ont o ON m.entity_type = o.entity_type
+GROUP BY m.entity_type, o.ontology_source
+"""
+
+
+def _q_sentence_filter(spark, sf_dir):
+    # SentenceFilter semantics (sql.py:387-718): length predicates +
+    # language + substring include/exclude, all pushed into the scan.
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        (F.col("lang") == "en")
+        & (F.length("text") >= 50)
+        & (F.length("text") <= 2000)
+        & F.col("text").contains("spark")
+        & ~F.col("text").contains("slow")
+    ).select("doc_id", "n_chars")
+
+
+_SQL_SENTENCE_FILTER = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = 'en' AND length(text) >= 50 AND length(text) <= 2000
+  AND text LIKE '%spark%' AND text NOT LIKE '%slow%'
+"""
+
+
+def _q_semi_join_orders(spark, sf_dir):
+    # sentences ⋈ articles filter-pushup shape (sql.py:618-628) → left semi
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+_SQL_SEMI_JOIN_ORDERS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+def _q_group_concat_events(spark, sf_dir):
+    # paragraph-reassembly shape (sql.py:253-291): ordered group-concat
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            ).alias("event_seq")
+        )
+    )
+
+
+_SQL_GROUP_CONCAT_EVENTS = """
+SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+def _q_window_positions(spark, sf_dir):
+    # position numbering (§2.7): row_number per user ordered by time
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_SQL_WINDOW_POSITIONS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS pos
+FROM events
+"""
+
+
+def _q_sessionize_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    new_session = (
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.expr("prev_ts + INTERVAL 1 HOUR"))
+    )
+    return (
+        with_prev.withColumn("ns", new_session.cast("long"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+_SQL_SESSIONIZE_EVENTS = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+def _q_topk_similar(spark, sf_dir):
+    # top-k sentences by similarity (search.py:253-262) →
+    # ORDER BY score DESC LIMIT k (Catalyst: TakeOrderedAndProject)
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(_cosine_double(F.col("embedding"), F.col("q_emb")), 4)
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+_SQL_TOPK_SIMILAR = f"""
+WITH {_EMB_EXPLODED_SQL},
+q AS (SELECT i, v FROM e WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN q ON e.i = q.i WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
+FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_topk_groups(spark, sf_dir):
+    # top-k articles by max sentence similarity (search.py:268-288) →
+    # groupBy(article).agg(max(sim)).orderBy.limit
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(query)).select(
+        "label",
+        F.round(_cosine_double(F.col("embedding"), F.col("q_emb")), 4)
+        .alias("score"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(F.max("score").alias("best_score"))
+        .orderBy(F.desc("best_score"), F.asc("label"))
+        .limit(5)
+    )
+
+
+_SQL_TOPK_GROUPS = f"""
+WITH {_EMB_EXPLODED_SQL},
+q AS (SELECT i, v FROM e WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+s AS (SELECT emb.label, round(d.dot / (d.nrm * nq.nrm), 4) AS score
+      FROM d JOIN embeddings emb ON d.vec_id = emb.vec_id, nq)
+SELECT label, max(score) AS best_score FROM s GROUP BY label
+ORDER BY best_score DESC, label ASC LIMIT 5
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    # exact dedup via content hash; "keep-first" = deterministic min id
+    # (reference: drop_duplicates("cord_uid") keep-first, cord_19.py:217)
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+
+
+_N_MINHASH = 8
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    # MinHash signature: h_j = min over shingles of md5(j ':' shingle).
+    # md5-as-string min is engine-portable (lexicographic on hex).
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle"))))
+        .alias(f"h{j}")
+        for j in range(_N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH {_SHINGLES_SQL}
+SELECT doc_id, {", ".join(
+    f"min(md5('{j}' || ':' || shingle)) AS h{j}" for j in range(_N_MINHASH)
+)}
+FROM sh GROUP BY doc_id
+"""
+
+
+def _q_minhash_bands(spark, sf_dir):
+    # LSH banding: 2 bands of 4 hashes → candidate buckets with > 1 doc
+    sig = _q_dedup_minhash(spark, sf_dir)
+    b0 = sig.select(
+        F.lit(0).cast("long").alias("band"),
+        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
+        "doc_id",
+    )
+    b1 = sig.select(
+        F.lit(1).cast("long").alias("band"),
+        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
+        "doc_id",
+    )
+    return (
+        b0.unionByName(b1)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SQL_MINHASH_BANDS = f"""
+WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, {", ".join(
+    f"min(md5('{j}' || ':' || shingle)) AS h{j}" for j in range(_N_MINHASH)
+  )}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT CAST(0 AS BIGINT) AS band,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash, doc_id
+  FROM sig
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) AS band,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_hash, doc_id
+  FROM sig)
+SELECT band, band_hash, CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band, band_hash HAVING count(*) > 1
+"""
+
+
+_SIMHASH_BITS = 16
+_HIGH_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    # SimHash: bit i of md5(token)'s i-th hex nibble votes ±1; the sign of
+    # the per-doc vote sum sets bit i of the fingerprint.
+    toks = _tokens(spark, sf_dir).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(*_HIGH_NIBBLE), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH {_TOKS_SQL},
+v AS (
+  SELECT doc_id, {", ".join(
+    "sum(CASE WHEN substr(md5(tok), %d, 1) IN (%s) THEN 1 ELSE -1 END) AS s%d"
+    % (i + 1, ", ".join("'%s'" % c for c in _HIGH_NIBBLE), i)
+    for i in range(_SIMHASH_BITS)
+  )}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({" + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)} AS BIGINT) AS simhash
+FROM v
+"""
+
+
+_JACCARD_MAX_DOC = 60
+_JACCARD_MIN = 0.2
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    sh = (
+        _shingles(spark, sf_dir)
+        .filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, on="doc_id_a")
+        .join(cb, on="doc_id_b")
+        .filter(jac >= _JACCARD_MIN)
+        .select(
+            "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
+        )
+    )
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_SQL},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < {_JACCARD_MAX_DOC}),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_MIN}
+"""
+
+
+_NEARDUP_MAX_VEC = 150
+_NEARDUP_MIN_COS = 0.15
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _NEARDUP_MAX_VEC)
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = _cosine_double(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.round(cos, 4).alias("cos")
+    ).filter(F.col("cos") >= _NEARDUP_MIN_COS)
+
+
+_SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE vec_id < {_NEARDUP_MAX_VEC}),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+d AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, sum(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT vec_id_a, vec_id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+FROM d JOIN n na ON vec_id_a = na.vec_id JOIN n nb ON vec_id_b = nb.vec_id
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= {_NEARDUP_MIN_COS}
+"""
+
+
+def _q_token_stats(spark, sf_dir):
+    # language-ID heuristic inputs + token counting (quality pipeline)
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    n_tokens = F.size("t").cast("long")
+    n_stop = F.size(
+        F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / n_tokens, 4).alias("stop_ratio"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> x IN ({", ".join(
+           "'%s'" % s for s in STOPWORDS)}))) AS BIGINT) AS n_stop,
+       round(len(list_filter(t, x -> x IN ({", ".join(
+           "'%s'" % s for s in STOPWORDS)}))) * 1.0 / len(t), 4) AS stop_ratio
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def _q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t").cast("long")
+    nd = F.size(F.array_distinct("t")).cast("long")
+    avg_len = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(nd / n, 4).alias("ttr"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+    )
+
+
+_SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       round(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr,
+       round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+             / len(t), 4) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    # document fingerprint: hash of every-4th-token subsequence
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    sampled = F.filter(F.col("t"), lambda x, i: i % 4 == 0)
+    return d.select(
+        "doc_id", F.md5(F.array_join(sampled, " ")).alias("fingerprint")
+    )
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(t, (x, i) -> (i - 1) % 4 = 0), ' '))
+         AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def _q_semantic_search(spark, sf_dir):
+    # the full search-server query shape (SURVEY.md §3.3): predicate filter
+    # → semi-restricted similarity → top-k
+    d = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 100)
+    ).select("doc_id")
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    candidates = emb.join(d, emb.vec_id == d.doc_id, "left_semi")
+    scored = candidates.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        F.round(_cosine_double(F.col("embedding"), F.col("q_emb")), 4)
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+_SQL_SEMANTIC_SEARCH = f"""
+WITH {_EMB_EXPLODED_SQL},
+q AS (SELECT i, v FROM e WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 100),
+d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN q ON e.i = q.i
+      WHERE e.vec_id IN (SELECT doc_id FROM keep) GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
+FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    # LSH-bucketed approximate NN: sign bits of the first 8 dims form the
+    # bucket; search only within the query's bucket (scale path: the bucket
+    # join replaces the full cross product)
+    emb = _emb(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(8)
+        ],
+    )
+    with_bucket = emb.withColumn("bucket", bucket)
+    query = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cand = with_bucket.filter(F.col("vec_id") != 0).join(
+        F.broadcast(query), F.col("bucket") == F.col("q_bucket"), "inner"
+    )
+    scored = cand.select(
+        "vec_id",
+        F.round(_cosine_double(F.col("embedding"), F.col("q_emb")), 4)
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+_SQL_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {" || ".join(
+      f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+      for i in range(8)
+  )} AS bucket
+  FROM embeddings),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+cand AS (SELECT vec_id, embedding FROM b, qb WHERE b.bucket = qb.bucket
+         AND vec_id <> 0),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v FROM cand),
+q AS (SELECT generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
+FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 5
+"""
+
+
+def _q_topic_filter(spark, sf_dir):
+    # topic accept/reject rules (topic_rule.py:55-79): accept iff any
+    # accept-regex matches and no reject-regex matches
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        F.col("text").rlike("stream|vector")
+        & ~F.col("text").rlike("dup")
+    ).select("doc_id", "source")
+
+
+_SQL_TOPIC_FILTER = """
+SELECT doc_id, source FROM documents
+WHERE regexp_matches(text, 'stream|vector')
+  AND NOT regexp_matches(text, 'dup')
+"""
+
+
+def _q_tpch_pricing_summary(spark, sf_dir):
+    # classic hash-agg shape (§2.6); integer sums + rounded avgs only (float
+    # sum order is engine-dependent; avgs round safely)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+_SQL_TPCH_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        spend.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            spend.o_custkey == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC LIMIT 10
+"""
+
+
+# --- non-SQL-expressible entries (driver does rows-only checks) -----------
+
+def _q_kg_triples_webpages(spark, sf_dir):
+    """The real pipeline: synthetic web_pages → extract → segment → NER →
+    relations → link → canonicalize → triples. Corpus is deterministic
+    (seed=42), independent of sf_dir."""
+    from search_spark import datagen
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 80, seed=42)
+    return build_triples(spark, pages, PipelineConfig())
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from search_spark.operators.multimodal import feature_stage, synthetic_assets
+
+    return feature_stage(synthetic_assets(spark, 64, seed=7))
+
+
+QUERIES: dict[str, Q] = {
+    "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
+    "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
+    "kg_doc_triples": Q(_q_kg_doc_triples, _SQL_KG_DOC_TRIPLES),
+    "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
+    "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
+    "sentence_filter": Q(_q_sentence_filter, _SQL_SENTENCE_FILTER),
+    "semi_join_orders": Q(_q_semi_join_orders, _SQL_SEMI_JOIN_ORDERS),
+    "group_concat_events": Q(_q_group_concat_events, _SQL_GROUP_CONCAT_EVENTS),
+    "window_positions": Q(_q_window_positions, _SQL_WINDOW_POSITIONS),
+    "sessionize_events": Q(_q_sessionize_events, _SQL_SESSIONIZE_EVENTS),
+    "topk_similar": Q(_q_topk_similar, _SQL_TOPK_SIMILAR),
+    "topk_groups": Q(_q_topk_groups, _SQL_TOPK_GROUPS),
+    "dedup_exact": Q(_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash": Q(_q_dedup_minhash, _SQL_DEDUP_MINHASH),
+    "minhash_bands": Q(_q_minhash_bands, _SQL_MINHASH_BANDS),
+    "dedup_simhash": Q(_q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "ngram_jaccard": Q(_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "embedding_neardup": Q(_q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
+    "token_stats": Q(_q_token_stats, _SQL_TOKEN_STATS),
+    "quality_score": Q(_q_quality_score, _SQL_QUALITY_SCORE),
+    "doc_fingerprint": Q(_q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+    "semantic_search": Q(_q_semantic_search, _SQL_SEMANTIC_SEARCH),
+    "ann_lsh_topk": Q(_q_ann_lsh_topk, _SQL_ANN_LSH_TOPK),
+    "topic_filter": Q(_q_topic_filter, _SQL_TOPIC_FILTER),
+    "tpch_pricing_summary": Q(_q_tpch_pricing_summary, _SQL_TPCH_PRICING_SUMMARY),
+    "top_customers": Q(_q_top_customers, _SQL_TOP_CUSTOMERS),
+    # non-SQL-expressible (rows-only checks)
+    "kg_triples_webpages": Q(_q_kg_triples_webpages, None),
+    "multimodal_features": Q(_q_multimodal_features, None),
+}
