@@ -71,6 +71,23 @@ def _small_star(sym: DataFrame) -> DataFrame:
     )
 
 
+_EDGES_PER_PARTITION = 2_000_000
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive hash-sum) of a distinct edge set — one tiny
+    aggregation job on already-checkpointed data."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a sum of int64 hashes overflows long
+        # under ANSI mode; decimal has 38 digits of headroom
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
@@ -85,6 +102,15 @@ def connected_components(
     -------
     DataFrame ``(id, component)`` — every node that appears in any edge,
     mapped to its component representative (the lexicographic minimum).
+
+    Each iteration materializes via ``localCheckpoint`` (cuts lineage) and
+    the loop's shuffle width adapts to the live edge count — a billion-edge
+    alias graph gets hundreds of partitions, the sandbox's tiny graph gets
+    one, so driver-loop overhead stays proportional to the data.
+    Convergence test: (count, hash-sum) fingerprint of the checkpointed edge
+    set — one cheap agg job per iteration instead of two ``exceptAll``
+    plans; an (astronomically unlikely) hash collision is caught by the
+    exact ``exceptAll`` confirmation run once at apparent convergence.
     """
     nodes = (
         edges.select(F.col("src").alias("id"))
@@ -97,18 +123,28 @@ def connected_components(
         .filter(F.col("u") > F.col("v"))
         .localCheckpoint(eager=True)
     )
+    n_cur, h_cur = _fingerprint(cur)
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for _ in range(max_iterations):
+        # size the loop's shuffles to the live edge count
+        p = max(1, min(width, -(-n_cur // _EDGES_PER_PARTITION)))
+        if p < width:
+            cur = cur.repartition(p)
         after_large = _large_star(cur)
         # small-star output is always (greater → smaller), like `cur`
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # converged ⇔ the directed edge set is stable
-        if (
-            after_small.exceptAll(cur).isEmpty()
-            and cur.exceptAll(after_small).isEmpty()
-        ):
-            cur = after_small
-            break
+        n_new, h_new = _fingerprint(after_small)
+        if (n_new, h_new) == (n_cur, h_cur):
+            # hash says stable → confirm exactly once
+            if (
+                after_small.exceptAll(cur).isEmpty()
+                and cur.exceptAll(after_small).isEmpty()
+            ):
+                cur = after_small
+                break
         cur = after_small
+        n_cur, h_cur = n_new, h_new
     # after convergence every edge is (node → its component min)
     mapping = cur.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("id"), "component"

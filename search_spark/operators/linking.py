@@ -113,10 +113,14 @@ def link_stage(
     Returns the mentions DataFrame with ``concept_id`` (nullable) and
     ``link_score`` columns.
     """
-    spark = mentions.sparkSession
+    # Distinct surface forms are consumed three times (exact match, anti-join,
+    # kNN) — persist so the mention stream (and everything upstream of it) is
+    # scanned exactly once. The form set is tiny relative to mentions by
+    # construction (dedup-before-scoring is the point of this design).
     forms = (
         mentions.select(F.lower(F.col("mention")).alias("form"))
         .dropDuplicates(["form"])
+        .persist()
     )
 
     # --- path 1: exact alias match (broadcast) ---------------------------
@@ -150,8 +154,10 @@ def link_stage(
         )
     )
 
-    resolved = exact.unionByName(knn)
-    # the resolved form table is tiny (distinct surface forms) → broadcast
+    # the resolved form table is tiny (distinct surface forms) → broadcast;
+    # persisted because the broadcast exchange and any downstream reuse
+    # (canonicalization edges) would otherwise re-run both linking paths
+    resolved = exact.unionByName(knn).persist()
     return mentions.withColumn(
         "form", F.lower(F.col("mention"))
     ).join(F.broadcast(resolved), on="form", how="left").drop("form")

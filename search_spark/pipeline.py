@@ -63,7 +63,11 @@ def build_triples(
 
     paragraphs = extract_stage(pages, english_only=cfg.english_only)
     sentences = segment_stage(paragraphs)
-    mentions = ner_stage(sentences, cfg.patterns)
+    # mentions feed three consumers (relations, SPECS rows, linking); persist
+    # so the parse/segment/NER UDF chain — the expensive part — runs once.
+    # (At cluster scale the equivalent is the inter-stage Iceberg checkpoint
+    # that run_to_snapshot provides; in-memory persistence is the in-job form.)
+    mentions = ner_stage(sentences, cfg.patterns).persist()
     relations = relation_stage(
         mentions,
         datagen.relation_pairs_df(spark),
@@ -75,7 +79,8 @@ def build_triples(
         concepts = datagen.concepts_df(spark, cfg.embedding_dim)
         linked = link_stage(mentions, concepts, dim=cfg.embedding_dim)
         if cfg.canonicalize:
-            mapping = canonical_mapping(linked, concepts)
+            # tiny (distinct surface forms); consumed twice (subj/obj side)
+            mapping = canonical_mapping(linked, concepts).persist()
         else:
             mapping = linked.filter(F.col("concept_id").isNotNull()).select(
                 F.lower("mention").alias("form"),

@@ -598,7 +598,9 @@ FROM v
 
 
 _JACCARD_MAX_DOC = 60
-_JACCARD_MIN = 0.2
+# synthetic docs share few 3-grams; 0.01 keeps the result non-empty (the
+# realistic 0.8-style near-dup threshold would trivially pass on 0 rows)
+_JACCARD_MIN = 0.01
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -900,6 +902,282 @@ ORDER BY total_spend DESC, c_custkey ASC LIMIT 10
 """
 
 
+EN_MARKERS = ("the", "a", "of", "is")
+
+
+def _q_langid_ngram(spark, sf_dir):
+    # language-ID heuristic (cord_19.py:460-487 slot): marker-token ratio →
+    # predicted language; pure JVM-side higher-order functions
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t").cast("long")
+    n_en = F.size(F.filter(F.col("t"), lambda x: x.isin(*EN_MARKERS))).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        n_en.alias("n_markers"),
+        F.when(n_en / n >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+_SQL_LANGID_NGRAM = f"""
+SELECT doc_id,
+       CAST(len(list_filter(t, x -> x IN ({", ".join(
+           "'%s'" % m for m in EN_MARKERS)}))) AS BIGINT) AS n_markers,
+       CASE WHEN len(list_filter(t, x -> x IN ({", ".join(
+           "'%s'" % m for m in EN_MARKERS)}))) * 1.0 / len(t) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def _q_anti_join_resume(spark, sf_dir):
+    # checkpoint-resume shape (SURVEY.md §2.9/§2.11): input ∖ processed via
+    # left-anti join — the H5-unpopulated-rows / Luigi-complete() analogue
+    d = _docs(spark, sf_dir)
+    processed = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return d.join(processed, on="doc_id", how="left_anti").select(
+        "doc_id", "n_chars"
+    )
+
+
+_SQL_ANTI_JOIN_RESUME = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+# perturbed gazetteer for the eval queries: 'merge' dropped (→ FN),
+# 'fast' added (→ FP), 'table' re-typed OBJECT→OPERATOR (FP + FN)
+PRED_GAZETTEER: list[tuple[str, str]] = [
+    (t, "OPERATOR" if t == "table" else e)
+    for t, e in DOC_GAZETTEER
+    if t != "merge"
+] + [("fast", "OPERATOR")]
+
+_PGAZ_SQL = "pgaz(pattern, entity_type) AS (VALUES {})".format(
+    ", ".join(f"('{t}', '{e}')" for t, e in PRED_GAZETTEER)
+)
+
+_TRUTH_PRED_SQL = (
+    f"WITH {_TOKS_SQL}, {_GAZ_SQL}, {_PGAZ_SQL}, "
+    "truth AS (SELECT DISTINCT doc_id, tpos, entity_type FROM toks "
+    "JOIN gaz ON tok = pattern WHERE entity_type <> 'NaE'), "
+    "pred AS (SELECT DISTINCT doc_id, tpos, entity_type FROM toks "
+    "JOIN pgaz ON tok = pattern WHERE entity_type <> 'NaE')"
+)
+
+
+def _truth_pred(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+
+    def mentions_of(gaz_rows):
+        gaz = spark.createDataFrame(gaz_rows, ["pattern", "entity_type"])
+        return (
+            toks.join(F.broadcast(gaz), toks.tok == gaz.pattern)
+            .filter(F.col("entity_type") != "NaE")
+            .select("doc_id", "tpos", "entity_type")
+            .distinct()
+        )
+
+    return mentions_of(DOC_GAZETTEER), mentions_of(PRED_GAZETTEER)
+
+
+def _q_eval_pr_report(spark, sf_dir):
+    # the reference's ner_report P/R/F1 (eval.py:450-480) as a DataFrame job
+    # via operators.evaluation.entity_level_pr — the ≥0.95 gate machinery
+    from search_spark.operators.evaluation import entity_level_pr
+
+    truth, pred = _truth_pred(spark, sf_dir)
+    spanify = lambda df: df.withColumn(  # noqa: E731
+        "start_char", F.col("tpos")
+    ).withColumn("end_char", F.col("tpos") + 1)
+    report = entity_level_pr(spanify(truth), spanify(pred), keys=["doc_id"])
+    return report.select(
+        "entity_type",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+    )
+
+
+_SQL_EVAL_PR_REPORT = f"""
+{_TRUTH_PRED_SQL},
+tp AS (SELECT t.entity_type, count(*) AS tp FROM truth t
+       JOIN pred p ON t.doc_id = p.doc_id AND t.tpos = p.tpos
+        AND t.entity_type = p.entity_type
+       GROUP BY t.entity_type),
+nt AS (SELECT entity_type, count(*) AS n_true FROM truth GROUP BY entity_type),
+np AS (SELECT entity_type, count(*) AS n_pred FROM pred GROUP BY entity_type)
+SELECT COALESCE(nt.entity_type, np.entity_type) AS entity_type,
+       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       round(COALESCE(tp.tp, 0) * 1.0 / COALESCE(n_pred, 0), 4) AS precision,
+       round(COALESCE(tp.tp, 0) * 1.0 / COALESCE(n_true, 0), 4) AS recall,
+       round(2.0 * COALESCE(tp.tp, 0)
+             / (COALESCE(n_pred, 0) + COALESCE(n_true, 0)), 4) AS f1
+FROM nt FULL JOIN np ON nt.entity_type = np.entity_type
+LEFT JOIN tp ON COALESCE(nt.entity_type, np.entity_type) = tp.entity_type
+"""
+
+
+def _q_confusion_matrix(spark, sf_dir):
+    # token-level type×type confusion counts incl. 'None' (eval.py:616-711)
+    truth, pred = _truth_pred(spark, sf_dir)
+    t = truth.select("doc_id", "tpos", F.col("entity_type").alias("true_type"))
+    p = pred.select("doc_id", "tpos", F.col("entity_type").alias("pred_type"))
+    return (
+        t.join(p, on=["doc_id", "tpos"], how="full")
+        .select(
+            F.coalesce("true_type", F.lit("None")).alias("true_type"),
+            F.coalesce("pred_type", F.lit("None")).alias("pred_type"),
+        )
+        .groupBy("true_type", "pred_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_CONFUSION_MATRIX = f"""
+{_TRUTH_PRED_SQL}
+SELECT COALESCE(t.entity_type, 'None') AS true_type,
+       COALESCE(p.entity_type, 'None') AS pred_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM truth t FULL JOIN pred p ON t.doc_id = p.doc_id AND t.tpos = p.tpos
+GROUP BY 1, 2
+"""
+
+
+def _q_iob_spans(spark, sf_dir):
+    # IOB-style span extraction (eval.py:312-341): consecutive same-type
+    # mention tokens collapse to (start,end) runs via lag + running sum
+    from pyspark.sql import Window
+
+    m = _doc_mentions(spark, sf_dir).select("doc_id", "tpos", "entity_type")
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    prev_t = F.lag("tpos").over(w)
+    prev_e = F.lag("entity_type").over(w)
+    new_run = (
+        prev_t.isNull()
+        | (F.col("tpos") != prev_t + 1)
+        | (F.col("entity_type") != prev_e)
+    ).cast("long")
+    runs = m.withColumn("nr", new_run).withColumn(
+        "run_id", F.sum("nr").over(w)
+    )
+    return runs.groupBy("doc_id", "run_id", "entity_type").agg(
+        F.min("tpos").alias("start_tpos"),
+        (F.max("tpos") + 1).alias("end_tpos"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+
+
+_SQL_IOB_SPANS = f"""
+{_MENTIONS_SQL},
+runs AS (
+  SELECT doc_id, tpos, entity_type,
+         CASE WHEN lag(tpos) OVER w IS NULL
+                OR tpos <> lag(tpos) OVER w + 1
+                OR entity_type <> lag(entity_type) OVER w
+              THEN 1 ELSE 0 END AS nr
+  FROM mentions
+  WINDOW w AS (PARTITION BY doc_id ORDER BY tpos)),
+ids AS (
+  SELECT doc_id, tpos, entity_type,
+         sum(nr) OVER (PARTITION BY doc_id ORDER BY tpos) AS run_id
+  FROM runs)
+SELECT doc_id, CAST(run_id AS BIGINT) AS run_id, entity_type,
+       min(tpos) AS start_tpos, max(tpos) + 1 AS end_tpos,
+       CAST(count(*) AS BIGINT) AS n_toks
+FROM ids GROUP BY doc_id, run_id, entity_type
+"""
+
+
+def _q_window_rank_topk(spark, sf_dir):
+    # per-group top-k via row_number (top-k articles shape, search.py:268-288)
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+_SQL_WINDOW_RANK_TOPK = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders)
+WHERE rnk <= 2
+"""
+
+
+def _q_set_ops_docs(spark, sf_dir):
+    # §2.9 set ops: INTERSECT / EXCEPT with SQL (distinct) semantics
+    d = _docs(spark, sf_dir)
+    with_spark = d.filter(F.col("text").contains("spark")).select("doc_id")
+    with_join = d.filter(F.col("text").contains("join")).select("doc_id")
+    with_slow = d.filter(F.col("text").contains("slow")).select("doc_id")
+    return with_spark.intersect(with_join).subtract(with_slow)
+
+
+_SQL_SET_OPS_DOCS = """
+(SELECT doc_id FROM documents WHERE text LIKE '%spark%'
+ INTERSECT
+ SELECT doc_id FROM documents WHERE text LIKE '%join%')
+EXCEPT
+SELECT doc_id FROM documents WHERE text LIKE '%slow%'
+"""
+
+
+def _q_skew_salted_agg(spark, sf_dir):
+    # two-phase salted aggregation (operators/skew.py) — numerically equal
+    # to the direct GROUP BY, shuffle-safe under heavy key skew
+    from search_spark.operators.skew import salted_count_sum
+
+    ev = _events(spark, sf_dir)
+    out = salted_count_sum(
+        ev, ["event_type"], value_col="value", salt_source="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.round("sum_value", 2).alias("total_value"),
+    )
+
+
+_SQL_SKEW_SALTED_AGG = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_streaming_window_counts(spark, sf_dir):
+    # real Structured Streaming execution (readStream → watermark → window
+    # agg → AvailableNow); bounded source ⇒ result equals the batch GROUP BY
+    from search_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+_SQL_STREAMING_WINDOW_COUNTS = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- non-SQL-expressible entries (driver does rows-only checks) -----------
 
 def _q_kg_triples_webpages(spark, sf_dir):
@@ -946,6 +1224,17 @@ QUERIES: dict[str, Q] = {
     "topic_filter": Q(_q_topic_filter, _SQL_TOPIC_FILTER),
     "tpch_pricing_summary": Q(_q_tpch_pricing_summary, _SQL_TPCH_PRICING_SUMMARY),
     "top_customers": Q(_q_top_customers, _SQL_TOP_CUSTOMERS),
+    "langid_ngram": Q(_q_langid_ngram, _SQL_LANGID_NGRAM),
+    "anti_join_resume": Q(_q_anti_join_resume, _SQL_ANTI_JOIN_RESUME),
+    "eval_pr_report": Q(_q_eval_pr_report, _SQL_EVAL_PR_REPORT),
+    "confusion_matrix": Q(_q_confusion_matrix, _SQL_CONFUSION_MATRIX),
+    "iob_spans": Q(_q_iob_spans, _SQL_IOB_SPANS),
+    "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
+    "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
+    "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
+    "streaming_window_counts": Q(
+        _q_streaming_window_counts, _SQL_STREAMING_WINDOW_COUNTS
+    ),
     # non-SQL-expressible (rows-only checks)
     "kg_triples_webpages": Q(_q_kg_triples_webpages, None),
     "multimodal_features": Q(_q_multimodal_features, None),
