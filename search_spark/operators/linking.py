@@ -155,9 +155,12 @@ def link_stage(
     )
 
     # the resolved form table is tiny (distinct surface forms) → broadcast;
-    # persisted because the broadcast exchange and any downstream reuse
-    # (canonicalization edges) would otherwise re-run both linking paths
+    # persisted + eagerly materialized: the broadcast exchange and the
+    # downstream consumers (canonicalization edges, the mention join) would
+    # otherwise recompute both linking paths concurrently and convoy on the
+    # forms/mentions cache locks
     resolved = exact.unionByName(knn).persist()
+    resolved.count()
     return mentions.withColumn(
         "form", F.lower(F.col("mention"))
     ).join(F.broadcast(resolved), on="form", how="left").drop("form")

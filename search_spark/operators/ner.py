@@ -74,7 +74,19 @@ class GazetteerMatcher:
         ]
 
 
-def get_matcher(patterns: Sequence[tuple[str, str]]) -> GazetteerMatcher:
+def get_matcher(patterns):
+    """Compile-once-per-executor matcher for either pattern representation:
+    a plain ``(term, entity_type)`` gazetteer (GazetteerMatcher) or a
+    :class:`~search_spark.operators.patterns.PatternStore` (regex/phrase
+    rules with EntityRuler-style span filtering)."""
+    from search_spark.operators.patterns import PatternStore
+
+    if isinstance(patterns, PatternStore):
+        key = ("store",) + tuple(patterns.rows)
+        matcher = _MATCHER_CACHE.get(key)
+        if matcher is None:
+            matcher = _MATCHER_CACHE[key] = patterns.compile()
+        return matcher
     key = tuple(sorted(patterns))
     matcher = _MATCHER_CACHE.get(key)
     if matcher is None:
@@ -87,27 +99,49 @@ def ner_stage(
     patterns: Sequence[tuple[str, str]],
     skip_bad: bool = True,
     excluded_entity_type: str | None = EXCLUDED_ENTITY_TYPE,
+    with_scores: bool = False,
 ) -> DataFrame:
     """Detect entity mentions in sentences with a broadcast gazetteer.
 
     ``patterns`` is a small list — it travels to executors inside the UDF
     closure (equivalently a broadcast variable), never as a shuffled table.
+
+    ``with_scores=True`` additionally runs the batched model pass over the
+    sentence windows (operators/ner_scoring.py — the reference's
+    transformer+EntityRuler fusion, dvc.yaml train+add_er) and emits a
+    per-mention ``score`` column.
     """
     src = sentences
     if skip_bad:
         # cheap JVM-side predicate *before* the Python boundary
         src = src.filter(~F.col("is_bad"))
     src = src.select("url", "uid", "ppos", "spos", "section", "text")
-    pattern_list = tuple(patterns)
+    if with_scores:
+        from search_spark.operators.ner_scoring import score_mentions
+
+        src = score_mentions(src)
+    from search_spark.operators.patterns import PatternStore
+
+    pattern_list = (
+        patterns if isinstance(patterns, PatternStore) else tuple(patterns)
+    )
+
+    out_schema = MENTIONS_SCHEMA
+    if with_scores:
+        out_schema = T.StructType(
+            MENTIONS_SCHEMA.fields
+            + [T.StructField("score", T.DoubleType(), False)]
+        )
 
     def _match_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = get_matcher(pattern_list)
         for pdf in batches:
-            rows: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
-            for url, uid, ppos, spos, section, text in zip(
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            scores = pdf["score"] if with_scores else None
+            for i, (url, uid, ppos, spos, section, text) in enumerate(zip(
                 pdf["url"], pdf["uid"], pdf["ppos"], pdf["spos"],
                 pdf["section"], pdf["text"],
-            ):
+            )):
                 for start, end, mention, etype in matcher.find(text):
                     rows["url"].append(url)
                     rows["uid"].append(uid)
@@ -118,12 +152,14 @@ def ner_stage(
                     rows["end_char"].append(end)
                     rows["mention"].append(mention)
                     rows["entity_type"].append(etype)
+                    if scores is not None:
+                        rows["score"].append(float(scores.iloc[i]))
             out = pd.DataFrame(rows)
             for c in ("ppos", "spos", "start_char", "end_char"):
                 out[c] = out[c].astype("int32")
             yield out
 
-    mentions = src.mapInPandas(_match_batch, schema=MENTIONS_SCHEMA)
+    mentions = src.mapInPandas(_match_batch, schema=out_schema)
     if excluded_entity_type is not None:
         mentions = mentions.filter(
             F.col("entity_type") != F.lit(excluded_entity_type)

@@ -45,6 +45,18 @@ class PipelineConfig:
     embedding_dim: int = 64
     # repartition width for the UDF stages; None → leave to AQE
     udf_partitions: int | None = None
+    # batched model pass over sentence windows (operators/ner_scoring.py —
+    # the transformer slot); off by default so rule-path oracles/tests see
+    # the identical mention stream, on for production-profile benchmarks
+    ner_scoring: bool = False
+    # Exchange between the extract UDF and the segment/NER UDF. Without it
+    # the scan→extract→segment→NER chain is one narrow task pipeline, so
+    # every task holds TWO live python workers (extract + NER streaming
+    # concurrently) — at high core counts that doubles python-process
+    # pressure and thrashes; the shuffle also rebalances skewed extract
+    # output (one giant document no longer serializes a downstream task)
+    # and co-locates paragraphs by url for everything downstream.
+    rebalance_after_extract: bool = True
 
 
 def build_triples(
@@ -52,7 +64,17 @@ def build_triples(
     web_pages: DataFrame,
     config: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Declare the full logical plan web_pages → triples (lazy, no action)."""
+    """Build the full plan web_pages → triples.
+
+    Mostly lazy; when linking/canonicalization is enabled the expensive
+    persisted intermediates (mentions, resolved forms, canonical mapping)
+    are materialized eagerly as sequential barriers — the in-job analogue
+    of the inter-stage Iceberg checkpoints `run_to_snapshot` provides —
+    because the linking plan embeds the mention subtree in both its main
+    path and broadcast subqueries, and racing those on an unpopulated
+    cache convoys on cache locks (observed 6-8× slowdowns at high core
+    counts).
+    """
     cfg = config or PipelineConfig()
 
     pages = web_pages
@@ -62,12 +84,27 @@ def build_triples(
         pages = pages.repartition(cfg.udf_partitions, F.col("url"))
 
     paragraphs = extract_stage(pages, english_only=cfg.english_only)
+    if cfg.rebalance_after_extract:
+        width = cfg.udf_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        paragraphs = paragraphs.repartition(width, F.col("url"))
     sentences = segment_stage(paragraphs)
     # mentions feed three consumers (relations, SPECS rows, linking); persist
     # so the parse/segment/NER UDF chain — the expensive part — runs once.
     # (At cluster scale the equivalent is the inter-stage Iceberg checkpoint
     # that run_to_snapshot provides; in-memory persistence is the in-job form.)
-    mentions = ner_stage(sentences, cfg.patterns).persist()
+    mentions = ner_stage(
+        sentences, cfg.patterns, with_scores=cfg.ner_scoring
+    ).persist()
+    if cfg.link:
+        # materialization barrier: the linking plan embeds this subtree both
+        # in its main path and inside a broadcast subquery, and the
+        # canonicalization loop adds eager checkpoint jobs on top — launched
+        # concurrently they convoy on the cache locks of the still-uncached
+        # UDF chain (observed 6-8× slowdown at local[32]). One count = one
+        # clean pass; every later consumer reads the cache.
+        mentions.count()
     relations = relation_stage(
         mentions,
         datagen.relation_pairs_df(spark),
@@ -80,7 +117,10 @@ def build_triples(
         linked = link_stage(mentions, concepts, dim=cfg.embedding_dim)
         if cfg.canonicalize:
             # tiny (distinct surface forms); consumed twice (subj/obj side)
+            # — materialized once so the two broadcast exchanges don't race
+            # on the uncached CC output
             mapping = canonical_mapping(linked, concepts).persist()
+            mapping.count()
         else:
             mapping = linked.filter(F.col("concept_id").isNotNull()).select(
                 F.lower("mention").alias("form"),

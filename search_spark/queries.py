@@ -1178,6 +1178,100 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_search_deprioritized(spark, sf_dir):
+    # full search-server lifecycle incl. deprioritization combine
+    # (search.py:166-183): combined = w1*q - w2*d, normalized, top-k over
+    # the restricted candidate set — via operators/search.semantic_topk
+    from search_spark.operators.search import semantic_topk
+
+    emb = _emb(spark, sf_dir)
+    q_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    d_vec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    candidates = emb.filter(~F.col("vec_id").isin(0, 1)).select("vec_id")
+    return semantic_topk(
+        emb,
+        [float(x) for x in q_vec],
+        k=10,
+        restrict_ids=candidates,
+        deprioritize_vec=[float(x) for x in d_vec],
+        strength="Stronger",
+    )
+
+
+_SQL_SEARCH_DEPRIORITIZED = """
+WITH q1 AS (SELECT generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE vec_id = 0),
+q2 AS (SELECT generate_subscripts(embedding, 1) AS i,
+              CAST(unnest(embedding) AS DOUBLE) AS v
+       FROM embeddings WHERE vec_id = 1),
+comb AS (SELECT q1.i, 0.5 * q1.v - 0.7 * q2.v AS v
+         FROM q1 JOIN q2 ON q1.i = q2.i),
+nc AS (SELECT sqrt(sum(v * v)) AS nrm FROM comb),
+cn AS (SELECT i, v / (SELECT nrm FROM nc) AS v FROM comb),
+ncn AS (SELECT sqrt(sum(v * v)) AS nrm FROM cn),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id NOT IN (0, 1)),
+d AS (SELECT e.vec_id, sum(e.v * cn.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN cn ON e.i = cn.i GROUP BY e.vec_id)
+SELECT vec_id, round(dot / (d.nrm * ncn.nrm), 4) AS score
+FROM d, ncn ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_bad_sentence_stats(spark, sf_dir):
+    # bad-sentence statistics (cord_19.py:64-94): three predicates → n_bad,
+    # percent — the UPDATE becomes a column, the stats a single agg
+    d = _docs(spark, sf_dir)
+    bad = (
+        d["text"].rlike(r"\\[a-z]+\{")
+        | (F.col("n_chars") < 150)
+        | (F.col("n_chars") > 350)
+    )
+    return d.select(bad.cast("long").alias("b")).agg(
+        F.sum("b").alias("n_bad"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum("b") * 100.0 / F.count(F.lit(1)), 4).alias("pct_bad"),
+    )
+
+
+_SQL_BAD_SENTENCE_STATS = r"""
+SELECT CAST(sum(b) AS BIGINT) AS n_bad,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(sum(b) * 100.0 / count(*), 4) AS pct_bad
+FROM (SELECT CASE WHEN regexp_matches(text, '\\[a-z]+\{')
+                    OR n_chars < 150 OR n_chars > 350
+             THEN 1 ELSE 0 END AS b FROM documents)
+"""
+
+
+def _q_ivf_centroids(spark, sf_dir):
+    # IVF coarse-quantizer build: per-label centroid of the embedding
+    # column — element-wise avg via posexplode + hash agg (the scale path
+    # for ANN: assign to nearest centroid, search within the cell)
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding")).alias("dim_i", "v"),
+        )
+        .withColumn("dim_i", F.col("dim_i").cast("long"))
+        .groupBy("label", "dim_i")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+    )
+
+
+_SQL_IVF_CENTROIDS = """
+SELECT label, dim_i, round(avg(v), 4) AS centroid
+FROM (SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
 # --- non-SQL-expressible entries (driver does rows-only checks) -----------
 
 def _q_kg_triples_webpages(spark, sf_dir):
@@ -1235,6 +1329,11 @@ QUERIES: dict[str, Q] = {
     "streaming_window_counts": Q(
         _q_streaming_window_counts, _SQL_STREAMING_WINDOW_COUNTS
     ),
+    "search_deprioritized": Q(
+        _q_search_deprioritized, _SQL_SEARCH_DEPRIORITIZED
+    ),
+    "bad_sentence_stats": Q(_q_bad_sentence_stats, _SQL_BAD_SENTENCE_STATS),
+    "ivf_centroids": Q(_q_ivf_centroids, _SQL_IVF_CENTROIDS),
     # non-SQL-expressible (rows-only checks)
     "kg_triples_webpages": Q(_q_kg_triples_webpages, None),
     "multimodal_features": Q(_q_multimodal_features, None),

@@ -9,7 +9,16 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# One BLAS thread per python worker — the parallelism unit is the Spark
+# task (one python worker per core); nested BLAS thread pools inside 32
+# workers oversubscribe the host and make scaling measurements meaningless.
+# Must be in the environment BEFORE the JVM (and hence the forked python
+# worker daemon) starts, because OpenBLAS sizes its pool at library load.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 # Tuned for the sandbox (local[N], 128 GiB); on a real cluster the same keys
 # apply, only sizes change (shuffle.partitions ≈ 2-3× total cores, bounded by
@@ -32,6 +41,11 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # on a real cluster the executors don't inherit the driver env — pin
+    # single-threaded BLAS for python workers there too
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
