@@ -1,0 +1,99 @@
+"""Physical-plan audits: the optimizations we rely on must be visible in
+the executed plan, not assumed.
+
+Checks (SURVEY.md §4 — what Catalyst must give us for free):
+  * filter pushdown into the parquet scan (`PushedFilters`),
+  * column pruning at the scan (`ReadSchema` carries only needed columns),
+  * broadcast hash joins where a tiny dimension is joined,
+  * left-semi strategy for the filter-pushup shape,
+  * whole-stage codegen around JVM-side expression pipelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from search_spark.queries import QUERIES
+
+    df = QUERIES["sentence_filter"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # lang equality must reach the scan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "") or "lang" in plan
+    # projection pruned: html-sized columns never read (documents table has
+    # doc_id,text,lang,source,n_chars; we select doc_id,n_chars + filters)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "source" not in read_schema[0]
+
+
+def test_gazetteer_join_is_broadcast(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_doc_mentions"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_strategy(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["semi_join_orders"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_topk_becomes_take_ordered(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["topk_similar"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_jvm_pipeline(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["token_stats"].spark(spark, SF_DIR))
+    # formatted mode tags codegen stages as "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_segment_stage_has_no_python_operator(spark):
+    from search_spark import datagen
+    from search_spark.extraction.extract import extract_stage
+    from search_spark.operators.segment import segment_stage
+
+    pages = datagen.generate_web_pages(spark, 5, seed=42)
+    paragraphs = extract_stage(pages)
+    # segmentation itself must add no python boundary beyond extract's
+    seg_plan = plan_of(segment_stage(paragraphs))
+    assert seg_plan.count("MapInPandas") == plan_of(paragraphs).count(
+        "MapInPandas"
+    )
+
+
+def test_relation_pair_join_is_broadcast(spark):
+    from search_spark import datagen
+    from search_spark.extraction.extract import extract_stage
+    from search_spark.operators.ner import ner_stage
+    from search_spark.operators.relations import relation_stage
+    from search_spark.operators.segment import segment_stage
+
+    pages = datagen.generate_web_pages(spark, 5, seed=42)
+    mentions = ner_stage(
+        segment_stage(extract_stage(pages)), datagen.GAZETTEER_FLAT
+    )
+    plan = plan_of(
+        relation_stage(mentions, datagen.relation_pairs_df(spark))
+    )
+    assert "BroadcastHashJoin" in plan
