@@ -1248,22 +1248,38 @@ FROM (SELECT CASE WHEN regexp_matches(text, '\\[a-z]+\{')
 
 def _q_ivf_centroids(spark, sf_dir):
     # IVF coarse-quantizer build: per-label centroid of the embedding
-    # column — element-wise avg via posexplode + hash agg (the scale path
-    # for ANN: assign to nearest centroid, search within the cell)
+    # column — element-wise mean via posexplode + hash agg (the scale path
+    # for ANN: assign to nearest centroid, search within the cell).
+    # The mean is computed as a SORTED sequential fold so both engines add
+    # in the same order — a parallel avg() is order-dependent at the last
+    # ulp and flips round(·,4) on boundary values.
     emb = _emb(spark, sf_dir)
-    return (
-        emb.select(
-            "label",
-            F.posexplode(F.col("embedding")).alias("dim_i", "v"),
-        )
-        .withColumn("dim_i", F.col("dim_i").cast("long"))
-        .groupBy("label", "dim_i")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim_i", "v"),
+    ).select(
+        "label",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("v").cast("double").alias("v"),
+    )
+    grouped = exploded.groupBy("label", "dim_i").agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    total = F.aggregate("vs", F.lit(0.0), lambda acc, x: acc + x)
+    # + 0.0 canonicalizes IEEE −0.0 → +0.0 (engines disagree on the sign of
+    # a rounded-to-zero negative mean, and −0.0 hash-compares as "-0")
+    return grouped.select(
+        "label",
+        "dim_i",
+        (F.round(total / F.col("n"), 4) + F.lit(0.0)).alias("centroid"),
     )
 
 
 _SQL_IVF_CENTROIDS = """
-SELECT label, dim_i, round(avg(v), 4) AS centroid
+SELECT label, dim_i,
+       round(CAST(list_reduce(list_sort(list(v)), (a, b) -> a + b) AS DOUBLE)
+             / count(*), 4) + 0.0 AS centroid
 FROM (SELECT label,
              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_i,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -1289,6 +1305,37 @@ def _q_multimodal_features(spark, sf_dir):
     from search_spark.operators.multimodal import feature_stage, synthetic_assets
 
     return feature_stage(synthetic_assets(spark, 64, seed=7))
+
+
+def _q_multiformat_extract(spark, sf_dir):
+    """Mixed-format corpus through the parser registry (ArticleParser slot,
+    extraction/parsers.py): html + CORD-19 JSON in one scan."""
+    import json as _json
+
+    from search_spark.extraction.parsers import extract_stage_multi
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            raw = (
+                f"<html><body><h2>S{i}</h2><p>Glucose sample {i} rises "
+                f"in Diabetes.</p></body></html>"
+            ).encode()
+            fmt = "html"
+        else:
+            raw = _json.dumps(
+                {
+                    "abstract": [{"text": f"Abstract {i} on Insulin."}],
+                    "body_text": [
+                        {"section": "Body", "text": f"Mouse study {i}."}
+                    ],
+                    "ref_entries": {},
+                }
+            ).encode()
+            fmt = "cord19_json"
+        rows.append((f"https://example.org/mf/{i}", fmt, raw))
+    pages = spark.createDataFrame(rows, ["url", "source_format", "html"])
+    return extract_stage_multi(pages, english_only=False)
 
 
 QUERIES: dict[str, Q] = {
@@ -1337,4 +1384,5 @@ QUERIES: dict[str, Q] = {
     # non-SQL-expressible (rows-only checks)
     "kg_triples_webpages": Q(_q_kg_triples_webpages, None),
     "multimodal_features": Q(_q_multimodal_features, None),
+    "multiformat_extract": Q(_q_multiformat_extract, None),
 }
