@@ -126,32 +126,34 @@ def connected_components(
     n_cur, h_cur = _fingerprint(cur)
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # The loop is a sequential driver loop over its own checkpointed edge
-    # set, so narrowing the session shuffle width to the live edge count is
-    # safe and cuts per-iteration task overhead (dozens of tiny jobs
-    # otherwise run `width` tasks each); restored on exit.
+    # Width is scoped per-DataFrame (explicit repartition after each
+    # checkpoint) rather than by mutating the session-global shuffle conf —
+    # a concurrent query on the same session must never inherit a narrowed
+    # width. The intermediate groupBy/join exchanges inside the star steps
+    # still plan at session width, but AQE partition coalescing (enabled in
+    # session.get_spark) collapses them at runtime for tiny edge sets.
     p = max(1, min(width, -(-n_cur // _EDGES_PER_PARTITION)))
     if p < width:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
         cur = cur.repartition(p).localCheckpoint(eager=True)
-    try:
-        for _ in range(max_iterations):
-            after_large = _large_star(cur)
-            # small-star output is always (greater → smaller), like `cur`
-            after_small = _small_star(after_large).localCheckpoint(eager=True)
-            n_new, h_new = _fingerprint(after_small)
-            if (n_new, h_new) == (n_cur, h_cur):
-                # hash says stable → confirm exactly once
-                if (
-                    after_small.exceptAll(cur).isEmpty()
-                    and cur.exceptAll(after_small).isEmpty()
-                ):
-                    cur = after_small
-                    break
-            cur = after_small
-            n_cur, h_cur = n_new, h_new
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    for _ in range(max_iterations):
+        after_large = _large_star(cur)
+        # small-star output is always (greater → smaller), like `cur`
+        after_small = (
+            _small_star(after_large).repartition(p).localCheckpoint(eager=True)
+            if p < width
+            else _small_star(after_large).localCheckpoint(eager=True)
+        )
+        n_new, h_new = _fingerprint(after_small)
+        if (n_new, h_new) == (n_cur, h_cur):
+            # hash says stable → confirm exactly once
+            if (
+                after_small.exceptAll(cur).isEmpty()
+                and cur.exceptAll(after_small).isEmpty()
+            ):
+                cur = after_small
+                break
+        cur = after_small
+        n_cur, h_cur = n_new, h_new
     # after convergence every edge is (node → its component min)
     mapping = cur.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("id"), "component"

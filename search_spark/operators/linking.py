@@ -117,7 +117,9 @@ def link_stage(
     # kNN) — persist so the mention stream (and everything upstream of it) is
     # scanned exactly once. The form set is tiny relative to mentions by
     # construction (dedup-before-scoring is the point of this design).
-    forms = (
+    from search_spark.caching import register
+
+    forms = register(
         mentions.select(F.lower(F.col("mention")).alias("form"))
         .dropDuplicates(["form"])
         .persist()
@@ -159,7 +161,7 @@ def link_stage(
     # downstream consumers (canonicalization edges, the mention join) would
     # otherwise recompute both linking paths concurrently and convoy on the
     # forms/mentions cache locks
-    resolved = exact.unionByName(knn).persist()
+    resolved = register(exact.unionByName(knn).persist())
     resolved.count()
     return mentions.withColumn(
         "form", F.lower(F.col("mention"))

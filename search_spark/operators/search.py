@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 
 from search_spark.operators.linking import cosine_col
 
-# search.py:166-177 verbatim weight table
+# search.py:166-177 verbatim weight table (all five strengths)
 DEPRIORITIZATION_WEIGHTS: dict[str, tuple[float, float]] = {
     "None": (1.0, 0.0),
+    "Weak": (0.9, 0.1),
     "Mild": (0.8, 0.3),
+    "Strong": (0.5, 0.5),
     "Stronger": (0.5, 0.7),
 }
 
@@ -42,6 +44,9 @@ def combine_queries(
     norm = F.sqrt(
         F.aggregate(combined, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # zero-norm guard (search.py:180-183): a combination that cancels to the
+    # zero vector divides by 1, not 0 — scores become 0, not NaN
+    norm = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     return F.transform(combined, lambda x: x / norm)
 
 
@@ -75,8 +80,14 @@ def semantic_topk(
             how="left_semi",
         )
     ed = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    # a fully-cancelled (zero) combined query scores 0 everywhere, like the
+    # reference's dot-product against its zero-guarded normalized vector —
+    # the conditional also keeps ANSI mode from raising DIVIDE_BY_ZERO
+    nq = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
     scored = src.select(
         id_col,
-        F.round(cosine_col(ed, q), 4).alias("score"),
+        F.round(
+            F.when(nq == 0, F.lit(0.0)).otherwise(cosine_col(ed, q)), 4
+        ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

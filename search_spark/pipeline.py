@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_spark import datagen
+from search_spark.caching import register, release_intermediates
 from search_spark.extraction.extract import extract_stage
 from search_spark.io.snapshots import SnapshotTable
 from search_spark.operators.canonicalize import canonical_mapping
@@ -94,9 +95,10 @@ def build_triples(
     # so the parse/segment/NER UDF chain — the expensive part — runs once.
     # (At cluster scale the equivalent is the inter-stage Iceberg checkpoint
     # that run_to_snapshot provides; in-memory persistence is the in-job form.)
-    mentions = ner_stage(
-        sentences, cfg.patterns, with_scores=cfg.ner_scoring
-    ).persist()
+    mentions = register(
+        ner_stage(sentences, cfg.patterns, with_scores=cfg.ner_scoring)
+        .persist()
+    )
     if cfg.link:
         # materialization barrier: the linking plan embeds this subtree both
         # in its main path and inside a broadcast subquery, and the
@@ -119,7 +121,7 @@ def build_triples(
             # tiny (distinct surface forms); consumed twice (subj/obj side)
             # — materialized once so the two broadcast exchanges don't race
             # on the uncached CC output
-            mapping = canonical_mapping(linked, concepts).persist()
+            mapping = register(canonical_mapping(linked, concepts).persist())
             mapping.count()
         else:
             mapping = linked.filter(F.col("concept_id").isNotNull()).select(
@@ -177,6 +179,10 @@ def run_to_snapshot(
     # (much smaller) written output back, never from re-running the pipeline
     info = table.append(triples, processed_keys=todo.select("url"))
     wall = time.time() - t0
+    # the snapshot is on disk — the persisted in-job intermediates (mentions,
+    # forms, mapping) are dead weight from here on; release them so repeated
+    # runs in one session don't accumulate cached blocks until eviction
+    release_intermediates()
     written = spark.read.parquet(
         f"{table.root}/data/snapshot={info.snapshot_id}"
     )

@@ -56,16 +56,19 @@ def _session_func(gap_seconds: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
+        def from_us(us: int) -> dt.datetime:
+            # tz-naive UTC wall time (the session TZ is asserted to be UTC
+            # by sessionize_stream; utcfromtimestamp is deprecated in 3.12)
+            return dt.datetime.fromtimestamp(
+                us / _US, dt.timezone.utc
+            ).replace(tzinfo=None)
+
         def emit(start_us: int, end_us: int, n: int) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [
-                        dt.datetime.utcfromtimestamp(start_us / _US)
-                    ],
-                    "session_end": [
-                        dt.datetime.utcfromtimestamp(end_us / _US)
-                    ],
+                    "session_start": [from_us(start_us)],
+                    "session_end": [from_us(end_us)],
                     "n_events": [n],
                 }
             )
@@ -114,8 +117,16 @@ def sessionize_stream(
     """events stream → closed-session stream (append mode).
 
     ``events`` must carry ``user_id`` and ``ts``; works on any streaming
-    DataFrame (file source, Kafka, rate…).
+    DataFrame (file source, Kafka, rate…) **on a UTC session**: the state
+    epoch math interprets tz-naive pandas timestamps as UTC, so the session
+    time zone must be UTC (asserted below; ``session.get_spark`` pins it).
     """
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"sessionize_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): state epoch math assumes UTC wall times"
+        )
     stream = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark_delay)

@@ -9,10 +9,19 @@ batch-identical, deterministic results (what the oracle checks) while the
 identical code keeps running incrementally on an unbounded source in
 production.
 
-Watermarking bounds state for the unbounded case: events later than the
-watermark delay below their window close are dropped instead of growing
-state forever. With AvailableNow over a bounded source nothing is dropped,
-so the result equals the batch GROUP BY.
+Two sink paths with different state stories:
+
+* :func:`windowed_event_counts` — memory sink, ``complete`` output mode:
+  the bounded **oracle path**. In complete mode Spark retains all window
+  state and the driver holds the full result; the watermark is inert. Only
+  correct for bounded AvailableNow runs (where it exactly equals the batch
+  GROUP BY), never for an unbounded stream.
+* :func:`windowed_event_counts_to_files` — file (parquet) sink, ``append``
+  output mode: the **production path**. Only watermark-closed windows are
+  emitted, state is dropped as the watermark passes, and results land in a
+  distributed table instead of driver memory — the configuration that runs
+  unbounded. On a bounded source the final (never-closed) windows are
+  intentionally *not* emitted; that is append-mode semantics, not a bug.
 """
 
 from __future__ import annotations
@@ -34,7 +43,9 @@ def windowed_event_counts(
     streaming query (file source → memory sink, AvailableNow).
 
     Returns a bounded DataFrame ``(w_start, event_type, n)`` equal to the
-    batch ``GROUP BY date_trunc(window), event_type``.
+    batch ``GROUP BY date_trunc(window), event_type``. Oracle path only —
+    see the module docstring; production uses
+    :func:`windowed_event_counts_to_files`.
     """
     schema = spark.read.parquet(events_path).schema
     name = "win_counts_" + hashlib.md5(
@@ -72,3 +83,49 @@ def windowed_event_counts(
     return spark.table(name).select(
         F.col("w.start").alias("w_start"), "event_type", "n"
     )
+
+
+def windowed_event_counts_to_files(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_length: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Production sink: append-mode windowed counts to a parquet table.
+
+    Emits only watermark-closed windows (so state is bounded and dropped as
+    the watermark advances) into ``out_dir`` — no driver materialization.
+    The checkpoint directory makes the query restartable exactly-once.
+    Returns the written table (empty if no window closed yet — on a bounded
+    source the trailing windows stay open by design).
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path) or ".")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_length).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # no window closed → sink dir has no parquet yet
+        return spark.createDataFrame(
+            [], "w_start timestamp, event_type string, n long"
+        )
