@@ -21,12 +21,27 @@ Paragraph conventions per parser:
   article.py:794-808).
 * ``jats_xml`` — scientific XML via the JATS tag profile of the same
   kernel.
+* ``pubmed_xml`` — PubMed abstract-only articles
+  (``PubMedXMLParser``, article.py:594-713): the ``AbstractText``
+  paragraphs under section "Abstract"; body paragraphs do not exist in
+  PubMed sets (the reference's ``paragraphs`` property returns ``()``).
+  A ``<PubmedArticleSet>`` root is accepted and yields every member
+  article's abstract (set iteration, entrypoint/database/parse.py:143-147).
+* ``tei_xml`` — GROBID TEI output (``TEIXMLParser``, article.py:826-1058):
+  abstract divs first, then body divs under their ``<head>`` titles with
+  the reference's sentence reassembly of ``<p>``/``<formula>`` runs
+  (``_build_texts``, article.py:998-1058 — formulas become the
+  ``FORMULA`` placeholder, lowercase-starting fragments continue the
+  previous sentence, emitted texts end with a period), then figure/table
+  captions.
 """
 
 from __future__ import annotations
 
 import json
+import string
 from typing import Callable, Iterator
+from xml.etree import ElementTree
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,10 +87,97 @@ def parse_cord19_json(raw: bytes | str) -> list[tuple[str, str]]:
     return out
 
 
+_TEI_NS = {"tei": "http://www.tei-c.org/ns/1.0"}
+
+
+def _itertext(element: ElementTree.Element | None) -> str:
+    """Reference ``TEIXMLParser._element_to_str`` semantics: plain itertext
+    concatenation (no tag rules — TEI is already clean GROBID output)."""
+    return "".join(element.itertext()) if element is not None else ""
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _tei_build_texts(elements: list[ElementTree.Element]) -> list[str]:
+    """Sentence reassembly of ``<p>``/``<formula>`` runs
+    (article.py:998-1058): a paragraph starting with an uppercase letter
+    begins a new sentence; otherwise it continues the previous one;
+    formulas contribute the ``FORMULA`` placeholder; every emitted text
+    ends with a period."""
+    out: list[str] = []
+    text = ""
+
+    def flush(t: str) -> None:
+        if t:
+            out.append(t if t.endswith(".") else t + ".")
+
+    for child in elements:
+        name = _localname(child.tag)
+        if name == "p":
+            p_text = _itertext(child).strip()
+            if not p_text:
+                continue
+            if p_text[0] in string.ascii_uppercase:
+                flush(text)
+                text = p_text
+            else:
+                text += " " + p_text
+        elif name == "formula":
+            text += " FORMULA"
+        else:
+            raise ValueError(f"unexpected TEI tag inside div: {child.tag}")
+    flush(text)
+    return out
+
+
+def parse_tei_xml(raw: bytes | str) -> list[tuple[str, str]]:
+    root = ElementTree.fromstring(_as_text(raw))
+    out: list[tuple[str, str]] = []
+    for div in root.findall(
+        "./tei:teiHeader/tei:profileDesc/tei:abstract/tei:div", _TEI_NS
+    ):
+        for text in _tei_build_texts(list(div)):
+            out.append(("Abstract", text))
+    for div in root.findall("./tei:text/tei:body/tei:div", _TEI_NS):
+        section = _itertext(div.find("./tei:head", _TEI_NS))
+        body = [c for c in div if _localname(c.tag) != "head"]
+        for text in _tei_build_texts(body):
+            out.append((section, text))
+    for figure in root.findall("./tei:text/tei:body/tei:figure", _TEI_NS):
+        caption = _itertext(figure.find("./tei:figDesc", _TEI_NS))
+        if not caption:
+            continue
+        kind = "Table Caption" if figure.get("type") == "table" else "Figure Caption"
+        out.append((kind, caption))
+    return out
+
+
+def parse_pubmed_xml(raw: bytes | str) -> list[tuple[str, str]]:
+    root = ElementTree.fromstring(_as_text(raw))
+    articles = (
+        root.iter("PubmedArticle")
+        if root.tag == "PubmedArticleSet"
+        else [root]
+    )
+    out: list[tuple[str, str]] = []
+    for art in articles:
+        abstract = art.find("./MedlineCitation/Article/Abstract")
+        if abstract is None:
+            continue
+        for para in abstract.iter("AbstractText"):
+            if para.text:
+                out.append(("Abstract", para.text))
+    return out
+
+
 PARSERS: dict[str, Parser] = {
     "html": parse_html,
     "jats_xml": parse_jats_xml,
     "cord19_json": parse_cord19_json,
+    "pubmed_xml": parse_pubmed_xml,
+    "tei_xml": parse_tei_xml,
 }
 
 

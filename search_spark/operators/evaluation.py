@@ -14,8 +14,12 @@ This job is the ≥0.95 triple-P/R gate from BASELINE.json: run the reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import string
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+PUNCTUATION = tuple(string.punctuation)
 
 
 def entity_level_pr(
@@ -58,6 +62,109 @@ def entity_level_pr(
             2 * F.col("tp")
             / (F.col("n_pred") + F.col("n_true"))
         ).alias("f1"),
+    )
+
+
+def remove_punctuation_iob(
+    df: DataFrame,
+    tag_cols: list[str],
+    order_col: str,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    punct_col: str | None = None,
+) -> DataFrame:
+    """Move ``B-`` tags off punctuation tokens, then drop punctuation rows.
+
+    Port of the reference's ``remove_punctuation`` (mining/eval.py:231-263),
+    verified against its golden fixtures
+    (tests/data/mining/eval/iob_punctuation_{before,after}.csv): for every
+    punctuation token carrying a ``B-`` tag, the first following
+    non-punctuation token is promoted to a ``B-`` tag of *its own* entity
+    type (``I-X`` → ``B-X``; ``O`` stays ``O``); punctuation rows are
+    removed. A ``B-`` run that ends at the end of a group lands nowhere
+    (the reference's ``i < len(df) - 1`` walk has the same behavior).
+
+    Distributed formulation (no per-row loop): a running count of
+    non-punctuation tokens indexes each token's *landing slot*; punct-held
+    ``B-`` flags aggregate per ``(group, slot)`` and broadcast-join back
+    onto the non-punct rows — one window pass plus one aggregate per call,
+    independent of run lengths.
+
+    ``group_cols`` bounds the carry (reference semantics: one global token
+    stream → pass a constant group; pipeline use: per-sentence groups).
+    ``punct_col`` overrides the default is-punctuation predicate
+    (``text ∈ string.punctuation``) with a precomputed boolean column.
+    """
+    group_cols = group_cols or []
+    if group_cols:
+        gcols = group_cols
+        src = df
+    else:
+        src = df.withColumn("_g", F.lit(0))
+        gcols = ["_g"]
+    is_punct = (
+        F.col(punct_col)
+        if punct_col is not None
+        else F.col(text_col).isin(*PUNCTUATION)
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # non-punct tokens: slot = their 1-based index among non-punct rows;
+    # punct tokens: the slot their B- tag lands on is slot + 1
+    with_slot = src.withColumn("_punct", is_punct).withColumn(
+        "_slot", F.sum((~is_punct).cast("long")).over(w)
+    )
+    nonpunct = with_slot.filter(~F.col("_punct"))
+    for tag in tag_cols:
+        carries = (
+            with_slot.filter(F.col("_punct") & F.col(tag).startswith("B-"))
+            .select(*gcols, (F.col("_slot") + 1).alias("_slot"))
+            .distinct()
+            .withColumn(f"_carry_{tag}", F.lit(True))
+        )
+        nonpunct = nonpunct.join(
+            F.broadcast(carries), on=gcols + ["_slot"], how="left"
+        ).withColumn(
+            tag,
+            F.when(
+                F.col(f"_carry_{tag}").isNotNull() & (F.col(tag) != "O"),
+                F.concat(F.lit("B"), F.substring(F.col(tag), 2, 2 ** 30)),
+            ).otherwise(F.col(tag)),
+        ).drop(f"_carry_{tag}")
+    return nonpunct.drop("_punct", "_slot", *(
+        ["_g"] if not group_cols else []
+    ))
+
+
+def iob_type_counts(
+    df: DataFrame, iob_col: str, mode: str = "entity"
+) -> DataFrame:
+    """Unique entity types + counts from IOB2 tags (``unique_etypes``,
+    mining/eval.py:266-309): entity mode counts ``B-`` tags, token mode
+    counts ``B-`` and ``I-`` tags; ``O`` never contributes."""
+    if mode not in ("entity", "token"):
+        raise ValueError(f"Mode '{mode}' is not available.")
+    tagged = df.filter(F.col(iob_col) != "O").select(
+        F.substring(F.col(iob_col), 1, 1).alias("prefix"),
+        F.substring(F.col(iob_col), 3, 2 ** 30).alias("entity_type"),
+    )
+    counted = (
+        tagged.filter(
+            F.col("prefix") == "B"
+            if mode == "entity"
+            else F.col("prefix").isin("B", "I")
+        )
+        .groupBy("entity_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # types that appear only with the other prefix still show up (count 0),
+    # exactly like the reference's unique() over all non-O tags
+    all_types = tagged.select("entity_type").distinct()
+    return all_types.join(counted, on="entity_type", how="left").select(
+        "entity_type", F.coalesce("n", F.lit(0)).alias("n")
     )
 
 

@@ -597,24 +597,71 @@ FROM v
 """
 
 
-_JACCARD_MAX_DOC = 60
 # synthetic docs share few 3-grams; 0.01 keeps the result non-empty (the
 # realistic 0.8-style near-dup threshold would trivially pass on 0 rows)
 _JACCARD_MIN = 0.01
 
 
-def _q_ngram_jaccard(spark, sf_dir):
-    sh = (
-        _shingles(spark, sf_dir)
-        .filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+def _minhash_band_pairs(spark, sf_dir):
+    """Candidate doc pairs from LSH banding: two docs are candidates iff
+    some band of their MinHash signatures collides — the 100-TB-shaped
+    candidate generator (no all-pairs work anywhere)."""
+    sig = _q_dedup_minhash(spark, sf_dir)
+    b0 = sig.select(
+        F.lit(0).alias("band"),
+        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
+        "doc_id",
+    )
+    b1 = sig.select(
+        F.lit(1).alias("band"),
+        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
+        "doc_id",
+    )
+    bands = b0.unionByName(b1)
+    a = bands.select("band", "band_hash", F.col("doc_id").alias("doc_id_a"))
+    b = bands.select("band", "band_hash", F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+
+
+_BAND_PAIRS_SQL = f"""
+{_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, {", ".join(
+    f"min(md5('{j}' || ':' || shingle)) AS h{j}" for j in range(_N_MINHASH)
+  )}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3)
+           AS band_hash, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7)
+           AS band_hash, doc_id FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id)
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # band-then-verify (VERDICT r01 item 4): the *exact* n-gram Jaccard
+    # verifier runs only on MinHash-band candidate pairs — the inverted-
+    # index all-pairs join (and its id cap) is gone; work is bounded by
+    # candidates × shingles-per-doc at any corpus size.
+    cand = _minhash_band_pairs(spark, sf_dir)
+    shd = _shingles(spark, sf_dir).distinct()
+    cnt = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shd.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        cand.join(sa, on="doc_id_a")
+        .join(sb, on=["doc_id_b", "shingle"])
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -632,12 +679,14 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 _SQL_NGRAM_JACCARD = f"""
-WITH {_SHINGLES_SQL},
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < {_JACCARD_MAX_DOC}),
+WITH {_BAND_PAIRS_SQL},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
 cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.doc_id_a
+  JOIN shd b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b,
        round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
@@ -648,28 +697,57 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_MIN}
 """
 
 
-_NEARDUP_MAX_VEC = 150
 _NEARDUP_MIN_COS = 0.15
+_NEARDUP_LSH_BITS = 4
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _NEARDUP_MAX_VEC)
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    # bucket-then-verify (VERDICT r01 item 4): exact cosine only on pairs
+    # sharing an LSH sign bucket (sign bits of the first dims) — the
+    # capped crossJoin is gone; per-bucket work is |bucket|², bounded by
+    # the bucket granularity, and buckets shard across executors.
+    emb = _emb(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(_NEARDUP_LSH_BITS)
+        ],
+    )
+    wb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = wb.select(
+        "bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+    )
+    b = wb.select(
+        "bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("vec_id_a") < F.col("vec_id_b"))
     cos = _cosine_double(F.col("ea"), F.col("eb"))
     return pairs.select(
         "vec_id_a", "vec_id_b", F.round(cos, 4).alias("cos")
     ).filter(F.col("cos") >= _NEARDUP_MIN_COS)
 
 
+_NEARDUP_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(_NEARDUP_LSH_BITS)
+)
+
 _SQL_EMBEDDING_NEARDUP = f"""
-WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                  CAST(unnest(embedding) AS DOUBLE) AS v
-           FROM embeddings WHERE vec_id < {_NEARDUP_MAX_VEC}),
+WITH wb AS (SELECT vec_id, embedding, {_NEARDUP_BUCKET_SQL} AS bucket
+            FROM embeddings),
+cand AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         FROM wb a JOIN wb b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
 n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
-d AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, sum(a.v * b.v) AS dot
-      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+d AS (SELECT c.vec_id_a, c.vec_id_b, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN e a ON a.vec_id = c.vec_id_a
+      JOIN e b ON b.vec_id = c.vec_id_b AND b.i = a.i
+      GROUP BY 1, 2)
 SELECT vec_id_a, vec_id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
 FROM d JOIN n na ON vec_id_a = na.vec_id JOIN n nb ON vec_id_b = nb.vec_id
 WHERE round(dot / (na.nrm * nb.nrm), 4) >= {_NEARDUP_MIN_COS}
@@ -1288,43 +1366,439 @@ GROUP BY 1, 2
 """
 
 
-# --- non-SQL-expressible entries (driver does rows-only checks) -----------
+def _q_ivf_search(spark, sf_dir):
+    # IVF assignment + search-within-cell (closing the ivf_centroids loop,
+    # VERDICT r01 item 4): every vector is assigned to its nearest coarse
+    # centroid (L2), then the query (vec 0) searches top-k **only within
+    # its own cell** — the scale path where a probe touches 1/n_cells of
+    # the corpus. Distances use the sorted-fold sum so both engines add in
+    # the same order (see _q_ivf_centroids).
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim_i", "v")
+    ).select(
+        "vec_id",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = _q_ivf_centroids(spark, sf_dir)  # (label, dim_i, centroid)
+    terms = exploded.join(cent, on="dim_i").select(
+        "vec_id",
+        "label",
+        (
+            (F.col("v") - F.col("centroid"))
+            * (F.col("v") - F.col("centroid"))
+        ).alias("t"),
+    )
+    dist = (
+        terms.groupBy("vec_id", "label")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate("ts", F.lit(0.0), lambda a, x: a + x).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("dist", 6), "label")
+    assign = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    q_cell = assign.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("q_cell")
+    )
+    cand_ids = (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q_cell), F.col("cell") == F.col("q_cell"))
+        .select("vec_id")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(cand_ids, on="vec_id", how="left_semi")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(_cosine_double(F.col("embedding"), F.col("q_emb")), 4)
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+_SQL_IVF_SEARCH = """
+WITH x AS (SELECT label,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                    AS dim_i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+cent AS (
+  SELECT label, dim_i,
+         round(CAST(list_reduce(list_sort(list(v)), (a, b) -> a + b)
+                    AS DOUBLE) / count(*), 4) + 0.0 AS centroid
+  FROM x GROUP BY 1, 2),
+e AS (SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+dist AS (
+  SELECT e.vec_id, c.label,
+         CAST(list_reduce(list_sort(list((e.v - c.centroid)
+                                         * (e.v - c.centroid))),
+                          (a, b) -> a + b) AS DOUBLE) AS dist
+  FROM e JOIN cent c ON e.dim_i = c.dim_i
+  GROUP BY e.vec_id, c.label),
+assign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dist, 6), label) AS rk
+    FROM dist) WHERE rk = 1),
+cand AS (
+  SELECT a.vec_id FROM assign a, (SELECT cell FROM assign WHERE vec_id = 0) q
+  WHERE a.cell = q.cell AND a.vec_id <> 0),
+q AS (SELECT generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+ec AS (SELECT e2.vec_id, generate_subscripts(e2.embedding, 1) AS i,
+              CAST(unnest(e2.embedding) AS DOUBLE) AS v
+       FROM embeddings e2 WHERE e2.vec_id IN (SELECT vec_id FROM cand)),
+d AS (SELECT ec.vec_id, sum(ec.v * q.v) AS dot, sqrt(sum(ec.v * ec.v)) AS nrm
+      FROM ec JOIN q ON ec.i = q.i GROUP BY ec.vec_id)
+SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
+FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 5
+"""
+
+
+def _q_articles_semi_filter(spark, sf_dir):
+    # SentenceFilter with article-level predicates pushed through a
+    # left-semi join (sql.py:593-676: `article_id IN (SELECT … WHERE
+    # journal IS NOT NULL AND publish_time BETWEEN …)`). Article metadata
+    # (journal, publish_time) is derived deterministically from doc_id so
+    # the oracle can re-derive it; the real parsed-metadata path is
+    # articles_stage (extraction/metadata.py), parity-tested in pytest.
+    d = _docs(spark, sf_dir)
+    articles = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(
+            F.concat(F.lit("Journal "), (F.col("doc_id") % 13).cast("string"))
+        )
+        .alias("journal"),
+        F.date_add(
+            F.lit("2019-01-01").cast("date"),
+            ((F.col("doc_id") * 17) % 1500).cast("int"),
+        ).alias("publish_time"),
+    )
+    keep = articles.filter(
+        F.col("journal").isNotNull()
+        & (F.col("publish_time") >= F.lit("2020-01-01"))
+        & (F.col("publish_time") <= F.lit("2021-12-31"))
+        & (F.col("lang") == "en")
+        & (F.col("n_chars") >= 100)
+    ).select("doc_id")
+    return _tokens(spark, sf_dir).join(keep, on="doc_id", how="left_semi")
+
+
+_SQL_ARTICLES_SEMI_FILTER = f"""
+WITH {_TOKS_SQL}
+SELECT doc_id, tpos, tok FROM toks
+WHERE doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 7 <> 0
+    AND (DATE '2019-01-01' + CAST((doc_id * 17) % 1500 AS INTEGER))
+        BETWEEN DATE '2020-01-01' AND DATE '2021-12-31'
+    AND lang = 'en' AND n_chars >= 100)
+"""
+
+
+def _q_measurement_vote(spark, sf_dir):
+    # most-common-quantity vote with "empty loses" tie-break
+    # (attribute.py:61-143) via operators.attributes.measurement_type_vote;
+    # events play the quantities: one measurement per user, quantity type =
+    # event_type with 'click' mapped to the untyped "" case
+    from pyspark.sql import Window
+
+    from search_spark.operators.attributes import measurement_type_vote
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    quantities = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "click", F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("quantity_type"),
+        F.row_number().over(w).alias("pos"),
+    )
+    return measurement_type_vote(quantities, ["user_id"])
+
+
+_SQL_MEASUREMENT_VOTE = """
+WITH q AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' THEN '' ELSE event_type END AS qt,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events),
+c AS (SELECT user_id, qt, count(*) AS cnt, min(pos) AS fp
+      FROM q GROUP BY 1, 2),
+r AS (SELECT user_id, qt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, (qt = '') ASC, fp ASC)
+               AS rk
+      FROM c)
+SELECT user_id, qt AS measurement_type FROM r WHERE rk = 1
+"""
+
+
+TOPIC_VOCAB = ("spark", "join", "stream", "vector", "dup", "window", "filter")
+
+
+def _q_topic_rules(spark, sf_dir):
+    # real topic-rule evaluation (topic_rule.py:55-127) over topic-LIST
+    # columns via F.exists — replacing r01's regex-on-text simplification:
+    # accept iff no reject rule matches and ≥1 accept rule matches, rules
+    # scoped by (level, source, pattern) with None = wildcard
+    from search_spark.operators.topics import TopicRule, check_topic_rules_col
+
+    d = _docs(spark, sf_dir)
+    article_topics = F.filter(
+        F.array(*[F.lit(t) for t in TOPIC_VOCAB]),
+        lambda t: F.col("text").contains(t),
+    )
+    journal_topics = F.array(F.concat(F.lit("src:"), F.col("source")))
+    accept = [
+        TopicRule("article", None, "stream|vector"),
+        TopicRule("journal", "src3", "src:src3"),
+    ]
+    reject = [
+        TopicRule(None, None, "dup"),
+        TopicRule(None, "src5", None),  # source-only rule: pattern=None
+    ]
+    ok = check_topic_rules_col(
+        accept, reject, F.col("source"), article_topics, journal_topics
+    )
+    return d.filter(ok).select("doc_id", "source")
+
+
+_TOPIC_VOCAB_SQL = "[" + ", ".join(f"'{t}'" for t in TOPIC_VOCAB) + "]"
+
+_SQL_TOPIC_RULES = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter({_TOPIC_VOCAB_SQL}, x -> contains(text, x)) AS at,
+         ['src:' || source] AS jt
+  FROM documents)
+SELECT doc_id, source FROM t
+WHERE NOT (len(list_filter(at, x -> regexp_matches(x, 'dup'))) > 0
+           OR len(list_filter(jt, x -> regexp_matches(x, 'dup'))) > 0
+           OR source = 'src5')
+  AND (len(list_filter(at, x -> regexp_matches(x, 'stream|vector'))) > 0
+       OR (source = 'src3'
+           AND len(list_filter(jt, x -> regexp_matches(x, 'src:src3'))) > 0))
+"""
+
+
+def _iob_stream(spark, sf_dir):
+    """Synthetic IOB2 token stream: gazetteer tokens get B- tags, their
+    immediate successors I- tags (continuation), everything else O; a
+    deterministic positional flag plays the punctuation role (documents
+    carry no punctuation tokens)."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    gaz = spark.createDataFrame(DOC_GAZETTEER, ["pattern", "g_etype"])
+    tagged = toks.join(
+        F.broadcast(gaz.filter(F.col("g_etype") != "NaE")),
+        toks.tok == F.col("pattern"),
+        "left",
+    ).select("doc_id", "tpos", "tok", F.col("g_etype").alias("et"))
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    with_prev = tagged.withColumn("prev_et", F.lag("et").over(w))
+    return with_prev.select(
+        "doc_id",
+        "tpos",
+        "tok",
+        F.when(F.col("et").isNotNull(), F.concat(F.lit("B-"), F.col("et")))
+        .when(
+            F.col("prev_et").isNotNull(),
+            F.concat(F.lit("I-"), F.col("prev_et")),
+        )
+        .otherwise(F.lit("O"))
+        .alias("iob"),
+        (F.col("tpos") % 7 == 3).alias("ispunct"),
+    )
+
+
+_IOB_STREAM_SQL = f"""
+{_TOKS_SQL}, {_GAZ_SQL},
+t1 AS (
+  SELECT t.doc_id, t.tpos, t.tok, g.entity_type AS et
+  FROM toks t LEFT JOIN gaz g
+    ON t.tok = g.pattern AND g.entity_type <> 'NaE'),
+t2 AS (
+  SELECT doc_id, tpos, tok,
+         CASE WHEN et IS NOT NULL THEN 'B-' || et
+              WHEN lag(et) OVER w IS NOT NULL
+                THEN 'I-' || lag(et) OVER w
+              ELSE 'O' END AS iob,
+         (tpos % 7 = 3) AS ispunct
+  FROM t1 WINDOW w AS (PARTITION BY doc_id ORDER BY tpos))
+"""
+
+
+def _q_iob_punct_carry(spark, sf_dir):
+    # remove_punctuation port (eval.py:231-263) as a distributed op:
+    # B- tags on "punctuation" tokens land on the next non-punct token
+    # (I-X → B-X, O stays O), punct rows drop — golden-fixture parity in
+    # tests/test_eval_ports.py; here the scaled-out oracle run
+    from search_spark.operators.evaluation import remove_punctuation_iob
+
+    stream = _iob_stream(spark, sf_dir)
+    out = remove_punctuation_iob(
+        stream,
+        tag_cols=["iob"],
+        order_col="tpos",
+        group_cols=["doc_id"],
+        punct_col="ispunct",
+    )
+    return out.filter(F.col("iob") != "O").select("doc_id", "tpos", "iob")
+
+
+_SQL_IOB_PUNCT_CARRY = f"""
+WITH {_IOB_STREAM_SQL},
+t3 AS (
+  SELECT *,
+         sum(CASE WHEN ispunct THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY tpos
+                 ROWS UNBOUNDED PRECEDING) AS slot
+  FROM t2),
+carr AS (
+  SELECT DISTINCT doc_id, slot + 1 AS slot
+  FROM t3 WHERE ispunct AND iob LIKE 'B-%'),
+outp AS (
+  SELECT t3.doc_id, t3.tpos,
+         CASE WHEN c.slot IS NOT NULL AND t3.iob <> 'O'
+              THEN 'B' || substr(t3.iob, 2)
+              ELSE t3.iob END AS iob
+  FROM t3 LEFT JOIN carr c
+    ON t3.doc_id = c.doc_id AND t3.slot = c.slot
+  WHERE NOT t3.ispunct)
+SELECT doc_id, tpos, iob FROM outp WHERE iob <> 'O'
+"""
+
+
+def _q_iob_token_counts(spark, sf_dir):
+    # unique_etypes in both modes (eval.py:266-309): entity mode counts
+    # B- tags, token mode counts B- and I- tags, per entity type
+    from search_spark.operators.evaluation import iob_type_counts
+
+    stream = _iob_stream(spark, sf_dir).select("iob")
+    ent = iob_type_counts(stream, "iob", mode="entity").withColumn(
+        "mode", F.lit("entity")
+    )
+    tok = iob_type_counts(stream, "iob", mode="token").withColumn(
+        "mode", F.lit("token")
+    )
+    return ent.unionByName(tok).select("mode", "entity_type", "n")
+
+
+_SQL_IOB_TOKEN_COUNTS = f"""
+WITH {_IOB_STREAM_SQL},
+tagged AS (
+  SELECT substr(iob, 1, 1) AS prefix, substr(iob, 3) AS entity_type
+  FROM t2 WHERE iob <> 'O'),
+types AS (SELECT DISTINCT entity_type FROM tagged),
+ec AS (SELECT entity_type, count(*) AS n FROM tagged
+       WHERE prefix = 'B' GROUP BY 1),
+tc AS (SELECT entity_type, count(*) AS n FROM tagged
+       WHERE prefix IN ('B', 'I') GROUP BY 1)
+SELECT 'entity' AS mode, t.entity_type,
+       CAST(COALESCE(ec.n, 0) AS BIGINT) AS n
+FROM types t LEFT JOIN ec ON t.entity_type = ec.entity_type
+UNION ALL
+SELECT 'token' AS mode, t.entity_type,
+       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n
+FROM types t LEFT JOIN tc ON t.entity_type = tc.entity_type
+"""
+
+
+# --- pipeline / UDF-stage entries with pure-Python-derived oracles --------
+# (DuckDB cannot re-derive these from the parquet tables; the oracle SQL is
+# a VALUES table built in plain Python from ground truth — see oracles.py)
 
 def _q_kg_triples_webpages(spark, sf_dir):
     """The real pipeline: synthetic web_pages → extract → segment → NER →
     relations → link → canonicalize → triples. Corpus is deterministic
-    (seed=42), independent of sf_dir."""
+    (seed=42), independent of sf_dir. Projected to the distinct
+    ``(subj, pred, obj, prov)`` triple set — the KG output contract the
+    oracle (datagen ground truth + union-find canonicalization) re-derives
+    without Spark."""
     from search_spark import datagen
     from search_spark.pipeline import PipelineConfig, build_triples
 
     pages = datagen.generate_web_pages(spark, 80, seed=42)
-    return build_triples(spark, pages, PipelineConfig())
+    triples = build_triples(spark, pages, PipelineConfig())
+    return triples.select("subj", "pred", "obj", "prov").distinct()
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Multimodal feature stage, projected to a driver-checkable shape:
+    the feature vector explodes to ``(dim_i, v)`` rounded doubles (a list
+    column is unhashable under the driver's canonicalizer — VERDICT r01)."""
     from search_spark.operators.multimodal import feature_stage, synthetic_assets
 
-    return feature_stage(synthetic_assets(spark, 64, seed=7))
+    feats = feature_stage(synthetic_assets(spark, 64, seed=7))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_sha",
+        "n_bytes",
+        F.posexplode("feature").alias("dim_i", "v"),
+    ).select(
+        "asset_id",
+        "media_type",
+        "payload_sha",
+        "n_bytes",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        # float32 → double → HALF_UP round; +0.0 canonicalizes −0.0
+        (F.round(F.col("v").cast("double"), 6) + F.lit(0.0)).alias("v"),
+    )
 
 
-def _q_multiformat_extract(spark, sf_dir):
-    """Mixed-format corpus through the parser registry (ArticleParser slot,
-    extraction/parsers.py): html + CORD-19 JSON in one scan."""
+MULTIFORMAT_N_DOCS = 40
+
+
+def multiformat_fixture_rows() -> list[tuple]:
+    """Deterministic mixed-format corpus: html, CORD-19 JSON, PubMed XML and
+    TEI XML — one fixture per registered parser format."""
     import json as _json
 
-    from search_spark.extraction.parsers import extract_stage_multi
-
     rows = []
-    for i in range(40):
-        if i % 2 == 0:
+    for i in range(MULTIFORMAT_N_DOCS):
+        if i % 4 == 0:
             raw = (
                 f"<html><body><h2>S{i}</h2><p>Glucose sample {i} rises "
                 f"in Diabetes.</p></body></html>"
             ).encode()
             fmt = "html"
-        else:
+        elif i % 4 == 1:
             raw = _json.dumps(
                 {
+                    "metadata": {
+                        "title": f"Doc {i}",
+                        "authors": [
+                            {"first": "Jo", "middle": ["Q."], "last": "Public",
+                             "suffix": ""}
+                        ],
+                    },
                     "abstract": [{"text": f"Abstract {i} on Insulin."}],
                     "body_text": [
                         {"section": "Body", "text": f"Mouse study {i}."}
@@ -1333,8 +1807,48 @@ def _q_multiformat_extract(spark, sf_dir):
                 }
             ).encode()
             fmt = "cord19_json"
+        elif i % 4 == 2:
+            raw = (
+                f"<PubmedArticle><MedlineCitation><PMID>{1000 + i}</PMID>"
+                f"<Article><ArticleTitle>Study {i}</ArticleTitle>"
+                f"<Journal><Title>J Synth</Title></Journal>"
+                f"<Abstract><AbstractText>Aspirin finding {i} in Humans."
+                f"</AbstractText></Abstract>"
+                f'<AuthorList><Author ValidYN="Y"><LastName>Doe</LastName>'
+                f"<ForeName>Jane</ForeName></Author></AuthorList>"
+                f"</Article></MedlineCitation>"
+                f"<PubmedData><ArticleIdList>"
+                f'<ArticleId IdType="doi">10.1000/x{i}</ArticleId>'
+                f"</ArticleIdList></PubmedData></PubmedArticle>"
+            ).encode()
+            fmt = "pubmed_xml"
+        else:
+            raw = (
+                f'<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>'
+                f"<fileDesc><titleStmt><title>TEI {i}</title></titleStmt>"
+                f"<sourceDesc><biblStruct><analytic><author><persName>"
+                f'<forename type="first">Ada</forename>'
+                f"<surname>Lovelace</surname></persName></author></analytic>"
+                f'<idno type="DOI">10.2000/t{i}</idno>'
+                f"</biblStruct></sourceDesc></fileDesc></teiHeader>"
+                f"<text><body><div><head>Results {i}</head>"
+                f"<p>ACE2 level {i} changed.</p><formula>x = 1</formula>"
+                f"<p>shows the Malaria link</p></div></body></text></TEI>"
+            ).encode()
+            fmt = "tei_xml"
         rows.append((f"https://example.org/mf/{i}", fmt, raw))
-    pages = spark.createDataFrame(rows, ["url", "source_format", "html"])
+    return rows
+
+
+def _q_multiformat_extract(spark, sf_dir):
+    """Mixed-format corpus through the parser registry (ArticleParser slot,
+    extraction/parsers.py): html + CORD-19 JSON + PubMed XML + TEI XML in
+    one scan, per-row dispatch inside the Arrow batch."""
+    from search_spark.extraction.parsers import extract_stage_multi
+
+    pages = spark.createDataFrame(
+        multiformat_fixture_rows(), ["url", "source_format", "html"]
+    )
     return extract_stage_multi(pages, english_only=False)
 
 
@@ -1381,8 +1895,33 @@ QUERIES: dict[str, Q] = {
     ),
     "bad_sentence_stats": Q(_q_bad_sentence_stats, _SQL_BAD_SENTENCE_STATS),
     "ivf_centroids": Q(_q_ivf_centroids, _SQL_IVF_CENTROIDS),
-    # non-SQL-expressible (rows-only checks)
-    "kg_triples_webpages": Q(_q_kg_triples_webpages, None),
-    "multimodal_features": Q(_q_multimodal_features, None),
-    "multiformat_extract": Q(_q_multiformat_extract, None),
+    "ivf_search": Q(_q_ivf_search, _SQL_IVF_SEARCH),
+    "articles_semi_filter": Q(
+        _q_articles_semi_filter, _SQL_ARTICLES_SEMI_FILTER
+    ),
+    "measurement_vote": Q(_q_measurement_vote, _SQL_MEASUREMENT_VOTE),
+    "topic_rules": Q(_q_topic_rules, _SQL_TOPIC_RULES),
+    "iob_punct_carry": Q(_q_iob_punct_carry, _SQL_IOB_PUNCT_CARRY),
+    "iob_token_counts": Q(_q_iob_token_counts, _SQL_IOB_TOKEN_COUNTS),
 }
+
+
+def _register_python_derived_oracles() -> None:
+    """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
+    pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
+    ground-truth derivation cost is paid once."""
+    from search_spark import oracles
+
+    QUERIES["kg_triples_webpages"] = Q(
+        _q_kg_triples_webpages, oracles.kg_triples_oracle_sql(80, 42)
+    )
+    QUERIES["multimodal_features"] = Q(
+        _q_multimodal_features, oracles.multimodal_oracle_sql()
+    )
+    QUERIES["multiformat_extract"] = Q(
+        _q_multiformat_extract,
+        oracles.multiformat_oracle_sql(MULTIFORMAT_N_DOCS),
+    )
+
+
+_register_python_derived_oracles()

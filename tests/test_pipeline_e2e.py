@@ -7,86 +7,22 @@ the exact-match triple P/R job (``triple_level_pr``). On this deterministic
 corpus the pipeline must hit P = R = 1.0; the BASELINE gate is ≥ 0.95.
 """
 
-import hashlib
-
 import pytest
 from pyspark.sql import functions as F
 
 from search_spark import datagen
 from search_spark.operators.evaluation import triple_level_pr
-from search_spark.operators.relations import DIFF, SAME
+from search_spark.oracles import kg_triples_expected
 from search_spark.pipeline import PipelineConfig, build_triples
 
 N_DOCS = 120
 SEED = 42
 
 
-def _canonical_map() -> dict[str, str]:
-    """form(lower) → canonical id, computed independently of the pipeline."""
-    # exact alias linking
-    form_to_concept = {}
-    for cid, aliases in datagen.CONCEPT_ALIASES.items():
-        for a in aliases:
-            form_to_concept[a.lower()] = cid
-    # union-find over (form—concept) and shared-alias concept edges
-    parent: dict[str, str] = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # lexicographic min becomes the representative
-            lo, hi = sorted([ra, rb])
-            parent[hi] = lo
-
-    for form, cid in form_to_concept.items():
-        union(form, cid)
-    return {
-        form: find(form) for form in form_to_concept
-    }
-
-
 def _expected_triples() -> set[tuple]:
-    canon = _canonical_map()
-    rel_pairs = set(datagen.RELATION_PAIRS)
-    triples: set[tuple] = set()
-    for doc_id in range(N_DOCS):
-        row, exp = datagen.generate_doc(SEED, doc_id)
-        if row["lang"] != "en":
-            continue
-        uid = hashlib.md5(row["url"].encode()).hexdigest()
-        sections = {p: s for p, s, _ in exp.paragraphs}
-        # group mentions by sentence
-        by_sentence: dict[tuple, list] = {}
-        for ppos, spos, start, end, term, etype in exp.mentions:
-            if etype == "NaE":
-                continue
-            by_sentence.setdefault((ppos, spos), []).append(
-                (start, end, term, etype)
-            )
-        for (ppos, spos), ments in by_sentence.items():
-            prov = f"{uid}:{sections[ppos]}:{ppos}"
-            for start, end, term, etype in ments:
-                subj = canon.get(term.lower(), term)
-                triples.add((subj, "has_type", etype, prov))
-                for start2, end2, term2, etype2 in ments:
-                    if (start, end) == (start2, end2):
-                        continue
-                    if (etype, etype2) in rel_pairs:
-                        pred = (
-                            SAME
-                            if term[0].lower() == term2[0].lower()
-                            else DIFF
-                        )
-                        obj = canon.get(term2.lower(), term2)
-                        triples.add((subj, pred, obj, prov))
-    return triples
+    # shared with the driver-facing VALUES oracle (oracles.py) — pure-Python
+    # union-find over datagen ground truth, independent of the pipeline
+    return kg_triples_expected(N_DOCS, SEED)
 
 
 @pytest.fixture(scope="module")

@@ -97,3 +97,41 @@ def test_relation_pair_join_is_broadcast(spark):
         relation_stage(mentions, datagen.relation_pairs_df(spark))
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_neardup_queries_have_no_cross_join(spark):
+    # VERDICT r01 item 4: the exact near-dup verifiers must run on
+    # banded/bucketed candidates — no cartesian product anywhere
+    from search_spark.queries import QUERIES
+
+    for name in ("ngram_jaccard", "embedding_neardup"):
+        plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # ivf_search's only non-equi join is the broadcast of the single-row
+    # query vector (the same request-sized pattern as topk_similar) — the
+    # corpus side must never cartesian
+    plan = plan_of(QUERIES["ivf_search"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # formatted explain lists each operator twice (tree + detail section):
+    # count operator instances via the detail headers "(N) <op>"
+    import re
+
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj <= 1, plan
+
+
+def test_articles_semi_filter_uses_semi_join(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["articles_semi_filter"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_topic_rules_is_pure_codegen(spark):
+    # rule evaluation is F.exists over array columns — no UDF, no join
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["topic_rules"].spark(spark, SF_DIR))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
