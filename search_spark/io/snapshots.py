@@ -27,10 +27,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BUCKETS_DEFAULT = 64
@@ -158,3 +159,57 @@ class SnapshotTable:
         # atomic rename = the commit point (Iceberg metadata-swap analogue)
         os.rename(tmp, f"{self.root}/_lineage/snapshot={snapshot_id}.json")
         return info
+
+    def delete_where(self, condition: Column) -> int:
+        """Copy-on-write ``DELETE WHERE`` — the Iceberg
+        ``overwritePartitions`` / DELETE analogue of the reference's
+        delete-then-repopulate restart (mining_cache.py:291-302).
+
+        Every committed snapshot is rewritten without the matching rows
+        (full write to a sibling temp dir, then directory swap — readers
+        never observe a half-deleted snapshot); lineage JSONs are updated
+        with recomputed counts plus a ``deletes`` audit entry. Returns the
+        number of rows deleted. ``processed/`` markers are untouched: a
+        redo re-mines content, it does not forget which urls were seen.
+        """
+        total = 0
+        for k in self.snapshots():
+            path = f"{self.root}/data/snapshot={k}"
+            df = self.spark.read.parquet(path)
+            n_before = df.count()
+            remaining = df.filter(~condition)
+            n_after = remaining.count()
+            if n_after == n_before:
+                continue
+            tmp = f"{self.root}/data/.snapshot={k}.rewrite"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            # the write materializes fully from the old files before the
+            # swap below removes them
+            remaining.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            total += n_before - n_after
+
+            lineage_path = f"{self.root}/_lineage/snapshot={k}.json"
+            with open(lineage_path) as f:
+                lineage = json.load(f)
+            written = self.spark.read.parquet(path)
+            per_bucket = (
+                written.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("url").alias("n_urls"),
+                )
+                .collect()
+            )
+            lineage["n_rows"] = sum(r["n_rows"] for r in per_bucket)
+            lineage["partitions"] = [r.asDict() for r in per_bucket]
+            lineage.setdefault("deletes", []).append(
+                {"n_deleted": n_before - n_after, "at": time.time()}
+            )
+            tmp_json = f"{self.root}/_lineage/.snapshot={k}.json.tmp"
+            with open(tmp_json, "w") as f:
+                json.dump(lineage, f, indent=2, default=str)
+            os.rename(tmp_json, lineage_path)
+        return total

@@ -94,6 +94,64 @@ def get_matcher(patterns):
     return matcher
 
 
+def ner_stage_multi(
+    sentences: DataFrame,
+    models: dict[str, object],
+    skip_bad: bool = True,
+    excluded_entity_type: str | None = EXCLUDED_ENTITY_TYPE,
+) -> DataFrame:
+    """Model-**per-entity-type** registry pass — the reference's
+    ``model-{etype}`` convention (one spaCy model per entity type, loaded
+    per worker: mining_cache.py:84, naming validated utils.py:544-627).
+
+    ``models`` maps entity type → matcher spec (a ``(term, etype)``
+    gazetteer or a :class:`PatternStore`). All models run **fused** in one
+    Arrow pass (each initialized once per executor via the matcher cache),
+    emitting the union of their mentions exactly like the reference's
+    one-queue-per-model mining; each model's output is validated to its
+    own entity type (the reference's model-vs-meta.json label check) —
+    spans a model emits for other types are dropped.
+    """
+    src = sentences
+    if skip_bad:
+        src = src.filter(~F.col("is_bad"))
+    src = src.select("url", "uid", "ppos", "spos", "section", "text")
+    model_items = tuple(sorted(models.items()))
+
+    def _match_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matchers = [(etype, get_matcher(spec)) for etype, spec in model_items]
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
+            for url, uid, ppos, spos, section, text in zip(
+                pdf["url"], pdf["uid"], pdf["ppos"], pdf["spos"],
+                pdf["section"], pdf["text"],
+            ):
+                for model_etype, matcher in matchers:
+                    for start, end, mention, etype in matcher.find(text):
+                        if etype != model_etype:
+                            continue  # label outside this model's type
+                        rows["url"].append(url)
+                        rows["uid"].append(uid)
+                        rows["ppos"].append(ppos)
+                        rows["spos"].append(spos)
+                        rows["section"].append(section)
+                        rows["start_char"].append(start)
+                        rows["end_char"].append(end)
+                        rows["mention"].append(mention)
+                        rows["entity_type"].append(etype)
+            out = pd.DataFrame(rows)
+            for c in ("ppos", "spos", "start_char", "end_char"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    mentions = src.mapInPandas(_match_batch, schema=MENTIONS_SCHEMA)
+    if excluded_entity_type is not None:
+        mentions = mentions.filter(
+            F.col("entity_type") != F.lit(excluded_entity_type)
+        )
+    return mentions
+
+
 def ner_stage(
     sentences: DataFrame,
     patterns: Sequence[tuple[str, str]],

@@ -41,6 +41,10 @@ class PipelineConfig:
     )
     english_only: bool = True
     max_mentions_per_sentence: int = 50
+    # model-per-entity-type registry (reference: model-{etype} naming):
+    # when set, NER runs ner_stage_multi over this dict instead of the
+    # flat `patterns` gazetteer
+    models: dict | None = None
     link: bool = True
     canonicalize: bool = True
     embedding_dim: int = 64
@@ -95,10 +99,15 @@ def build_triples(
     # so the parse/segment/NER UDF chain — the expensive part — runs once.
     # (At cluster scale the equivalent is the inter-stage Iceberg checkpoint
     # that run_to_snapshot provides; in-memory persistence is the in-job form.)
-    mentions = register(
-        ner_stage(sentences, cfg.patterns, with_scores=cfg.ner_scoring)
-        .persist()
-    )
+    if cfg.models is not None:
+        from search_spark.operators.ner import ner_stage_multi
+
+        raw_mentions = ner_stage_multi(sentences, cfg.models)
+    else:
+        raw_mentions = ner_stage(
+            sentences, cfg.patterns, with_scores=cfg.ner_scoring
+        )
+    mentions = register(raw_mentions.persist())
     if cfg.link:
         # materialization barrier: the linking plan embeds this subtree both
         # in its main path and inside a broadcast subquery, and the
@@ -200,3 +209,39 @@ def run_to_snapshot(
     }
     # re-write lineage extra with throughput (lineage file already has counts)
     return metrics
+
+
+def redo_entity_type(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    output_root: str,
+    entity_type: str,
+    config: PipelineConfig | None = None,
+    n_buckets: int = 64,
+) -> dict:
+    """Delete-then-repopulate one entity type — the reference's
+    idempotent-restart path (``CreateMiningCache``: ``DELETE FROM target
+    WHERE entity_type = :etype`` then re-mine, mining_cache.py:291-302).
+
+    All committed triples of ``entity_type`` are removed (copy-on-write
+    snapshot rewrite), then the corpus is re-mined and **only** that
+    type's rows append as a new snapshot — other types' rows are neither
+    duplicated nor touched, and the anti-join resume bookkeeping
+    (processed urls) stays valid.
+    """
+    table = SnapshotTable(spark, output_root, n_buckets=n_buckets)
+    n_deleted = table.delete_where(F.col("entity_type") == entity_type)
+    triples = build_triples(spark, web_pages, config).filter(
+        F.col("entity_type") == entity_type
+    )
+    info = table.append(
+        triples,
+        extra_metrics={"redo_entity_type": entity_type, "n_deleted": n_deleted},
+    )
+    release_intermediates()
+    return {
+        "entity_type": entity_type,
+        "n_deleted": n_deleted,
+        "n_repopulated": info.n_rows,
+        "snapshot_id": info.snapshot_id,
+    }

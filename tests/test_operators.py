@@ -274,3 +274,59 @@ def test_entity_level_pr_matches_reference_formulas(spark):
     assert dis["precision"] == pytest.approx(0.5)
     assert dis["recall"] == pytest.approx(1.0)
     assert dis["f1"] == pytest.approx(2 * 1 / (2 + 1))
+
+
+def test_ner_stage_multi_model_registry(spark):
+    """Per-entity-type model registry (ner_stage_multi): the fused pass
+    equals the union of single-model passes, and a model's spans outside
+    its own entity type are validated away."""
+    from search_spark import datagen
+    from search_spark.extraction.extract import extract_stage
+    from search_spark.operators.ner import ner_stage, ner_stage_multi
+    from search_spark.operators.segment import segment_stage
+
+    pages = datagen.generate_web_pages(spark, 15, seed=42)
+    sentences = segment_stage(extract_stage(pages)).cache()
+    per_type = {
+        etype: [(t, etype) for t in terms]
+        for etype, terms in datagen.GAZETTEER.items()
+        if etype in ("CHEMICAL", "DISEASE")
+    }
+    # one model deliberately mislabels: a DISEASE pattern inside the
+    # CHEMICAL model must be dropped by the type-consistency validation
+    per_type["CHEMICAL"] = per_type["CHEMICAL"] + [("Influenza", "DISEASE")]
+
+    fused = ner_stage_multi(sentences, per_type)
+    cols = ["url", "ppos", "spos", "start_char", "end_char", "mention",
+            "entity_type"]
+    got = {tuple(r) for r in fused.select(*cols).collect()}
+
+    expected = set()
+    for etype in ("CHEMICAL", "DISEASE"):
+        single = ner_stage(
+            sentences, [(t, etype) for t in datagen.GAZETTEER[etype]]
+        )
+        expected |= {tuple(r) for r in single.select(*cols).collect()}
+    sentences.unpersist()
+    assert got == expected
+    assert any(r[-1] == "CHEMICAL" for r in got)
+    assert any(r[-1] == "DISEASE" for r in got)
+
+
+def test_pipeline_with_model_registry(spark):
+    from search_spark import datagen
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 10, seed=42)
+    models = {
+        etype: [(t, etype) for t in terms]
+        for etype, terms in datagen.GAZETTEER.items()
+    }
+    via_registry = build_triples(
+        spark, pages, PipelineConfig(models=models)
+    )
+    flat = build_triples(spark, pages, PipelineConfig())
+    cols = ["subj", "pred", "obj", "prov"]
+    assert {tuple(r) for r in via_registry.select(*cols).collect()} == {
+        tuple(r) for r in flat.select(*cols).collect()
+    }
