@@ -81,15 +81,23 @@ def test_connected_components_random_graph(spark):
     rng.shuffle(edges)
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(df).collect()
-    }
     want = _union_find(edges)
 
-    assert set(got) == set(want), "node sets differ"
-    assert _partition(got) == _partition(want), "component partitions differ"
-    # representative must be the lexicographic minimum of its component
-    for comp_nodes in _partition(got):
-        rep = min(comp_nodes)
-        assert all(got[n] == rep for n in comp_nodes)
+    # both execution paths must produce the identical partition AND
+    # representative: the distributed large-star/small-star loop
+    # (local_threshold=0 forces it) and the small-graph driver fallback
+    for threshold in (0, 10**9):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, local_threshold=threshold
+            ).collect()
+        }
+        assert set(got) == set(want), "node sets differ"
+        assert _partition(got) == _partition(want), (
+            "component partitions differ"
+        )
+        # representative must be the lexicographic minimum of its component
+        for comp_nodes in _partition(got):
+            rep = min(comp_nodes)
+            assert all(got[n] == rep for n in comp_nodes)

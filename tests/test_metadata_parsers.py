@@ -254,3 +254,20 @@ def test_articles_stage_mixed_formats(spark):
     import hashlib
 
     assert html["uid"] == hashlib.md5(b"https://example.org/mf/0").hexdigest()
+
+
+@pytest.mark.parametrize(
+    "path",
+    [f"{REF_DATA}/jats_article.xml", f"{REF_DATA}/biorxiv.xml"],
+)
+def test_jats_metadata_parity(ref, path):
+    from search_spark.extraction.metadata import jats_metadata
+
+    ref_parser = ref.JATSXMLParser(path)
+    meta = jats_metadata(open(path, "rb").read())
+    assert meta["title"] == ref_parser.title
+    assert meta["authors"] == list(ref_parser.authors)
+    assert meta["abstract"] == list(ref_parser.abstract)
+    assert meta["pubmed_id"] == ref_parser.pubmed_id
+    assert meta["pmc_id"] == ref_parser.pmc_id
+    assert meta["doi"] == ref_parser.doi
