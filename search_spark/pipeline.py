@@ -68,6 +68,7 @@ def build_triples(
     spark: SparkSession,
     web_pages: DataFrame,
     config: PipelineConfig | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Build the full plan web_pages → triples.
 
@@ -126,6 +127,22 @@ def build_triples(
     if cfg.link:
         concepts = datagen.concepts_df(spark, cfg.embedding_dim)
         linked = link_stage(mentions, concepts, dim=cfg.embedding_dim)
+        if metrics_out is not None:
+            # link-score histogram (north-rule per-run metric): bucketed
+            # counts of per-mention link scores, one cheap job over the
+            # cached mentions + broadcast resolved-forms map
+            rows = (
+                linked.filter(F.col("link_score").isNotNull())
+                .groupBy(
+                    F.floor(F.col("link_score") * 10).cast("int").alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            metrics_out["link_score_histogram"] = {
+                f"{r['b'] / 10:.1f}": r["n"]
+                for r in sorted(rows, key=lambda r: r["b"])
+            }
         if cfg.canonicalize:
             # tiny (distinct surface forms); consumed twice (subj/obj side)
             # — materialized once so the two broadcast exchanges don't race
@@ -183,10 +200,15 @@ def run_to_snapshot(
         return {"resumed": True, "n_docs": 0, "n_triples": 0}
 
     t0 = time.time()
-    triples = build_triples(spark, todo, config)
+    stage_metrics: dict = {}
+    triples = build_triples(spark, todo, config, metrics_out=stage_metrics)
     # single action: the snapshot write; all metrics come from reading the
     # (much smaller) written output back, never from re-running the pipeline
-    info = table.append(triples, processed_keys=todo.select("url"))
+    info = table.append(
+        triples,
+        extra_metrics=stage_metrics,
+        processed_keys=todo.select("url"),
+    )
     wall = time.time() - t0
     # the snapshot is on disk — the persisted in-job intermediates (mentions,
     # forms, mapping) are dead weight from here on; release them so repeated
@@ -206,6 +228,7 @@ def run_to_snapshot(
         "triples_per_sec": round(info.n_rows / wall, 2),
         "mentions_per_doc": round(n_mentions / n_docs, 3),
         "snapshot_id": info.snapshot_id,
+        **stage_metrics,
     }
     # re-write lineage extra with throughput (lineage file already has counts)
     return metrics

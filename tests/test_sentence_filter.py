@@ -103,3 +103,53 @@ def test_plan_uses_semi_join_and_pushes_sentence_filters(tables):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "LeftSemi" in plan
+
+
+def test_parsed_metadata_filter_end_to_end(spark):
+    """Real article-level predicates over REAL parsed metadata: the
+    multiformat corpus flows through articles_stage (title/authors/ids/
+    journal extraction) and extract_stage_multi (paragraphs); a
+    journal-IS-NOT-NULL SentenceFilter then keeps exactly the PubMed-format
+    documents' sentences (only that format carries a journal)."""
+    from search_spark.extraction.metadata import articles_stage
+    from search_spark.extraction.parsers import extract_stage_multi
+    from search_spark.operators.segment import segment_stage
+    from search_spark.queries import multiformat_fixture_rows
+
+    pages = spark.createDataFrame(
+        multiformat_fixture_rows(), ["url", "source_format", "html"]
+    )
+    articles = articles_stage(pages)
+    sentences = segment_stage(extract_stage_multi(pages, english_only=False))
+    kept = (
+        SentenceFilter()
+        .require_journal()
+        .apply(sentences, articles)
+        .select("url")
+        .distinct()
+        .collect()
+    )
+    kept_urls = {r["url"] for r in kept}
+    pubmed_urls = {
+        url for url, fmt, _ in multiformat_fixture_rows()
+        if fmt == "pubmed_xml"
+    }
+    assert kept_urls == pubmed_urls
+
+
+def test_lineage_carries_link_score_histogram(spark, tmp_path):
+    from search_spark import datagen
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.pipeline import run_to_snapshot
+
+    root = str(tmp_path / "t")
+    pages = datagen.generate_web_pages(spark, 12, seed=9, partitions=2)
+    metrics = run_to_snapshot(spark, pages, root)
+    hist = metrics["link_score_histogram"]
+    assert sum(hist.values()) > 0
+    # exact-alias links score 1.0 → bucket "1.0" must dominate on the
+    # gazetteer corpus (every mention surface is a concept alias)
+    assert max(hist, key=hist.get) == "1.0"
+    # and the histogram is persisted in the snapshot lineage
+    lineage = SnapshotTable(spark, root).lineage()
+    assert lineage[0]["extra"]["link_score_histogram"] == hist
