@@ -1376,35 +1376,47 @@ def _q_ivf_search(spark, sf_dir):
     # VERDICT r01 item 4): every vector is assigned to its nearest coarse
     # centroid (L2), then the query (vec 0) searches top-k **only within
     # its own cell** — the scale path where a probe touches 1/n_cells of
-    # the corpus. Distances use the sorted-fold sum so both engines add in
-    # the same order (see _q_ivf_centroids).
+    # the corpus. Dimensions stay PACKED: centroids roll up to arrays and
+    # broadcast onto the vectors (corpus × n_cells rows, never
+    # corpus × cells × dims), with the squared-distance fold running in
+    # index order on both engines — deterministic without any per-dim
+    # explode/shuffle.
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    exploded = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim_i", "v")
-    ).select(
-        "vec_id",
-        F.col("dim_i").cast("long").alias("dim_i"),
-        F.col("v").cast("double").alias("v"),
-    )
     cent = _q_ivf_centroids(spark, sf_dir)  # (label, dim_i, centroid)
-    terms = exploded.join(cent, on="dim_i").select(
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_i", "centroid"))
+            ).alias("s")
+        )
+        .select(
+            "label",
+            F.transform("s", lambda x: x["centroid"]).alias("c_arr"),
+            F.lit(1).alias("k"),
+        )
+        # n_cells rows — materialize the coarse-quantizer build once; the
+        # assignment plan consumes it in two branches (query cell + corpus
+        # cells) and would otherwise rebuild the centroid aggregation twice
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v_arr"),
+        F.lit(1).alias("k"),
+    )
+    dist = vecs.join(F.broadcast(cent_arr), on="k").select(
         "vec_id",
         "label",
-        (
-            (F.col("v") - F.col("centroid"))
-            * (F.col("v") - F.col("centroid"))
-        ).alias("t"),
-    )
-    dist = (
-        terms.groupBy("vec_id", "label")
-        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
-        .select(
-            "vec_id",
-            "label",
-            F.aggregate("ts", F.lit(0.0), lambda a, x: a + x).alias("dist"),
-        )
+        F.aggregate(
+            F.zip_with(
+                "v_arr", "c_arr", lambda v, c: (v - c) * (v - c)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dist"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("dist", 6), "label")
     assign = (
@@ -1446,17 +1458,20 @@ cent AS (
          round(CAST(list_reduce(list_sort(list(v)), (a, b) -> a + b)
                     AS DOUBLE) / count(*), 4) + 0.0 AS centroid
   FROM x GROUP BY 1, 2),
-e AS (SELECT vec_id,
-             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_i,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings),
+cent_arr AS (
+  SELECT label, list(centroid ORDER BY dim_i) AS c_arr FROM cent
+  GROUP BY label),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
+         FROM embeddings),
 dist AS (
-  SELECT e.vec_id, c.label,
-         CAST(list_reduce(list_sort(list((e.v - c.centroid)
-                                         * (e.v - c.centroid))),
-                          (a, b) -> a + b) AS DOUBLE) AS dist
-  FROM e JOIN cent c ON e.dim_i = c.dim_i
-  GROUP BY e.vec_id, c.label),
+  SELECT vecs.vec_id, cent_arr.label,
+         list_reduce(
+           list_transform(range(1, len(v_arr) + 1),
+                          i -> (v_arr[i] - c_arr[i])
+                               * (v_arr[i] - c_arr[i])),
+           (a, b) -> a + b) AS dist
+  FROM vecs CROSS JOIN cent_arr),
 assign AS (
   SELECT vec_id, label AS cell FROM (
     SELECT vec_id, label,

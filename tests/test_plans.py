@@ -108,9 +108,10 @@ def test_neardup_queries_have_no_cross_join(spark):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # ivf_search's only non-equi join is the broadcast of the single-row
-    # query vector (the same request-sized pattern as topk_similar) — the
-    # corpus side must never cartesian
+    # ivf_search's non-equi joins are all request/cell-sized broadcasts:
+    # the n_cells-row centroid-array table (twice: query-cell branch +
+    # corpus-assignment branch) and the single-row query vector — the
+    # corpus side must never cartesian against anything non-tiny
     plan = plan_of(QUERIES["ivf_search"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     # formatted explain lists each operator twice (tree + detail section):
@@ -118,7 +119,7 @@ def test_neardup_queries_have_no_cross_join(spark):
     import re
 
     n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
-    assert n_bnlj <= 1, plan
+    assert n_bnlj <= 3, plan
 
 
 def test_articles_semi_filter_uses_semi_join(spark):
