@@ -125,8 +125,11 @@ def remove_punctuation_iob(
             .distinct()
             .withColumn(f"_carry_{tag}", F.lit(True))
         )
+        # no broadcast hint: the carry set grows with the corpus (one row
+        # per punctuation-held B tag) — AQE picks broadcast when it is
+        # actually small and a partitioned join when it is not
         nonpunct = nonpunct.join(
-            F.broadcast(carries), on=gcols + ["_slot"], how="left"
+            carries, on=gcols + ["_slot"], how="left"
         ).withColumn(
             tag,
             F.when(

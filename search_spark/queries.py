@@ -516,22 +516,37 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _bands_from_sig(sig):
+    """(doc_id, band, band_hash) — both bands emitted from ONE pass over
+    the signature rows (explode of a 2-element struct array), so the
+    signature aggregation is never evaluated per band."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("band"),
+                    F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias(
+                        "band_hash"
+                    ),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("band"),
+                    F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.band_hash").alias("band_hash"))
+
+
 def _q_minhash_bands(spark, sf_dir):
     # LSH banding: 2 bands of 4 hashes → candidate buckets with > 1 doc
-    sig = _q_dedup_minhash(spark, sf_dir)
-    b0 = sig.select(
-        F.lit(0).cast("long").alias("band"),
-        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
-        "doc_id",
-    )
-    b1 = sig.select(
-        F.lit(1).cast("long").alias("band"),
-        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
-        "doc_id",
-    )
+    bands = _bands_from_sig(_q_dedup_minhash(spark, sf_dir))
     return (
-        b0.unionByName(b1)
-        .groupBy("band", "band_hash")
+        bands.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
@@ -606,18 +621,7 @@ def _minhash_band_pairs(spark, sf_dir):
     """Candidate doc pairs from LSH banding: two docs are candidates iff
     some band of their MinHash signatures collides — the 100-TB-shaped
     candidate generator (no all-pairs work anywhere)."""
-    sig = _q_dedup_minhash(spark, sf_dir)
-    b0 = sig.select(
-        F.lit(0).alias("band"),
-        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
-        "doc_id",
-    )
-    b1 = sig.select(
-        F.lit(1).alias("band"),
-        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
-        "doc_id",
-    )
-    bands = b0.unionByName(b1)
+    bands = _bands_from_sig(_q_dedup_minhash(spark, sf_dir))
     a = bands.select("band", "band_hash", F.col("doc_id").alias("doc_id_a"))
     b = bands.select("band", "band_hash", F.col("doc_id").alias("doc_id_b"))
     return (
@@ -1757,22 +1761,13 @@ def _q_dedup_incremental(spark, sf_dir):
     # all-pairs. Here "existing" = even doc_ids, "new" = odd doc_ids;
     # output = new docs that collide with any existing doc (candidate
     # duplicates to route to the exact verifier).
-    sig = _q_dedup_minhash(spark, sf_dir)
-    b0 = sig.select(
-        F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")).alias("band_hash"),
-        "doc_id",
-    )
-    b1 = sig.select(
-        F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")).alias("band_hash"),
-        "doc_id",
-    )
-    bands = b0.unionByName(b1)
+    bands = _bands_from_sig(_q_dedup_minhash(spark, sf_dir))
     existing = bands.filter(F.col("doc_id") % 2 == 0).select(
-        "band_hash", F.col("doc_id").alias("existing_doc_id")
+        "band", "band_hash", F.col("doc_id").alias("existing_doc_id")
     )
     new = bands.filter(F.col("doc_id") % 2 == 1)
     return (
-        new.join(existing, on="band_hash")
+        new.join(existing, on=["band", "band_hash"])
         .groupBy(F.col("doc_id").alias("new_doc_id"))
         .agg(
             F.countDistinct("existing_doc_id").alias("n_collisions"),
@@ -1789,16 +1784,18 @@ sig AS (
   )}
   FROM sh GROUP BY doc_id),
 bands AS (
-  SELECT md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash, doc_id
+  SELECT 0 AS band,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash, doc_id
   FROM sig
   UNION ALL
-  SELECT md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_hash, doc_id
+  SELECT 1 AS band,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_hash, doc_id
   FROM sig)
 SELECT n.doc_id AS new_doc_id,
        CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_collisions,
        CAST(min(e.doc_id) AS BIGINT) AS first_match
 FROM bands n JOIN bands e
-  ON n.band_hash = e.band_hash AND e.doc_id % 2 = 0
+  ON n.band = e.band AND n.band_hash = e.band_hash AND e.doc_id % 2 = 0
 WHERE n.doc_id % 2 = 1
 GROUP BY n.doc_id
 """
