@@ -1801,6 +1801,108 @@ GROUP BY n.doc_id
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # the dedup endgame: band candidate pairs → connected components →
+    # duplicate CLUSTERS with a deterministic keep-first representative
+    # (min doc_id) — what a corpus-dedup job actually emits. Components
+    # via the engine's large-star/small-star operator (string ids:
+    # zero-padded so lexicographic min == numeric min); the DuckDB oracle
+    # re-derives them with a recursive-CTE transitive closure.
+    from search_spark.operators.canonicalize import connected_components
+
+    pairs = _minhash_band_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(
+        pad("doc_id_a").alias("src"), pad("doc_id_b").alias("dst")
+    )
+    comps = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("rep"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(comps, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("rep", "doc_id").alias("cluster_rep"),
+        (F.coalesce("rep", "doc_id") == F.col("doc_id")).cast("int")
+        .alias("is_kept"),
+    )
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_BAND_PAIRS_SQL},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+        UNION SELECT doc_id_b, doc_id_a FROM cand),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach
+         WHERE a <> b GROUP BY a)
+SELECT d.doc_id,
+       CAST(COALESCE(comp.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+       CAST(CASE WHEN COALESCE(comp.rep, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+"""
+
+
+def _q_url_dedup(spark, sf_dir):
+    # webtext url-canonicalization dedup (operators/urls.py): raw urls with
+    # tracking params / fragments / www / trailing slashes collapse to one
+    # canonical key, then exact dedup is a hash agg with keep-first. Urls
+    # are synthesized deterministically from doc_id (documents carry none);
+    # ~50 pages × several surface variants each.
+    from search_spark.operators.urls import canonical_url_col
+
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Example.org/Page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="),
+                        (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonical_url_col(raw).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+_SQL_URL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example.org/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 4 = 1 THEN '/'
+              WHEN doc_id % 4 = 2 THEN '#frag'
+              ELSE '' END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '#.*', '', 'g'),
+                 'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]$', '', 'g'),
+             '^https?://(www\\.)?', '', 'g'),
+           '/$', '', 'g') AS canonical_url
+  FROM raw)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 _QG_MIN_TOKENS = 20
 _QG_MAX_STOP = 0.30
 _QG_MIN_TTR = 0.35
@@ -2076,6 +2178,8 @@ QUERIES: dict[str, Q] = {
     "iob_punct_carry": Q(_q_iob_punct_carry, _SQL_IOB_PUNCT_CARRY),
     "iob_token_counts": Q(_q_iob_token_counts, _SQL_IOB_TOKEN_COUNTS),
     "dedup_incremental": Q(_q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
+    "dedup_clusters": Q(_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "url_dedup": Q(_q_url_dedup, _SQL_URL_DEDUP),
     "quality_gate": Q(_q_quality_gate, _SQL_QUALITY_GATE),
     "search_hydrated": Q(_q_search_hydrated, _SQL_SEARCH_HYDRATED),
 }

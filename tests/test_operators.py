@@ -360,3 +360,29 @@ def test_segment_reassembly_roundtrip(spark):
     paragraphs.unpersist()
     assert n_total > 0
     assert n_bad == 0
+
+
+def test_canonical_url_collapses_variants(spark):
+    from search_spark.operators.urls import canonical_url_col
+    from pyspark.sql import functions as F
+
+    variants = [
+        "https://www.example.org/a/b",
+        "HTTPS://WWW.EXAMPLE.ORG/a/b/",
+        "http://example.org/a/b#section-2",
+        "https://example.org/a/b?utm_source=feed",
+        "https://example.org/a/b?utm_source=x&utm_medium=y",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    got = {
+        r["c"]
+        for r in df.select(canonical_url_col("url").alias("c")).collect()
+    }
+    assert got == {"example.org/a/b"}
+    # non-tracking params survive, in place
+    keep = spark.createDataFrame(
+        [("https://example.org/s?utm_campaign=z&q=spark&page=2",)], ["url"]
+    )
+    assert keep.select(canonical_url_col("url").alias("c")).collect()[0][
+        "c"
+    ] == "example.org/s?q=spark&page=2"
