@@ -833,6 +833,105 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """
 
 
+# RE2-compatible (works identically under Java regex and DuckDB's RE2):
+# letter runs | digit runs | non-alnum-non-space runs — the GPT-2-style
+# pre-tokenization shape without lookarounds
+_BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    # BPE-ish token counting: regex pre-tokenization (letter/digit/punct
+    # runs) instead of whitespace split — the LLM-corpus accounting number
+    # that sizes training runs; one scan, all codegen
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(_BPE_TOKEN_RE), 0)
+    n = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.round(F.col("n_chars") / n, 4).alias("chars_per_token"),
+    )
+
+
+_SQL_TOKEN_COUNT_BPE = rf"""
+WITH t AS (SELECT doc_id, n_chars,
+                  regexp_extract_all(text, '{_BPE_TOKEN_RE}') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) AS n_digit_runs,
+       round(n_chars * 1.0 / len(toks), 4) AS chars_per_token
+FROM t
+"""
+
+
+_WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive shingles
+
+
+def _q_fingerprint_winnow(spark, sf_dir):
+    # rolling-hash winnowing (the MOSS fingerprint): hash every 3-gram
+    # shingle in document order, slide a w-shingle window, keep each
+    # window's minimum hash — near-identical documents share most selected
+    # fingerprints while storage is ~1/w of the shingle count
+    from pyspark.sql import Window
+
+    sh = _shingles_pos(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("spos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    selected = sh.select(
+        "doc_id", F.min(F.md5("shingle")).over(w).alias("fp")
+    ).distinct()
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("fp")))).alias(
+            "fp_set_hash"
+        ),
+    )
+
+
+_SQL_FINGERPRINT_WINNOW = f"""
+WITH shp AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(t) - 2)) AS BIGINT) - 1 AS spos,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY spos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM shp)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(fp)), '|')) AS fp_set_hash
+FROM sel GROUP BY doc_id
+"""
+
+
+def _shingles_pos(spark, sf_dir):
+    """(doc_id, spos, shingle) — 3-gram shingles with their position."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("spos", "shingle"),
+    ).withColumn("spos", F.col("spos").cast("long"))
+
+
 def _q_semantic_search(spark, sf_dir):
     # the full search-server query shape (SURVEY.md §3.3): predicate filter
     # → semi-restricted similarity → top-k
@@ -2180,6 +2279,8 @@ QUERIES: dict[str, Q] = {
     "dedup_incremental": Q(_q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
     "dedup_clusters": Q(_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "url_dedup": Q(_q_url_dedup, _SQL_URL_DEDUP),
+    "token_count_bpe": Q(_q_token_count_bpe, _SQL_TOKEN_COUNT_BPE),
+    "fingerprint_winnow": Q(_q_fingerprint_winnow, _SQL_FINGERPRINT_WINNOW),
     "quality_gate": Q(_q_quality_gate, _SQL_QUALITY_GATE),
     "search_hydrated": Q(_q_search_hydrated, _SQL_SEARCH_HYDRATED),
 }
