@@ -1913,7 +1913,10 @@ def _q_dedup_clusters(spark, sf_dir):
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     edges = pairs.select(
         pad("doc_id_a").alias("src"), pad("doc_id_b").alias("dst")
-    )
+    # candidate generation (shingle agg → signatures → band join) is the
+    # expensive subtree; CC consumes `edges` twice (node set + edge set) —
+    # materialize it once
+    ).localCheckpoint(eager=True)
     comps = connected_components(edges).select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("rep"),

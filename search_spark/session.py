@@ -34,6 +34,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Sized for local[32]; AQE coalesces when partitions end up tiny.
     "spark.sql.shuffle.partitions": "32",
+    # Scan-split sizing (explicit, same as the Spark default): 128 MiB of
+    # input per task keeps a task's working set bounded regardless of file
+    # layout — at 100 TB this, not file count, controls scan parallelism.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Deterministic timestamps across JVM/duckdb comparisons.
     "spark.sql.session.timeZone": "UTC",
     # Broadcast threshold: dims (ontology shards, pattern tables, mining
