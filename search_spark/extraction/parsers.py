@@ -51,6 +51,7 @@ from search_spark.extraction.html_text import (
     HTML_PROFILE,
     JATS_PROFILE,
     extract_paragraphs,
+    render_element,
 )
 
 Parser = Callable[[bytes | str], list[tuple[str, str]]]
@@ -64,8 +65,60 @@ def parse_html(raw: bytes | str) -> list[tuple[str, str]]:
     return [(sec, text) for _, sec, text in extract_paragraphs(raw, HTML_PROFILE)]
 
 
+def _jats_parse_section(section) -> Iterator[tuple[str, str]]:
+    """Faithful port of ``JATSXMLParser.parse_section`` (article.py:484-508):
+    the section title is the element's own ``<title>`` child; nested
+    ``<sec>`` recurse with their own titles; ``title``/``caption``/``fig``/
+    ``table-wrap`` children are skipped; every other child renders through
+    the byte-parity JATS kernel."""
+    sec_title = render_element(section.find("title"), JATS_PROFILE)
+    for element in section:
+        if element.tag == "sec":
+            yield from _jats_parse_section(element)
+        elif element.tag in {"title", "caption", "fig", "table-wrap"}:
+            continue
+        else:
+            text = render_element(element, JATS_PROFILE)
+            if text:
+                yield sec_title, text
+
+
 def parse_jats_xml(raw: bytes | str) -> list[tuple[str, str]]:
-    return [(sec, text) for _, sec, text in extract_paragraphs(raw, JATS_PROFILE)]
+    """JATS article → (section, text) pairs, reference-faithful
+    (``JATSXMLParser.paragraphs``, article.py:392-429): abstract paragraphs
+    first (under "Abstract", the engine's abstract-then-body convention),
+    then the body walked with scoped section titles, then figure captions,
+    then table captions (``./caption/p`` falling back to
+    ``./caption/title``)."""
+    from xml.etree.ElementTree import fromstring
+
+    root = fromstring(_as_text(raw))
+    out: list[tuple[str, str]] = []
+    abstract = root.find("./front/article-meta/abstract")
+    # reference uses Element truthiness (= has children) for both guards
+    if abstract:
+        out.extend(
+            ("Abstract", text) for _, text in _jats_parse_section(abstract)
+        )
+    body = root.find("./body")
+    if body:
+        out.extend(_jats_parse_section(body))
+    for fig in root.findall("./body//fig"):
+        caption = " ".join(
+            render_element(c, JATS_PROFILE) for c in fig.findall("caption")
+        )
+        if caption:
+            out.append(("Figure Caption", caption))
+    for table in root.findall("./body//table-wrap"):
+        caption_elements = table.findall("./caption/p") or table.findall(
+            "./caption/title"
+        )
+        caption = " ".join(
+            render_element(c, JATS_PROFILE) for c in caption_elements
+        )
+        if caption:
+            out.append(("Table Caption", caption))
+    return out
 
 
 def parse_cord19_json(raw: bytes | str) -> list[tuple[str, str]]:
@@ -154,6 +207,27 @@ def parse_tei_xml(raw: bytes | str) -> list[tuple[str, str]]:
     return out
 
 
+def parse_jats_meca(raw: bytes | str) -> list[tuple[str, str]]:
+    """Zipped ``.meca`` JATS archive (``JATSXMLParser.from_zip``,
+    article.py:310-341): exactly one ``content/*.xml`` member holds the
+    article; it parses like plain JATS XML."""
+    import io
+    from zipfile import ZipFile
+
+    data = raw if isinstance(raw, bytes) else raw.encode("utf-8")
+    with ZipFile(io.BytesIO(data)) as zf:
+        xml_files = [
+            n
+            for n in zf.namelist()
+            if n.startswith("content/") and n.endswith(".xml")
+        ]
+        if len(xml_files) != 1:
+            raise ValueError(
+                "there needs to be exactly one .xml file inside content/"
+            )
+        return parse_jats_xml(zf.read(xml_files[0]))
+
+
 def parse_pubmed_xml(raw: bytes | str) -> list[tuple[str, str]]:
     root = ElementTree.fromstring(_as_text(raw))
     articles = (
@@ -175,6 +249,7 @@ def parse_pubmed_xml(raw: bytes | str) -> list[tuple[str, str]]:
 PARSERS: dict[str, Parser] = {
     "html": parse_html,
     "jats_xml": parse_jats_xml,
+    "jats_meca": parse_jats_meca,
     "cord19_json": parse_cord19_json,
     "pubmed_xml": parse_pubmed_xml,
     "tei_xml": parse_tei_xml,

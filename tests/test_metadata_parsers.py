@@ -271,3 +271,62 @@ def test_jats_metadata_parity(ref, path):
     assert meta["pubmed_id"] == ref_parser.pubmed_id
     assert meta["pmc_id"] == ref_parser.pmc_id
     assert meta["doi"] == ref_parser.doi
+
+
+def test_jats_meca_zip_parity(ref, tmp_path):
+    """A .meca zip (content/*.xml) parses identically to the inner JATS
+    file — parity vs the reference's from_zip on a synthesized archive
+    wrapping the reference's own jats_article.xml fixture."""
+    import io
+    from zipfile import ZipFile
+
+    from search_spark.extraction.parsers import parse_jats_meca, parse_jats_xml
+
+    inner = open(f"{REF_DATA}/jats_article.xml", "rb").read()
+    buf = io.BytesIO()
+    with ZipFile(buf, "w") as zf:
+        zf.writestr("content/article.xml", inner)
+        zf.writestr("content/figure1.png", b"\x89PNG")
+        zf.writestr("manifest.xml", "<manifest/>")
+    meca = buf.getvalue()
+
+    p = tmp_path / "a.meca"
+    p.write_bytes(meca)
+    ref_parser = ref.JATSXMLParser.from_zip(str(p))
+    expected = list(ref_parser.paragraphs)
+
+    ours = parse_jats_meca(meca)
+    ours_plain = parse_jats_xml(inner)
+    assert ours == ours_plain
+    n_abstract = len(list(ref_parser.abstract))
+    assert ours[n_abstract:] == expected  # body+captions parity
+
+    # zero or multiple content XMLs must raise, like the reference
+    import pytest as _pytest
+
+    bad = io.BytesIO()
+    with ZipFile(bad, "w") as zf:
+        zf.writestr("content/a.xml", inner)
+        zf.writestr("content/b.xml", inner)
+    with _pytest.raises(ValueError):
+        parse_jats_meca(bad.getvalue())
+
+
+@pytest.mark.parametrize(
+    "path",
+    [f"{REF_DATA}/jats_article.xml", f"{REF_DATA}/biorxiv.xml"],
+)
+def test_jats_paragraphs_full_parity(ref, path):
+    """parse_jats_xml == abstract-first + the reference's exact
+    ``paragraphs`` stream (scoped section titles, body-only walk,
+    figure/table captions appended) on the reference's own fixtures."""
+    from search_spark.extraction.parsers import parse_jats_xml
+
+    ref_parser = ref.JATSXMLParser.from_xml(path)
+    expected_body = list(ref_parser.paragraphs)
+    expected_abstract = list(ref_parser.abstract)
+    ours = parse_jats_xml(open(path, "rb").read())
+    n_abs = len(expected_abstract)
+    assert [t for _, t in ours[:n_abs]] == expected_abstract
+    assert all(s == "Abstract" for s, _ in ours[:n_abs])
+    assert ours[n_abs:] == expected_body
