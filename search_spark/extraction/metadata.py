@@ -279,11 +279,11 @@ def cord19_metadata(raw: bytes | str) -> dict:
     return {
         "title": meta.get("title", ""),
         "authors": authors,
-        "abstract": [
-            p["text"] for p in doc.get("abstract", []) if p.get("text")
-        ],
+        "abstract": [p["text"] for p in doc.get("abstract", [])],
         "pubmed_id": None,
-        "pmc_id": None,
+        # the reference keys CORD-19 articles by paper_id via the pmc_id
+        # slot (article.py:811-819)
+        "pmc_id": doc.get("paper_id"),
         "arxiv_id": None,
         "doi": None,
         "journal": None,

@@ -122,21 +122,21 @@ def parse_jats_xml(raw: bytes | str) -> list[tuple[str, str]]:
 
 
 def parse_cord19_json(raw: bytes | str) -> list[tuple[str, str]]:
+    """CORD-19 JSON → (section, text) pairs, reference-verbatim
+    (``CORD19ArticleParser``, article.py:780-808): abstract paragraph texts
+    first (under "Abstract" — the engine's abstract-then-body convention,
+    add.py:140-153), then ``body_text`` under their section names, then
+    every ``ref_entries`` caption under "Caption". No stripping or
+    empty-filtering — the reference yields rows verbatim, and paragraph
+    positions must enumerate identically."""
     doc = json.loads(_as_text(raw))
     out: list[tuple[str, str]] = []
     for para in doc.get("abstract", []):
-        text = (para.get("text") or "").strip()
-        if text:
-            out.append(("Abstract", text))
+        out.append(("Abstract", para["text"]))
     for para in doc.get("body_text", []):
-        text = (para.get("text") or "").strip()
-        if text:
-            out.append((para.get("section") or "", text))
-    # figure/table captions appended last (article.py:802-808)
+        out.append((para["section"], para["text"]))
     for ref in (doc.get("ref_entries") or {}).values():
-        text = (ref.get("text") or "").strip()
-        if text:
-            out.append(("Caption", text))
+        out.append(("Caption", ref["text"]))
     return out
 
 

@@ -330,3 +330,39 @@ def test_jats_paragraphs_full_parity(ref, path):
     assert [t for _, t in ours[:n_abs]] == expected_abstract
     assert all(s == "Abstract" for s, _ in ours[:n_abs])
     assert ours[n_abs:] == expected_body
+
+
+def _cord19_sample_files():
+    import glob
+
+    return sorted(
+        glob.glob(
+            "/root/reference/tests/data/cord19_v35/document_parses/*/*.json"
+        )
+    )
+
+
+def test_cord19_parity_on_reference_samples(ref):
+    """parse_cord19_json + cord19_metadata vs the reference's
+    CORD19ArticleParser on its real CORD-19 sample documents."""
+    import json as _json
+
+    from search_spark.extraction.metadata import cord19_metadata
+    from search_spark.extraction.parsers import parse_cord19_json
+
+    files = _cord19_sample_files()
+    assert len(files) >= 3
+    for path in files:
+        data = _json.load(open(path))
+        ref_parser = ref.CORD19ArticleParser(data)
+        expected_abstract = list(ref_parser.abstract)
+        expected_body = list(ref_parser.paragraphs)
+        raw = open(path, "rb").read()
+        ours = parse_cord19_json(raw)
+        n_abs = len(expected_abstract)
+        assert [t for _, t in ours[:n_abs]] == expected_abstract, path
+        assert ours[n_abs:] == expected_body, path
+        meta = cord19_metadata(raw)
+        assert meta["title"] == ref_parser.title, path
+        assert meta["authors"] == [a for a in ref_parser.authors if a], path
+        assert meta["pmc_id"] == ref_parser.pmc_id, path

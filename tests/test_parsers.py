@@ -29,6 +29,7 @@ def test_parse_cord19_json_sections_and_order():
     paras = parse_cord19_json(json.dumps(CORD19_DOC))
     assert paras == [
         ("Abstract", "We study things."),
+        ("Abstract", ""),  # reference-verbatim: empty rows pass through
         ("Introduction", "Glucose rises in Diabetes."),
         ("Methods", "Mouse models were used."),
         ("Caption", "Figure 1: a plot."),
@@ -50,7 +51,7 @@ def test_extract_stage_multi_dispatches_mixed_formats(spark):
         by_url.setdefault(r["url"], []).append(
             (r["ppos"], r["section"], r["text"])
         )
-    assert len(by_url["https://a.org/1"]) == 4
+    assert len(by_url["https://a.org/1"]) == 5  # incl. verbatim empty row
     assert by_url["https://a.org/1"][0] == (0, "Abstract", "We study things.")
     assert by_url["https://a.org/2"] == [(0, "S", "Insulin helps.")]
     assert "https://a.org/3" not in by_url  # unknown formats skipped
