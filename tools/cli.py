@@ -1,0 +1,83 @@
+"""Console entrypoints matching the reference's user surfaces.
+
+The reference ships console scripts (setup.py:106-114): ``bbs_database``
+(corpus pipeline — here ``tools/run_pipeline.py``), ``compute_embeddings``,
+and the mining/search servers. This CLI maps the remaining three onto the
+engine, so a reference user has a command for every workflow:
+
+    python tools/cli.py mine   --text "Glucose rises in Diabetes."
+    python tools/cli.py embed  --input sentences.parquet --output emb.parquet
+    python tools/cli.py search --input emb.parquet --query "insulin" -k 5 \
+        [--deprioritize "mouse" --strength Mild]
+
+``mine`` prints the SPECS rows as CSV (the mining server's response
+format, server/mining_server.py:337-360); ``search`` prints the hydrated
+top-k as CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_mine = sub.add_parser("mine", help="mine ad-hoc texts to SPECS rows")
+    p_mine.add_argument("--text", action="append", required=True)
+
+    p_embed = sub.add_parser("embed", help="embed a sentence parquet table")
+    p_embed.add_argument("--input", required=True)
+    p_embed.add_argument("--output", required=True)
+    p_embed.add_argument("--text-col", default="text")
+    p_embed.add_argument("--dim", type=int, default=64)
+
+    p_search = sub.add_parser("search", help="semantic top-k search")
+    p_search.add_argument("--input", required=True,
+                          help="parquet with an embedding column")
+    p_search.add_argument("--query", required=True)
+    p_search.add_argument("-k", type=int, default=10)
+    p_search.add_argument("--deprioritize", default=None)
+    p_search.add_argument("--strength", default="Mild")
+    p_search.add_argument("--id-cols", default="url,ppos,spos")
+
+    args = ap.parse_args()
+
+    from search_spark import surfaces
+    from search_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "mine":
+        df = surfaces.mine_texts(spark, args.text)
+        print(df.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "embed":
+        sentences = spark.read.parquet(args.input)
+        surfaces.compute_embeddings(
+            sentences, args.text_col, args.dim
+        ).write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} rows "
+              f"to {args.output}")
+    elif args.cmd == "search":
+        table = spark.read.parquet(args.input)
+        df = surfaces.search_sentences(
+            table,
+            args.query,
+            k=args.k,
+            deprioritize_text=args.deprioritize,
+            strength=args.strength,
+            id_cols=args.id_cols.split(","),
+        )
+        print(df.toPandas().to_csv(index=False), end="")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
