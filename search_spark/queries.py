@@ -932,6 +932,112 @@ def _shingles_pos(spark, sf_dir):
     ).withColumn("spos", F.col("spos").cast("long"))
 
 
+# RE2-safe PII patterns (no lookarounds → identical under Java regex)
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _q_redact_pii(spark, sf_dir):
+    # PII scrubbing — a training-data pipeline MUST strip contact strings
+    # before corpora ship. PII is synthesized deterministically onto the
+    # documents (they carry none), then redacted with codegen-only regex
+    # replaces; output counts + a hash of the redacted text so the oracle
+    # verifies the exact post-redaction bytes.
+    d = _docs(spark, sf_dir)
+    with_pii = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact john.doe"),
+                     (F.col("doc_id") % 90).cast("string"),
+                     F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+                     F.lit(" today")),
+        )
+        .otherwise(F.lit("")),
+    )
+    n_emails = F.size(F.regexp_extract_all(with_pii, F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(with_pii, F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+_SQL_REDACT_PII = f"""
+WITH w AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' contact john.doe'
+                || CAST(doc_id % 90 AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 5 = 1 THEN ' call 555-'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || ' today'
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM w
+"""
+
+
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals: most-common-token ratio and
+    # duplicate-bigram fraction — array-native per row (no explode, no
+    # shuffle; the O(tokens²) distinct-count scan is bounded by document
+    # length, not corpus size)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.size("t").cast("long")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
+        )
+    ).cast("long")
+    bigrams = F.expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    return d.filter(n >= 2).select(
+        "doc_id",
+        top_cnt.alias("top_token_count"),
+        F.round(top_cnt / n, 4).alias("top_token_ratio"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+    )
+
+
+_SQL_REPETITION_STATS = """
+WITH x AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n,
+         list_max(list_transform(list_distinct(t),
+                  u -> len(list_filter(t, y -> y = u)))) AS top_cnt,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM x WHERE len(t) >= 2)
+SELECT doc_id,
+       CAST(top_cnt AS BIGINT) AS top_token_count,
+       round(top_cnt * 1.0 / n, 4) AS top_token_ratio,
+       round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+         AS dup_bigram_frac
+FROM m
+"""
+
+
 def _q_semantic_search(spark, sf_dir):
     # the full search-server query shape (SURVEY.md §3.3): predicate filter
     # → semi-restricted similarity → top-k
@@ -2284,6 +2390,8 @@ QUERIES: dict[str, Q] = {
     "url_dedup": Q(_q_url_dedup, _SQL_URL_DEDUP),
     "token_count_bpe": Q(_q_token_count_bpe, _SQL_TOKEN_COUNT_BPE),
     "fingerprint_winnow": Q(_q_fingerprint_winnow, _SQL_FINGERPRINT_WINNOW),
+    "redact_pii": Q(_q_redact_pii, _SQL_REDACT_PII),
+    "repetition_stats": Q(_q_repetition_stats, _SQL_REPETITION_STATS),
     "quality_gate": Q(_q_quality_gate, _SQL_QUALITY_GATE),
     "search_hydrated": Q(_q_search_hydrated, _SQL_SEARCH_HYDRATED),
 }
