@@ -37,6 +37,11 @@ def main() -> int:
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--ner-scoring", action="store_true",
                     help="run the batched model pass over sentence windows")
+    ap.add_argument("--write-tables", action="store_true",
+                    help="also persist articles/paragraphs/sentences parquet "
+                         "tables under <output>/tables/ (the reference's "
+                         "create_database articles+sentences DB, "
+                         "entrypoint/database/add.py:156-194)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +78,34 @@ def main() -> int:
     metrics = run_to_snapshot(
         spark, pages, args.output, cfg, n_buckets=args.n_buckets
     )
+
+    if args.write_tables:
+        from pyspark.sql import functions as F
+
+        from search_spark.extraction.extract import extract_stage
+        from search_spark.extraction.metadata import articles_stage
+        from search_spark.operators.segment import segment_stage
+
+        root = args.output.rstrip("/") + "/tables"
+        paragraphs = extract_stage(pages, english_only=cfg.english_only)
+        paragraphs.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(args.n_buckets))
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{root}/paragraphs"
+        )
+        segment_stage(
+            spark.read.option("basePath", f"{root}/paragraphs").parquet(
+                f"{root}/paragraphs"
+            ).drop("bucket")
+        ).write.mode("overwrite").parquet(f"{root}/sentences")
+        articles_stage(pages).write.mode("overwrite").parquet(
+            f"{root}/articles"
+        )
+        metrics["tables"] = {
+            t: spark.read.parquet(f"{root}/{t}").count()
+            for t in ("paragraphs", "sentences", "articles")
+        }
+
     print(json.dumps(metrics))
     return 0
 
