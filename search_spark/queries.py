@@ -2141,7 +2141,11 @@ def _q_quality_gate(spark, sf_dir):
         .when(ttr < _QG_MIN_TTR, F.lit("low_ttr"))
         .otherwise(F.lit("ok"))
     )
-    return d.select("doc_id", keep.alias("keep"), reason.alias("reason"))
+    # int not boolean: the driver's value canonicalizer has known-good
+    # handling for ints; 0/1 avoids engine-dependent bool string forms
+    return d.select(
+        "doc_id", keep.cast("int").alias("keep"), reason.alias("reason")
+    )
 
 
 _SQL_QUALITY_GATE = f"""
@@ -2153,9 +2157,9 @@ m AS (SELECT doc_id, lang,
              len(list_distinct(t)) * 1.0 / len(t) AS ttr
       FROM t)
 SELECT doc_id,
-       (lang = 'en' AND n >= {_QG_MIN_TOKENS}
+       CAST(lang = 'en' AND n >= {_QG_MIN_TOKENS}
         AND n_stop * 1.0 / n <= {_QG_MAX_STOP}
-        AND ttr >= {_QG_MIN_TTR}) AS keep,
+        AND ttr >= {_QG_MIN_TTR} AS INTEGER) AS keep,
        CASE WHEN lang <> 'en' THEN 'lang'
             WHEN n < {_QG_MIN_TOKENS} THEN 'too_short'
             WHEN n_stop * 1.0 / n > {_QG_MAX_STOP} THEN 'stopword_ratio'
