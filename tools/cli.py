@@ -31,6 +31,19 @@ def main() -> int:
     p_mine = sub.add_parser("mine", help="mine ad-hoc texts to SPECS rows")
     p_mine.add_argument("--text", action="append", required=True)
 
+    p_db = sub.add_parser(
+        "mine-db",
+        help="read mined rows back from a snapshot table "
+             "(POST /database analogue: mining_server.py:141-231 — "
+             "filter by entity types / urls, mining-cache ordering)",
+    )
+    p_db.add_argument("--snapshot", required=True, help="snapshot table root")
+    p_db.add_argument("--etypes", default=None,
+                      help="comma-separated entity types (default: all)")
+    p_db.add_argument("--urls", default=None,
+                      help="comma-separated urls (default: all)")
+    p_db.add_argument("--limit", type=int, default=100)
+
     p_embed = sub.add_parser("embed", help="embed a sentence parquet table")
     p_embed.add_argument("--input", required=True)
     p_embed.add_argument("--output", required=True)
@@ -57,6 +70,25 @@ def main() -> int:
     if args.cmd == "mine":
         df = surfaces.mine_texts(spark, args.text)
         print(df.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "mine-db":
+        from pyspark.sql import functions as F
+
+        from search_spark.io.snapshots import SnapshotTable
+
+        df = SnapshotTable(spark, args.snapshot).load()
+        if df is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        if args.etypes:
+            df = df.filter(
+                F.col("entity_type").isin(*args.etypes.split(","))
+            )
+        if args.urls:
+            df = df.filter(F.col("url").isin(*args.urls.split(",")))
+        # mining-cache retrieval order (sql.py:327-329); prov embeds
+        # "uid:section:ppos", so (url, prov, start_char) is the composite
+        df = df.orderBy("url", "prov", "start_char").limit(args.limit)
+        print(df.drop("bucket").toPandas().to_csv(index=False), end="")
     elif args.cmd == "embed":
         sentences = spark.read.parquet(args.input)
         surfaces.compute_embeddings(
