@@ -100,3 +100,38 @@ def search_sentences(
         .drop("_sid", "embedding")
         .orderBy(F.desc("score"), *id_cols)
     )
+
+
+def search_articles(
+    sentences_with_emb: DataFrame,
+    query_text: str,
+    k_articles: int = 5,
+    article_col: str = "url",
+    dim: int = 64,
+) -> DataFrame:
+    """Article-granularity search (search.py:268-288): rank articles by
+    their best sentence's similarity, return the top-k articles with their
+    best score and best sentence — ``groupBy(article).agg(max(sim))`` +
+    TakeOrdered instead of the reference's full sort + driver-side
+    distinct-scan accumulation."""
+    from search_spark.operators.linking import cosine_col, hash_embed
+
+    q = F.array(*[F.lit(float(x)) for x in hash_embed(query_text, dim)])
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = sentences_with_emb.select(
+        article_col,
+        F.col("text").alias("best_sentence"),
+        F.round(cosine_col(ed, q), 4).alias("score"),
+    )
+    best = scored.groupBy(article_col).agg(
+        F.max(F.struct("score", "best_sentence")).alias("b")
+    )
+    return (
+        best.select(
+            article_col,
+            F.col("b.score").alias("best_score"),
+            F.col("b.best_sentence").alias("best_sentence"),
+        )
+        .orderBy(F.desc("best_score"), F.asc(article_col))
+        .limit(k_articles)
+    )

@@ -64,3 +64,37 @@ def test_compute_embeddings_and_search_roundtrip(spark):
     ).collect()
     assert hits2[0]["text"] != target["text"]
     embedded.unpersist()
+
+
+def test_search_articles_ranks_by_best_sentence(spark):
+    pages = datagen.generate_web_pages(spark, 10, seed=23, partitions=2)
+    sentences = segment_stage(extract_stage(pages)).filter(~F.col("is_bad"))
+    embedded = surfaces.compute_embeddings(sentences).cache()
+    target = embedded.orderBy("url", "ppos", "spos").first()
+    hits = surfaces.search_articles(embedded, target["text"], k_articles=3)
+    rows = hits.collect()
+    assert rows[0]["url"] == target["url"]
+    assert rows[0]["best_score"] == 1.0
+    assert rows[0]["best_sentence"] == target["text"]
+    # distinct articles, descending scores
+    urls = [r["url"] for r in rows]
+    assert len(set(urls)) == len(urls)
+    scores = [r["best_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    embedded.unpersist()
+
+
+def test_cli_mine_subcommand(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "mine",
+         "--text", "Insulin helps Diabetes."],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l]
+    assert lines[0].startswith("entity,entity_type,property")
+    assert any(l.startswith("Insulin,CHEMICAL") for l in lines)
