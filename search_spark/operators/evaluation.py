@@ -171,6 +171,58 @@ def iob_type_counts(
     )
 
 
+def spans_from_iob(
+    df: DataFrame,
+    iob_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tag-driven span extraction — exact port of ``iob2idx``
+    (mining/eval.py:312-341), for every entity type at once: a span starts
+    at each ``B-X`` token and ends (inclusive) at the last consecutive
+    token whose tag is ``B-X``/``I-X`` not followed by ``I-X``. Unlike
+    adjacency-run collapsing, ``B-X B-X`` is two spans.
+
+    Returns ``group_cols + [entity_type, start, end]`` where start/end are
+    ``order_col`` values (inclusive, like the reference's index pairs).
+    Starts and ends pair by rank within ``(group, entity_type)`` — the
+    distributed equivalent of the reference zipping the two index arrays.
+    """
+    group_cols = group_cols or []
+    if group_cols:
+        gcols = group_cols
+        src = df
+    else:
+        src = df.withColumn("_g", F.lit(0))
+        gcols = ["_g"]
+    w = Window.partitionBy(*gcols).orderBy(order_col)
+    parsed = src.select(
+        *gcols,
+        F.col(order_col).alias("_i"),
+        F.substring(F.col(iob_col), 1, 1).alias("_pfx"),
+        F.substring(F.col(iob_col), 3, 2 ** 30).alias("entity_type"),
+        F.coalesce(F.lead(iob_col).over(w), F.lit("O")).alias("_next"),
+    )
+    tagged = parsed.filter(F.col("_pfx").isin("B", "I"))
+    rank_w = Window.partitionBy(*gcols, "entity_type").orderBy("_i")
+    starts = (
+        tagged.filter(F.col("_pfx") == "B")
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .select(*gcols, "entity_type", "_rk", F.col("_i").alias("start"))
+    )
+    ends = (
+        tagged.filter(
+            F.col("_next") != F.concat(F.lit("I-"), F.col("entity_type"))
+        )
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .select(*gcols, "entity_type", "_rk", F.col("_i").alias("end"))
+    )
+    out = starts.join(ends, on=gcols + ["entity_type", "_rk"]).select(
+        *(group_cols or []), "entity_type", "start", "end"
+    )
+    return out
+
+
 def triple_level_pr(truth: DataFrame, pred: DataFrame) -> dict:
     """Exact-match P/R over ``(subj, pred, obj, prov)`` triple sets —
     the headline BASELINE gate. Returns a plain dict of floats."""

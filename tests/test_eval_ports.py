@@ -189,3 +189,51 @@ def test_topic_rules_match_reference(spark):
     }
     assert got == expected
     assert any(got.values()) and not all(got.values())
+
+
+def test_spans_from_iob_matches_reference_iob2idx(spark):
+    """Exact iob2idx parity (eval.py:312-341) on the reference's
+    ner_iob_sample.csv fixture and on randomized valid IOB streams."""
+    ev = load_reference_eval_module()
+    from search_spark.operators.evaluation import spans_from_iob
+
+    def check(series):
+        pdf = pd.DataFrame({"tok_id": range(len(series)), "iob": series})
+        got = spans_from_iob(
+            spark.createDataFrame(pdf), "iob", order_col="tok_id"
+        ).collect()
+        got_by_type = {}
+        for r in got:
+            got_by_type.setdefault(r["entity_type"], set()).add(
+                (r["start"], r["end"])
+            )
+        s = pd.Series(series)
+        etypes = ev.unique_etypes(s)
+        for etype in etypes:
+            idxs = ev.iob2idx(s, etype)
+            expected = set(zip(idxs["start"].tolist(), idxs["end"].tolist()))
+            assert got_by_type.get(etype, set()) == expected, etype
+        assert set(got_by_type) == set(etypes)
+
+    pdf = pd.read_csv(
+        "/root/reference/tests/data/mining/eval/ner_iob_sample.csv"
+    )
+    for col in ("annotator_1", "annotator_2"):
+        check(pdf[col].tolist())
+
+    # randomized VALID IOB streams (I- only continues a same-type run)
+    rng = random.Random(31)
+    types = ["VEG", "FRUIT", "TOOL"]
+    for _ in range(6):
+        seq, prev = [], "O"
+        for _ in range(rng.randint(5, 60)):
+            if prev != "O" and rng.random() < 0.4:
+                seq.append("I-" + prev[2:])
+            elif rng.random() < 0.4:
+                seq.append("B-" + rng.choice(types))
+            else:
+                seq.append("O")
+            prev = seq[-1]
+        check(seq)
+    # adjacent B-B of the same type must be two spans, not one
+    check(["B-VEG", "B-VEG", "I-VEG", "O"])
