@@ -44,6 +44,20 @@ def main() -> int:
                       help="comma-separated urls (default: all)")
     p_db.add_argument("--limit", type=int, default=100)
 
+    p_topic = sub.add_parser(
+        "topic-filter",
+        help="accept/reject articles by topic rules "
+             "(TopicFilterTask analogue: topic_filter.py:116-160 → "
+             "filtering.csv with an accept column)",
+    )
+    p_topic.add_argument("--input", required=True,
+                         help="parquet with source + topic-list columns")
+    p_topic.add_argument("--accept", action="append", default=[],
+                         help="rule 'level:source:pattern' ('' = wildcard)")
+    p_topic.add_argument("--reject", action="append", default=[])
+    p_topic.add_argument("--article-topics-col", default="article_topics")
+    p_topic.add_argument("--journal-topics-col", default="journal_topics")
+
     p_embed = sub.add_parser("embed", help="embed a sentence parquet table")
     p_embed.add_argument("--input", required=True)
     p_embed.add_argument("--output", required=True)
@@ -89,6 +103,34 @@ def main() -> int:
         # "uid:section:ppos", so (url, prov, start_char) is the composite
         df = df.orderBy("url", "prov", "start_char").limit(args.limit)
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "topic-filter":
+        from pyspark.sql import functions as F
+
+        from search_spark.operators.topics import (
+            TopicRule,
+            check_topic_rules_col,
+        )
+
+        def parse_rules(specs):
+            out = []
+            for spec in specs:
+                level, source, pattern = (spec.split(":", 2) + ["", ""])[:3]
+                out.append(
+                    TopicRule(level or None, source or None, pattern or None)
+                )
+            return out
+
+        table = spark.read.parquet(args.input)
+        ok = check_topic_rules_col(
+            parse_rules(args.accept),
+            parse_rules(args.reject),
+            F.col("source"),
+            F.col(args.article_topics_col),
+            F.col(args.journal_topics_col),
+        )
+        df = table.withColumn("accept", ok).select("url", "source", "accept") \
+            if "url" in table.columns else table.withColumn("accept", ok)
+        print(df.toPandas().to_csv(index=False), end="")
     elif args.cmd == "embed":
         sentences = spark.read.parquet(args.input)
         surfaces.compute_embeddings(
