@@ -223,6 +223,54 @@ def spans_from_iob(
     return out
 
 
+def spans_to_text(
+    spans: DataFrame,
+    tokens: DataFrame,
+    order_col: str,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach the entity surface text to extracted spans — ``idx2text``
+    (mining/eval.py:344-365): the space-join of the tokens in
+    ``[start, end]`` (inclusive). A range join of spans onto tokens plus
+    an in-group ordered concat; span boundaries bound the join so work is
+    O(entity tokens), not O(spans × tokens)."""
+    group_cols = group_cols or []
+    t = tokens.select(
+        *group_cols,
+        F.col(order_col).alias("_i"),
+        F.col(text_col).alias("_tok"),
+    )
+    joined = spans.join(
+        t,
+        on=[
+            *[spans[c] == t[c] for c in group_cols],
+            t["_i"] >= spans["start"],
+            t["_i"] <= spans["end"],
+        ]
+        if group_cols
+        else [(t["_i"] >= spans["start"]) & (t["_i"] <= spans["end"])],
+        how="inner",
+    ).select(
+        *[spans[c] for c in group_cols],
+        "entity_type",
+        "start",
+        "end",
+        "_i",
+        "_tok",
+    )
+    key = group_cols + ["entity_type", "start", "end"]
+    return joined.groupBy(*key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("entity_text")
+    )
+
+
 def triple_level_pr(truth: DataFrame, pred: DataFrame) -> dict:
     """Exact-match P/R over ``(subj, pred, obj, prov)`` triple sets —
     the headline BASELINE gate. Returns a plain dict of floats."""

@@ -237,3 +237,31 @@ def test_spans_from_iob_matches_reference_iob2idx(spark):
         check(seq)
     # adjacent B-B of the same type must be two spans, not one
     check(["B-VEG", "B-VEG", "I-VEG", "O"])
+
+
+def test_spans_to_text_matches_reference_idx2text(spark):
+    ev = load_reference_eval_module()
+    from search_spark.operators.evaluation import spans_from_iob, spans_to_text
+
+    pdf = pd.read_csv(
+        "/root/reference/tests/data/mining/eval/ner_iob_sample.csv"
+    ).reset_index(names="tok_id")
+    for col in ("annotator_1", "annotator_2"):
+        df = spark.createDataFrame(pdf[["tok_id", "text", col]])
+        spans = spans_from_iob(df, col, order_col="tok_id")
+        texts = spans_to_text(spans, df, order_col="tok_id")
+        got = {
+            (r["entity_type"], r["start"], r["end"]): r["entity_text"]
+            for r in texts.collect()
+        }
+        s = pd.Series(pdf[col].tolist())
+        expected = {}
+        for etype in ev.unique_etypes(s):
+            idxs = ev.iob2idx(s, etype)
+            for (st, en), txt in zip(
+                zip(idxs["start"], idxs["end"]),
+                ev.idx2text(pdf["text"], idxs),
+            ):
+                expected[(etype, int(st), int(en))] = txt
+        assert got == expected
+        assert expected, col  # fixture must contain entities
