@@ -69,7 +69,15 @@ class SnapshotTable:
         snaps = self.snapshots()
         if not snaps:
             return None
-        paths = [f"{self.root}/data/snapshot={k}" for k in snaps]
+        # a snapshot fully emptied by delete_where keeps its lineage JSON
+        # (tombstone) but has no data directory — skip it on read
+        paths = [
+            p
+            for k in snaps
+            if os.path.isdir(p := f"{self.root}/data/snapshot={k}")
+        ]
+        if not paths:
+            return None
         return (
             self.spark.read.option("basePath", f"{self.root}/data")
             .parquet(*paths)
@@ -175,36 +183,55 @@ class SnapshotTable:
         total = 0
         for k in self.snapshots():
             path = f"{self.root}/data/snapshot={k}"
+            if not os.path.isdir(path):
+                continue  # already tombstoned by a previous delete
             df = self.spark.read.parquet(path)
             n_before = df.count()
-            remaining = df.filter(~condition)
+            # SQL DELETE WHERE removes only rows where the predicate is
+            # definitively TRUE; NULL-predicate rows are retained (the bare
+            # ~condition would silently drop them)
+            remaining = df.filter(~F.coalesce(condition, F.lit(False)))
             n_after = remaining.count()
             if n_after == n_before:
                 continue
-            tmp = f"{self.root}/data/.snapshot={k}.rewrite"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            # the write materializes fully from the old files before the
-            # swap below removes them
-            remaining.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.rename(tmp, path)
+            if n_after == 0:
+                # a partitioned write of an empty DataFrame emits only
+                # _SUCCESS (unreadable: UNABLE_TO_INFER_SCHEMA on read-back)
+                # — drop the data directory instead and tombstone the
+                # lineage below; load()/processed_urls() skip missing dirs.
+                # Triggered by e.g. running redo_entity_type twice for the
+                # same type (the second redo empties the first's snapshot).
+                shutil.rmtree(path)
+                per_bucket = []
+            else:
+                tmp = f"{self.root}/data/.snapshot={k}.rewrite"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                # the write materializes fully from the old files before
+                # the swap below removes them
+                remaining.write.partitionBy("bucket").mode(
+                    "overwrite"
+                ).parquet(tmp)
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+                written = self.spark.read.parquet(path)
+                per_bucket = (
+                    written.groupBy("bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.countDistinct("url").alias("n_urls"),
+                    )
+                    .collect()
+                )
             total += n_before - n_after
 
             lineage_path = f"{self.root}/_lineage/snapshot={k}.json"
             with open(lineage_path) as f:
                 lineage = json.load(f)
-            written = self.spark.read.parquet(path)
-            per_bucket = (
-                written.groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.countDistinct("url").alias("n_urls"),
-                )
-                .collect()
-            )
             lineage["n_rows"] = sum(r["n_rows"] for r in per_bucket)
             lineage["partitions"] = [r.asDict() for r in per_bucket]
+            if not per_bucket:
+                lineage["tombstone"] = True
             lineage.setdefault("deletes", []).append(
                 {"n_deleted": n_before - n_after, "at": time.time()}
             )

@@ -185,8 +185,15 @@ def spans_from_iob(
 
     Returns ``group_cols + [entity_type, start, end]`` where start/end are
     ``order_col`` values (inclusive, like the reference's index pairs).
-    Starts and ends pair by rank within ``(group, entity_type)`` — the
-    distributed equivalent of the reference zipping the two index arrays.
+
+    Formulation: each maximal ``B-X [I-X]*`` run is one *segment* (an
+    ``I-X`` token continues a segment only when the immediately preceding
+    token in the full stream is ``B-X``/``I-X``); a span is the (min, max)
+    index of a segment whose first token is a ``B-``. An orphan ``I-X``
+    (malformed IOB2, no initiating ``B-``) forms a segment with no ``B-``
+    head and is dropped — it can never shift the pairing of later
+    well-formed spans (the earlier rank-pairing formulation silently
+    mispaired everything after an orphan).
     """
     group_cols = group_cols or []
     if group_cols:
@@ -201,24 +208,37 @@ def spans_from_iob(
         F.col(order_col).alias("_i"),
         F.substring(F.col(iob_col), 1, 1).alias("_pfx"),
         F.substring(F.col(iob_col), 3, 2 ** 30).alias("entity_type"),
-        F.coalesce(F.lead(iob_col).over(w), F.lit("O")).alias("_next"),
+        F.coalesce(F.lag(iob_col).over(w), F.lit("O")).alias("_prev"),
     )
     tagged = parsed.filter(F.col("_pfx").isin("B", "I"))
-    rank_w = Window.partitionBy(*gcols, "entity_type").orderBy("_i")
-    starts = (
-        tagged.filter(F.col("_pfx") == "B")
-        .withColumn("_rk", F.row_number().over(rank_w))
-        .select(*gcols, "entity_type", "_rk", F.col("_i").alias("start"))
+    # an I-X row opens a NEW segment (orphan) unless the previous token in
+    # the stream was B-X/I-X of the same type; B- always opens a segment
+    # (B-X B-X is two spans, exactly like the reference's iob2idx)
+    run_start = (F.col("_pfx") == "B") | (
+        (F.col("_prev") != F.concat(F.lit("B-"), F.col("entity_type")))
+        & (F.col("_prev") != F.concat(F.lit("I-"), F.col("entity_type")))
     )
-    ends = (
-        tagged.filter(
-            F.col("_next") != F.concat(F.lit("I-"), F.col("entity_type"))
+    seg_w = (
+        Window.partitionBy(*gcols, "entity_type")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segged = tagged.withColumn(
+        "_seg", F.sum(run_start.cast("long")).over(seg_w)
+    )
+    out = (
+        segged.groupBy(*gcols, "entity_type", "_seg")
+        .agg(
+            F.min(F.struct("_i", "_pfx")).alias("_head"),
+            F.max("_i").alias("end"),
         )
-        .withColumn("_rk", F.row_number().over(rank_w))
-        .select(*gcols, "entity_type", "_rk", F.col("_i").alias("end"))
-    )
-    out = starts.join(ends, on=gcols + ["entity_type", "_rk"]).select(
-        *(group_cols or []), "entity_type", "start", "end"
+        .filter(F.col("_head._pfx") == "B")
+        .select(
+            *(group_cols or []),
+            "entity_type",
+            F.col("_head._i").alias("start"),
+            "end",
+        )
     )
     return out
 

@@ -112,7 +112,14 @@ class SentenceFilter:
         sql.py:618-628 subquery pushup).
         """
         out = sentences
-        if self.only_good and "is_bad" in sentences.columns:
+        if self.only_good:
+            # fail loud like the reference (sql.py builds `is_bad = 0`
+            # unconditionally): silently dropping a requested restriction
+            # would return a superset of the reference's result
+            if "is_bad" not in sentences.columns:
+                raise ValueError(
+                    "discard_bad() requires an 'is_bad' column on sentences"
+                )
             out = out.filter(~F.col("is_bad"))
         for s in self.include_strings:
             # case-folded contains (sql.py:542-543)

@@ -10,7 +10,11 @@ stays a plain hash aggregation at any corpus size.
 Normalization (applied in order, each a documented trade-off):
 1. lowercase (canonical keys, at the cost of path case),
 2. strip ``#fragment``,
-3. drop ``utm_*`` tracking parameters (and any dangling ``?``/``&``),
+3. drop ``utm_*`` tracking parameters — anchored to a parameter boundary
+   (``?``/``&``) so a ``utm_...=`` substring inside a path segment or a
+   longer parameter name (``xutm_a=b``) is never touched; the kept
+   delimiter plus a separator cleanup pass handles adjacent/trailing
+   tracking params,
 4. strip the scheme and a leading ``www.``,
 5. strip one trailing ``/``.
 """
@@ -25,8 +29,10 @@ def canonical_url_col(url: str | Column) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     c = F.lower(c)
     c = F.regexp_replace(c, "#.*", "")
-    c = F.regexp_replace(c, "utm_[a-z]+=[^&]*&?", "")
-    c = F.regexp_replace(c, "[?&]$", "")
+    c = F.regexp_replace(c, "([?&])utm_[a-z]+=[^&]*", "$1")
+    c = F.regexp_replace(c, "&&+", "&")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, "[?&]+$", "")
     c = F.regexp_replace(c, r"^https?://(www\.)?", "")
     c = F.regexp_replace(c, "/$", "")
     return c

@@ -144,9 +144,8 @@ def build_triples(
                 for r in sorted(rows, key=lambda r: r["b"])
             }
         if cfg.canonicalize:
-            # tiny (distinct surface forms); consumed twice (subj/obj side)
-            # — materialized once so the two broadcast exchanges don't race
-            # on the uncached CC output
+            # consumed twice (subj/obj side) — materialized once so the two
+            # join exchanges don't race on the uncached CC output
             mapping = register(canonical_mapping(linked, concepts).persist())
             mapping.count()
         else:
@@ -154,7 +153,14 @@ def build_triples(
                 F.lower("mention").alias("form"),
                 F.col("concept_id").alias("canonical_id"),
             ).distinct()
-        # the mapping is distinct-surface-form-sized → broadcast twice
+        # The mapping is distinct-surface-form-sized. For an
+        # ontology-linked subset that is tiny, but on an open-web corpus
+        # the mention vocabulary is 10^8-10^9 forms — far beyond broadcast.
+        # So NO forced broadcast hint here: the mapping is persisted and
+        # counted above, and AQE picks a broadcast-hash join at runtime
+        # when the side actually fits (observed: still broadcasts at bench
+        # vocabulary sizes) and a partitioned join when it does not.
+        # tests/test_round3_fixes.py proves the non-broadcastable path.
         subj_map = mapping.select(
             F.col("form").alias("_subj_form"),
             F.col("canonical_id").alias("subj_canonical"),
@@ -166,8 +172,8 @@ def build_triples(
         specs = (
             specs.withColumn("_subj_form", F.lower(F.col("entity")))
             .withColumn("_obj_form", F.lower(F.col("property_value")))
-            .join(F.broadcast(subj_map), on="_subj_form", how="left")
-            .join(F.broadcast(obj_map), on="_obj_form", how="left")
+            .join(subj_map, on="_subj_form", how="left")
+            .join(obj_map, on="_obj_form", how="left")
             .drop("_subj_form", "_obj_form")
         )
 

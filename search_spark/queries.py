@@ -2099,9 +2099,13 @@ canon AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(lower(url), '#.*', '', 'g'),
-                 'utm_[a-z]+=[^&]*&?', '', 'g'),
-               '[?&]$', '', 'g'),
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*', '', 'g'),
+                     '([?&])utm_[a-z]+=[^&]*', '\\1', 'g'),
+                   '&&+', '&', 'g'),
+                 '\\?&', '?', 'g'),
+               '[?&]+$', '', 'g'),
              '^https?://(www\\.)?', '', 'g'),
            '/$', '', 'g') AS canonical_url
   FROM raw)
