@@ -291,6 +291,38 @@ def spans_to_text(
     )
 
 
+def ner_errors(
+    truth_spans: DataFrame,
+    pred_spans: DataFrame,
+    keys: list[str] | None = None,
+    by: str = "entity_type",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """False-negative / false-positive span listing — the reference's
+    ``ner_errors`` entity mode (mining/eval.py:536-581): per entity type,
+    truth and pred spans outer-merge on (start, end); ``left_only`` rows are
+    the false negatives, ``right_only`` the false positives. Here the
+    outer-merge-with-indicator is two anti-joins (no indicator column
+    materialized, no full outer shuffle of matched rows).
+
+    Returns ``keys + [by, start_col, end_col, kind]`` with ``kind`` ∈
+    {'false_neg', 'false_pos'}; attach surface text with
+    :func:`spans_to_text` (the reference's ``idx2text`` step).
+    """
+    keys = keys or ["url", "ppos", "spos"]
+    cols = keys + [by, start_col, end_col]
+    t = truth_spans.select(*cols).dropDuplicates(cols)
+    p = pred_spans.select(*cols).dropDuplicates(cols)
+    fn = t.join(p, on=cols, how="left_anti").withColumn(
+        "kind", F.lit("false_neg")
+    )
+    fp = p.join(t, on=cols, how="left_anti").withColumn(
+        "kind", F.lit("false_pos")
+    )
+    return fn.unionByName(fp)
+
+
 def triple_level_pr(truth: DataFrame, pred: DataFrame) -> dict:
     """Exact-match P/R over ``(subj, pred, obj, prov)`` triple sets —
     the headline BASELINE gate. Returns a plain dict of floats."""

@@ -65,21 +65,44 @@ def hash_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return [float(x) for x in acc]
 
 
+class HashEmbedModel:
+    """Default EmbeddingModel: the deterministic hash-embedding."""
+
+    dtype = T.FloatType()
+
+    def __init__(self, dim: int = DEFAULT_DIM):
+        self.dim = dim
+
+    def embed_many(self, texts) -> list[list[float]]:
+        return [hash_embed(t, self.dim) for t in texts]
+
+
 def embed_text_column(
     df: DataFrame, text_col: str, out_col: str = "embedding",
-    dim: int = DEFAULT_DIM,
+    dim: int = DEFAULT_DIM, model=None,
 ) -> DataFrame:
-    """Arrow-batched embedding of a text column (the EmbeddingModel slot,
-    embedding_models.py:36-111 — swap the body for a real model)."""
+    """Arrow-batched embedding of a text column — the EmbeddingModel slot
+    (embedding_models.py:36-111).
+
+    ``model`` is any object with ``dim``, ``dtype`` (Spark element type)
+    and ``embed_many(list[str]) -> list[list[float]]`` — the reference's
+    ``EmbeddingModel.embed_many`` contract. The model object is captured in
+    the UDF closure, so its fitted state (e.g. a TF-IDF vocabulary) ships
+    to executors once per task via the task broadcast — the distributed
+    form of the reference loading a pickled ``SklearnVectorizer``
+    checkpoint per worker (embedding_models.py:171-237). Default:
+    :class:`HashEmbedModel`.
+    """
+    model = model or HashEmbedModel(dim)
     schema = T.StructType(
         df.schema.fields
-        + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
+        + [T.StructField(out_col, T.ArrayType(model.dtype), False)]
     )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [hash_embed(t, dim) for t in pdf[text_col]]
+            pdf[out_col] = model.embed_many(list(pdf[text_col]))
             yield pdf
 
     return df.mapInPandas(_embed, schema=schema)
@@ -156,13 +179,16 @@ def link_stage(
         )
     )
 
-    # the resolved form table is tiny (distinct surface forms) → broadcast;
-    # persisted + eagerly materialized: the broadcast exchange and the
-    # downstream consumers (canonicalization edges, the mention join) would
-    # otherwise recompute both linking paths concurrently and convoy on the
-    # forms/mentions cache locks
+    # The resolved form table is distinct-surface-form-sized — usually tiny,
+    # but at open-web scale the mention vocabulary outgrows any broadcast
+    # threshold, so (like the canonical-mapping join in pipeline.py) there
+    # is NO forced broadcast hint: AQE converts to a broadcast join at
+    # runtime when the side actually fits. Persisted + eagerly
+    # materialized: the downstream consumers (canonicalization edges, the
+    # mention join) would otherwise recompute both linking paths
+    # concurrently and convoy on the forms/mentions cache locks.
     resolved = register(exact.unionByName(knn).persist())
     resolved.count()
     return mentions.withColumn(
         "form", F.lower(F.col("mention"))
-    ).join(F.broadcast(resolved), on="form", how="left").drop("form")
+    ).join(resolved, on="form", how="left").drop("form")

@@ -77,6 +77,130 @@ def cap_mentions_per_sentence(
     )
 
 
+class REModel:
+    """Batched relation-extraction model contract — the reference's
+    ``REModel`` (mining/relation.py:26-98) with ``predict_probs`` ported to
+    the Arrow-batch shape the north rule mandates:
+
+    * ``classes`` — relation class names (relation.py:34-41),
+    * ``symbols`` — entity_type → (left, right) annotation symbols
+      (relation.py:89-98),
+    * ``predict_probs_batch(pd.Series) -> pd.DataFrame`` — one column per
+      class, one row per annotated sentence: the reference's per-sentence
+      ``pd.Series`` probability vector (relation.py:43-61), vectorized.
+
+    ``predict`` (argmax + confidence, relation.py:63-87) is what
+    :func:`remodel_scorer` applies column-wise after the batch call.
+    """
+
+    classes: list[str]
+    symbols: dict[str, tuple[str, str]]
+
+    def predict_probs_batch(self, annotated):  # pragma: no cover - contract
+        raise NotImplementedError
+
+
+class StartWithSameLetterModel(REModel):
+    """The reference's own deterministic toy REModel
+    (``StartWithTheSameLetter``, relation.py:252-284) under the batched
+    probability contract: P=1 for the matching class, 0 otherwise."""
+
+    classes = [SAME, DIFF]
+    symbols: dict[str, tuple[str, str]] = {}
+
+    def __init__(self, entity_types: tuple[str, str] = ("SUBJ", "OBJ")):
+        self.symbols = {
+            entity_types[0]: ("[[ ", " ]]"),
+            entity_types[1]: ("<< ", " >>"),
+        }
+
+    def predict_probs_batch(self, annotated):
+        import pandas as pd
+
+        def probs(s: str) -> tuple[float, float]:
+            # first letters of the two annotated entities
+            import re
+
+            m1 = re.search(r"\[\[ (.)", s)
+            m2 = re.search(r"<< (.)", s)
+            same = (
+                m1 is not None
+                and m2 is not None
+                and m1.group(1).lower() == m2.group(1).lower()
+            )
+            return (1.0, 0.0) if same else (0.0, 1.0)
+
+        return pd.DataFrame(
+            [probs(s) for s in annotated], columns=self.classes,
+            index=annotated.index,
+        )
+
+
+def remodel_scorer(
+    models: dict[tuple[str, str], REModel], sentences: DataFrame
+) -> Callable[[DataFrame], DataFrame]:
+    """Build a ``relation_stage`` scorer from a (subj_type, obj_type) →
+    :class:`REModel` registry — the reference's ``models_relations`` dict
+    (mining/pipeline.py:131-156), like ``ner_stage_multi`` is for NER.
+
+    The returned scorer joins the sentence text back onto the pairs (the
+    pairs stream carries only offsets), then runs ONE Arrow pass per batch:
+    rows group by type pair, each group's sentences are annotated with that
+    model's symbols (:func:`annotate_sentence`) and scored with one
+    ``predict_probs_batch`` call; ``property`` is the per-row argmax class
+    and ``property_prob`` its probability (``predict(return_prob=True)``,
+    relation.py:63-87).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def scorer(pairs: DataFrame) -> DataFrame:
+        with_text = pairs.join(
+            sentences.select(*SENTENCE_KEY, "text"), on=SENTENCE_KEY
+        )
+        out_schema = T.StructType(
+            list(with_text.schema.fields)
+            + [
+                T.StructField("property", T.StringType(), False),
+                T.StructField("property_prob", T.DoubleType(), False),
+            ]
+        )
+
+        def _score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                prop = pd.Series("", index=pdf.index, dtype=object)
+                prob = pd.Series(0.0, index=pdf.index)
+                for (st, ot), grp in pdf.groupby(["s_type", "o_type"]):
+                    model = models.get((st, ot))
+                    if model is None:
+                        continue  # pair filter should have removed these
+                    sym1 = model.symbols.get(st, ("[[ ", " ]]"))
+                    sym2 = model.symbols.get(ot, ("<< ", " >>"))
+                    annotated = grp.apply(
+                        lambda r: annotate_sentence(
+                            r["text"],
+                            (r["s_start"], r["s_end"]),
+                            (r["o_start"], r["o_end"]),
+                            sym1,
+                            sym2,
+                        ),
+                        axis=1,
+                    )
+                    probs = model.predict_probs_batch(annotated)
+                    prop.loc[grp.index] = probs.idxmax(axis=1)
+                    prob.loc[grp.index] = probs.max(axis=1)
+                pdf = pdf.copy()
+                pdf["property"] = prop
+                pdf["property_prob"] = prob
+                yield pdf
+
+        return with_text.mapInPandas(_score, schema=out_schema)
+
+    return scorer
+
+
 def relation_stage(
     mentions: DataFrame,
     relation_pairs: DataFrame,
@@ -146,6 +270,9 @@ def relation_stage(
     else:
         pairs = scorer(pairs)
 
+    # a probability-contract scorer (remodel_scorer) adds property_prob —
+    # keep it when present (predict(return_prob=True), relation.py:63-87)
+    extra = ["property_prob"] if "property_prob" in pairs.columns else []
     return pairs.select(
         *SENTENCE_KEY,
         "section",
@@ -156,4 +283,5 @@ def relation_stage(
         "property",
         F.col("o_mention").alias("property_value"),
         F.col("o_type").alias("property_value_type"),
+        *extra,
     )

@@ -33,12 +33,16 @@ from search_spark import datagen
 
 
 def _lit(v) -> str:
+    if v is None:
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
         # fixed 6-dp decimal string; the SELECT casts to DOUBLE so both
         # engines hold the identical (correctly-rounded) binary double
         return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_lit(x) for x in v) + "]"
     return str(v)
 
 
@@ -227,3 +231,208 @@ def multiformat_oracle_sql(n: int = 40) -> str:
     return values_sql(
         multiformat_expected_rows(n), ["url", "uid", "ppos", "section", "text"]
     )
+
+
+# --------------------------------------------------------------------------
+# pubmed_topic_extract / topic_rules_extracted — PubMed <MeshHeadingList>
+# topic extraction (topic.py:464-487) + journal-topic catalog join
+# (topic.py:489-517, HTTP lookup → local dim table) feeding real topic rules
+# --------------------------------------------------------------------------
+
+TOPIC_POOL = [
+    "Neuroscience",
+    "Neurology",
+    "Genomics",
+    "Clinical Medicine",
+    "Retracted Publication",
+    "Epidemiology",
+    "Machine Learning",
+]
+
+# local NLM-catalog stand-in: MedlineTA → journal MeSH descriptor names
+JOURNAL_CATALOG: dict[str, list[str]] = {
+    "J Synth 0": ["Clinical Medicine", "Biology"],
+    "J Synth 1": ["Neuroscience"],
+    "J Synth 2": [],
+}
+
+
+def _pubmed_topic_params(i: int) -> tuple[list[str], str | None]:
+    """(article_topics, medline_ta) for fixture doc ``i`` — the generation
+    rule both the XML builder and the expected-row derivation share."""
+    if i % 5 == 0:
+        topics: list[str] = []  # no MeshHeadingList at all
+    else:
+        topics = [TOPIC_POOL[i % 7]]
+        if i % 3 != 0:
+            topics.append(TOPIC_POOL[(3 * i + 1) % 7])
+    ta = None if i % 6 == 5 else f"J Synth {i % 3}"
+    return topics, ta
+
+
+def pubmed_topic_fixture_rows(n: int = 60) -> list[tuple[str, str]]:
+    """Deterministic PubMed XML fixtures: (url, xml). The first
+    ``<MeshHeading>`` carries a qualifier and MajorTopicYN to exercise the
+    full ``_parse_mesh_from_pubmed`` traversal (qualifiers must NOT appear
+    among article topics)."""
+    rows = []
+    for i in range(n):
+        topics, ta = _pubmed_topic_params(i)
+        headings = []
+        for j, t in enumerate(topics):
+            qual = (
+                '<QualifierName UI="Q000235" MajorTopicYN="N">genetics'
+                "</QualifierName>"
+                if j == 0
+                else ""
+            )
+            major = "Y" if j == 0 else "N"
+            headings.append(
+                f'<MeshHeading><DescriptorName UI="D{j:06d}" '
+                f'MajorTopicYN="{major}">{t}</DescriptorName>{qual}'
+                f"</MeshHeading>"
+            )
+        mesh = (
+            f"<MeshHeadingList>{''.join(headings)}</MeshHeadingList>"
+            if topics
+            else ""
+        )
+        journal_info = (
+            f"<MedlineJournalInfo><MedlineTA>{ta}</MedlineTA>"
+            f"</MedlineJournalInfo>"
+            if ta is not None
+            else "<MedlineJournalInfo></MedlineJournalInfo>"
+        )
+        xml = (
+            f"<PubmedArticle><MedlineCitation><PMID>{2000 + i}</PMID>"
+            f"{journal_info}{mesh}"
+            f"<Article><ArticleTitle>T{i}</ArticleTitle></Article>"
+            f"</MedlineCitation></PubmedArticle>"
+        )
+        rows.append((f"https://example.org/pm/{i}", xml))
+    return rows
+
+
+def pubmed_topics_oracle_sql(n: int = 60) -> str:
+    """Expected (url, tpos, topic, medline_ta) — one row per extracted
+    article topic, derived from the generation rule (not the parser)."""
+    rows: list[tuple] = []
+    for i in range(n):
+        topics, ta = _pubmed_topic_params(i)
+        for tpos, t in enumerate(topics):
+            rows.append((f"https://example.org/pm/{i}", tpos, t, ta))
+    return values_sql(rows, ["url", "tpos", "topic", "medline_ta"])
+
+
+# --------------------------------------------------------------------------
+# prodigy_annotations — Prodigy JSONL → token rows (annotations2df,
+# mining/eval.py:92-156)
+# --------------------------------------------------------------------------
+
+_PRODIGY_POOL = [
+    "insulin", "helps", "diabetes", "patients", "daily", "dose",
+    "glucose", "level",
+]
+
+
+def _prodigy_params(i: int):
+    """(words, answer, source, spans) of fixture record ``i`` — shared by
+    the JSONL builder and the expected-row derivation."""
+    words = [
+        _PRODIGY_POOL[(2 * i + j) % len(_PRODIGY_POOL)]
+        for j in range(3 + i % 3)
+    ]
+    answer = "reject" if i % 4 == 3 else "accept"
+    source = f"ann{i % 3}.jsonl"
+    if i % 3 == 0:  # multi-token span → B- then I-
+        spans = [{"token_start": 0, "token_end": 1, "label": "chemical"}]
+    elif i % 3 == 1:  # single-token span → lone B-
+        spans = [{"token_start": 1, "token_end": 1, "label": "disease"}]
+    else:  # accepted record with no entities at all
+        spans = []
+    return words, answer, source, spans
+
+
+def prodigy_fixture_lines(n: int = 40) -> list[str]:
+    """Deterministic Prodigy-format JSONL records (the shape
+    ``annotations2df`` consumes: answer / meta.source / tokens with
+    start,end,id / spans with token_start,token_end,label)."""
+    import json
+
+    lines = []
+    for i in range(n):
+        words, answer, source, spans = _prodigy_params(i)
+        tokens, cursor = [], 0
+        for j, w in enumerate(words):
+            tokens.append(
+                {"text": w, "start": cursor, "end": cursor + len(w), "id": j}
+            )
+            cursor += len(w) + 1
+        lines.append(
+            json.dumps(
+                {
+                    "answer": answer,
+                    "meta": {"source": source},
+                    "tokens": tokens,
+                    "spans": spans,
+                }
+            )
+        )
+    return lines
+
+
+def prodigy_expected_rows(n: int = 40) -> list[tuple]:
+    """Expected token rows, re-derived from the generation rule (B- on the
+    first span token, I- on the rest, O elsewhere; rejected records
+    skipped) — not by running the loader."""
+    rows: list[tuple] = []
+    for i in range(n):
+        words, answer, source, spans = _prodigy_params(i)
+        if answer != "accept":
+            continue
+        tags = {}
+        for ent in spans:
+            for ix, tix in enumerate(
+                range(ent["token_start"], ent["token_end"] + 1)
+            ):
+                tags[tix] = ("B-" if ix == 0 else "I-") + ent["label"].upper()
+        cursor = 0
+        for j, w in enumerate(words):
+            rows.append(
+                (source, tags.get(j, "O"), cursor, cursor + len(w), j, w)
+            )
+            cursor += len(w) + 1
+    return rows
+
+
+def prodigy_oracle_sql(n: int = 40) -> str:
+    return values_sql(
+        prodigy_expected_rows(n),
+        ["source", "class", "start_char", "end_char", "id", "text"],
+    )
+
+
+# topic rules for the extracted-topics query (mirrored in SQL below):
+#   accept: article topic ~ ^Neuro, OR journal topic ~ Medicine
+#   reject: any topic ~ Retracted
+def topic_rules_extracted_oracle_sql(n: int = 60) -> str:
+    """VALUES of per-article topic lists (generation-rule ground truth) with
+    the accept/reject logic expressed in SQL — the rule evaluation itself is
+    re-derived by DuckDB, only the lists are Python-derived."""
+    rows: list[tuple] = []
+    for i in range(n):
+        topics, ta = _pubmed_topic_params(i)
+        jt = JOURNAL_CATALOG.get(ta, []) if ta is not None else []
+        rows.append((f"https://example.org/pm/{i}", list(topics), list(jt)))
+    vals = values_sql(rows, ["url", "at", "jt"])
+    return f"""
+WITH lists AS ({vals})
+SELECT url,
+       CAST(CASE WHEN
+         NOT (len(list_filter(at, x -> regexp_matches(x, 'Retracted'))) > 0
+              OR len(list_filter(jt, x -> regexp_matches(x, 'Retracted'))) > 0)
+         AND (len(list_filter(at, x -> regexp_matches(x, '^Neuro'))) > 0
+              OR len(list_filter(jt, x -> regexp_matches(x, 'Medicine'))) > 0)
+       THEN 1 ELSE 0 END AS INTEGER) AS accepted
+FROM lists
+"""

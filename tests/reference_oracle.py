@@ -110,6 +110,32 @@ def load_reference_eval_module():
     return eval_module
 
 
+def load_reference_topic_module():
+    """Import ``bluesearch.database.topic`` as a test-time oracle; stub
+    ``requests`` (the NLM-catalog HTTP client — never called by the
+    local-XML functions under test)."""
+    if _REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, _REFERENCE_SRC)
+    load_reference_article_module()  # installs shared stubs
+
+    if "requests" not in sys.modules:
+        try:
+            import requests  # noqa: F401
+        except ImportError:
+            rq = types.ModuleType("requests")
+
+            def _no_http(*a, **k):  # pragma: no cover - never called
+                raise RuntimeError("HTTP disabled in sandbox tests")
+
+            rq.get = _no_http
+            rq.post = _no_http
+            sys.modules["requests"] = rq
+
+    import bluesearch.database.topic as topic_module
+
+    return topic_module
+
+
 def load_reference_attribute_module():
     """Import ``bluesearch.mining.attribute`` for the measurement-type-vote
     oracle; stub the notebook/server deps (ipywidgets, IPython, displacy,
