@@ -210,6 +210,49 @@ def test_mapping_join_survives_no_broadcast(spark):
             spark.conf.set(k, v)
 
 
+def test_flagship_large_vocabulary_completes_partitioned(spark):
+    """The datagen vocabulary-blowup knob: every doc contributes globally
+    unique surface forms (open-web mention vocabulary), and the broadcast
+    thresholds are clamped to 4 KB so neither the resolved-forms table nor
+    the canonical mapping can broadcast — the flagship must complete
+    through partitioned joins and still emit one has_type triple per
+    unique compound mention."""
+    from search_spark.operators.patterns import PatternStore
+    from search_spark.pipeline import PipelineConfig
+
+    n_docs, k = 120, 12
+    pages = datagen.generate_web_pages(
+        spark, n_docs, seed=41, partitions=4, unique_terms_per_doc=k
+    ).cache()
+    n_en = pages.filter(F.col("lang") == "en").count()
+    store = PatternStore().add_regex("CHEMICAL", r"cmpd\d+q\d+")
+    cfg = PipelineConfig(models={"CHEMICAL": store})
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold":
+            spark.conf.get(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+            ),
+    }
+    try:
+        for key in saved:
+            spark.conf.set(key, "4096")
+        triples = build_triples(spark, pages, cfg)
+        typed = triples.filter(F.col("pred") == "has_type")
+        # every unique term of every english doc surfaced exactly once
+        # (a small fraction kNN-links above threshold and carries a
+        # canonical concept id as subj instead of the raw form)
+        assert typed.count() == n_en * k
+        n_raw = typed.filter(F.col("subj").rlike("^cmpd")).count()
+        assert n_raw >= int(0.9 * n_en * k)
+    finally:
+        pages.unpersist()
+        for key, v in saved.items():
+            spark.conf.set(key, v)
+
+
 def test_mapping_join_has_no_forced_broadcast_hint(spark):
     """The plan must not carry a ResolvedHint/forced broadcast on the
     mapping side: with thresholds at -1, a hinted join would still show
