@@ -291,6 +291,51 @@ def spans_to_text(
     )
 
 
+def model2df(
+    matcher,
+    ground_truth_tokenization: list[str],
+    not_entity_symbol: str = "O",
+    excluded_entity_type: str | None = "NaE",
+):
+    """Model predictions aligned to a ground-truth tokenization — port of
+    ``spacy2df`` (mining/eval.py:158-228) with the engine's matcher as the
+    model slot: the reference builds a spaCy ``Doc`` from the ground-truth
+    words and runs the model pipeline over it so predictions share the
+    annotation tokenization; here the matcher runs over the space-joined
+    words and char spans map back to token indices. A span that does not
+    land on token boundaries yields no entity (spaCy's ``char_span`` →
+    ``None`` behavior); ``excluded_entity_type`` spans are dropped like the
+    reference's ``doc.ents`` filter (eval.py:202-208).
+
+    Returns a pandas DataFrame with columns ``class`` (IOB2 tag) and
+    ``text`` — the shape ``annotations2df`` produces, so truth and
+    prediction frames align row-for-row.
+    """
+    import pandas as pd
+
+    words = list(ground_truth_tokenization)
+    text = " ".join(words)
+    bounds = []
+    cursor = 0
+    for w in words:
+        bounds.append((cursor, cursor + len(w)))
+        cursor += len(w) + 1
+    start_to_ix = {s: i for i, (s, _) in enumerate(bounds)}
+    end_to_ix = {e: i for i, (_, e) in enumerate(bounds)}
+    tags = [not_entity_symbol] * len(words)
+    for start, end, _mention, etype in matcher.find(text):
+        if excluded_entity_type is not None and etype == excluded_entity_type:
+            continue
+        i = start_to_ix.get(start)
+        j = end_to_ix.get(end)
+        if i is None or j is None:
+            continue
+        tags[i] = f"B-{etype}"
+        for k in range(i + 1, j + 1):
+            tags[k] = f"I-{etype}"
+    return pd.DataFrame({"class": tags, "text": words})
+
+
 def ner_errors(
     truth_spans: DataFrame,
     pred_spans: DataFrame,
@@ -302,9 +347,10 @@ def ner_errors(
     """False-negative / false-positive span listing — the reference's
     ``ner_errors`` entity mode (mining/eval.py:536-581): per entity type,
     truth and pred spans outer-merge on (start, end); ``left_only`` rows are
-    the false negatives, ``right_only`` the false positives. Here the
-    outer-merge-with-indicator is two anti-joins (no indicator column
-    materialized, no full outer shuffle of matched rows).
+    the false negatives, ``right_only`` the false positives. One full-outer
+    join with presence indicators — each span subtree (often a window pass)
+    is computed exactly once, where a two-anti-join formulation would scan
+    both subtrees twice.
 
     Returns ``keys + [by, start_col, end_col, kind]`` with ``kind`` ∈
     {'false_neg', 'false_pos'}; attach surface text with
@@ -312,15 +358,22 @@ def ner_errors(
     """
     keys = keys or ["url", "ppos", "spos"]
     cols = keys + [by, start_col, end_col]
-    t = truth_spans.select(*cols).dropDuplicates(cols)
-    p = pred_spans.select(*cols).dropDuplicates(cols)
-    fn = t.join(p, on=cols, how="left_anti").withColumn(
-        "kind", F.lit("false_neg")
+    t = truth_spans.select(*cols).dropDuplicates(cols).withColumn(
+        "_t", F.lit(1)
     )
-    fp = p.join(t, on=cols, how="left_anti").withColumn(
-        "kind", F.lit("false_pos")
+    p = pred_spans.select(*cols).dropDuplicates(cols).withColumn(
+        "_p", F.lit(1)
     )
-    return fn.unionByName(fp)
+    return (
+        t.join(p, on=cols, how="full")
+        .filter(F.col("_t").isNull() | F.col("_p").isNull())
+        .select(
+            *cols,
+            F.when(F.col("_p").isNull(), F.lit("false_neg"))
+            .otherwise(F.lit("false_pos"))
+            .alias("kind"),
+        )
+    )
 
 
 def triple_level_pr(truth: DataFrame, pred: DataFrame) -> dict:

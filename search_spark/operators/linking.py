@@ -179,16 +179,22 @@ def link_stage(
         )
     )
 
-    # The resolved form table is distinct-surface-form-sized — usually tiny,
-    # but at open-web scale the mention vocabulary outgrows any broadcast
-    # threshold, so (like the canonical-mapping join in pipeline.py) there
-    # is NO forced broadcast hint: AQE converts to a broadcast join at
-    # runtime when the side actually fits. Persisted + eagerly
+    # The resolved form table is distinct-surface-form-sized — usually
+    # tiny, but at open-web scale the mention vocabulary outgrows any
+    # broadcast threshold. Like the canonical-mapping join (pipeline.py),
+    # the hint is gated on the measured count vs the session threshold
+    # (joins.maybe_broadcast): hinting a small side skips the map-side
+    # shuffle write of the big mention stream entirely; a large side
+    # falls back to the partitioned join. Persisted + eagerly
     # materialized: the downstream consumers (canonicalization edges, the
     # mention join) would otherwise recompute both linking paths
     # concurrently and convoy on the forms/mentions cache locks.
+    from search_spark.joins import maybe_broadcast
+
     resolved = register(exact.unionByName(knn).persist())
-    resolved.count()
+    n_resolved = resolved.count()
     return mentions.withColumn(
         "form", F.lower(F.col("mention"))
-    ).join(resolved, on="form", how="left").drop("form")
+    ).join(
+        maybe_broadcast(resolved, n_resolved), on="form", how="left"
+    ).drop("form")

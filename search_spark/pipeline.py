@@ -45,6 +45,12 @@ class PipelineConfig:
     # when set, NER runs ner_stage_multi over this dict instead of the
     # flat `patterns` gazetteer
     models: dict | None = None
+    # (subj_type, obj_type) → REModel registry (reference:
+    # models_relations, mining/pipeline.py:131-156): when set, relation
+    # scoring runs the batched predict_probs contract via remodel_scorer
+    # (annotated sentences + per-class probabilities) instead of the
+    # JVM-side StartWithTheSameLetter default
+    re_models: dict | None = None
     link: bool = True
     canonicalize: bool = True
     embedding_dim: int = 64
@@ -117,10 +123,16 @@ def build_triples(
         # UDF chain (observed 6-8× slowdown at local[32]). One count = one
         # clean pass; every later consumer reads the cache.
         mentions.count()
+    scorer = None
+    if cfg.re_models is not None:
+        from search_spark.operators.relations import remodel_scorer
+
+        scorer = remodel_scorer(cfg.re_models, sentences)
     relations = relation_stage(
         mentions,
         datagen.relation_pairs_df(spark),
         max_per_sentence=cfg.max_mentions_per_sentence,
+        scorer=scorer,
     )
     specs = specs_stage(mentions, relations, datagen.mining_schema_df(spark))
 
@@ -147,27 +159,35 @@ def build_triples(
             # consumed twice (subj/obj side) — materialized once so the two
             # join exchanges don't race on the uncached CC output
             mapping = register(canonical_mapping(linked, concepts).persist())
-            mapping.count()
         else:
             mapping = linked.filter(F.col("concept_id").isNotNull()).select(
                 F.lower("mention").alias("form"),
                 F.col("concept_id").alias("canonical_id"),
             ).distinct()
-        # The mapping is distinct-surface-form-sized. For an
-        # ontology-linked subset that is tiny, but on an open-web corpus
-        # the mention vocabulary is 10^8-10^9 forms — far beyond broadcast.
-        # So NO forced broadcast hint here: the mapping is persisted and
-        # counted above, and AQE picks a broadcast-hash join at runtime
-        # when the side actually fits (observed: still broadcasts at bench
-        # vocabulary sizes) and a partitioned join when it does not.
-        # tests/test_round3_fixes.py proves the non-broadcastable path.
-        subj_map = mapping.select(
-            F.col("form").alias("_subj_form"),
-            F.col("canonical_id").alias("subj_canonical"),
+        n_mapping = mapping.count()
+        # The mapping is distinct-surface-form-sized: tiny for an
+        # ontology-linked subset, 10^8-10^9 rows of open-web mention
+        # vocabulary. The broadcast hint is GATED on the measured count
+        # (the barrier above) vs the session's own broadcast threshold
+        # (joins.maybe_broadcast): small vocabulary → hint, zero shuffle
+        # of the large specs stream; large vocabulary → no hint, AQE plans
+        # the partitioned join. tests/test_round3_fixes.py drives the
+        # non-broadcastable path end-to-end.
+        from search_spark.joins import maybe_broadcast
+
+        subj_map = maybe_broadcast(
+            mapping.select(
+                F.col("form").alias("_subj_form"),
+                F.col("canonical_id").alias("subj_canonical"),
+            ),
+            n_mapping,
         )
-        obj_map = mapping.select(
-            F.col("form").alias("_obj_form"),
-            F.col("canonical_id").alias("obj_canonical"),
+        obj_map = maybe_broadcast(
+            mapping.select(
+                F.col("form").alias("_obj_form"),
+                F.col("canonical_id").alias("obj_canonical"),
+            ),
+            n_mapping,
         )
         specs = (
             specs.withColumn("_subj_form", F.lower(F.col("entity")))

@@ -52,12 +52,16 @@ def mine_texts(
 
 
 def compute_embeddings(
-    sentences: DataFrame, text_col: str = "text", dim: int = 64
+    sentences: DataFrame, text_col: str = "text", dim: int = 64,
+    model=None,
 ) -> DataFrame:
     """Embed a sentence table — the ``compute_embeddings`` entrypoint
     (embedding_models.py:240-296) minus the H5 side-file: the embedding is
-    a co-located ``array<float>`` column (SURVEY.md §1.1)."""
-    return embed_text_column(sentences, text_col, "embedding", dim)
+    a co-located ``array<float>`` column (SURVEY.md §1.1). ``model``
+    accepts any EmbeddingModel implementation (hash-embed default,
+    ``TfidfEmbeddingModel``, …) — the reference's ``get_embedding_model``
+    dispatch (embedding_models.py:300-338)."""
+    return embed_text_column(sentences, text_col, "embedding", dim, model)
 
 
 def search_sentences(

@@ -315,6 +315,69 @@ def test_remodel_scorer_dispatches_per_type_pair(spark):
     assert all(r["property_prob"] == pytest.approx(0.9) for r in up)
 
 
+def test_model2df_token_bridge():
+    """spacy2df-shaped bridge: predictions align to the ground-truth
+    tokenization, multi-token phrases produce B-/I- runs, NaE spans are
+    excluded, non-token-aligned matches yield no entity."""
+    from search_spark.operators.evaluation import model2df
+    from search_spark.operators.ner import GazetteerMatcher
+
+    matcher = GazetteerMatcher(
+        [("DNA polymerase", "PROTEIN"), ("Widget", "NaE"),
+         ("Glucose", "CHEMICAL")]
+    )
+    tokens = ["Glucose", "binds", "DNA", "polymerase", "near", "Widget"]
+    df = model2df(matcher, tokens)
+    assert list(df["text"]) == tokens
+    assert list(df["class"]) == [
+        "B-CHEMICAL", "O", "B-PROTEIN", "I-PROTEIN", "O", "O",
+    ]
+    # a match that crosses token boundaries is dropped (char_span → None)
+    m2 = GazetteerMatcher([("cose bi", "CHEMICAL")])
+    df2 = model2df(m2, ["Glucose", "binds"])
+    assert list(df2["class"]) == ["O", "O"]
+
+
+def test_model2df_aligns_with_annotations2df(tmp_path):
+    """The notes contract (eval.py:193-196): run annotations2df first, feed
+    its token column as the ground-truth tokenization — both frames align
+    row-for-row for eval joins."""
+    import pandas as pd
+
+    from search_spark.extraction.prodigy import annotation_rows
+    from search_spark.operators.evaluation import model2df
+    from search_spark.operators.ner import GazetteerMatcher
+    from search_spark.oracles import prodigy_fixture_lines
+
+    rows = [r for ln in prodigy_fixture_lines(12) for r in annotation_rows(ln)]
+    truth = pd.DataFrame(rows)
+    matcher = GazetteerMatcher([("insulin", "CHEMICAL")])
+    pred = model2df(matcher, truth["text"].to_list())
+    assert len(pred) == len(truth)
+    assert (pred["text"] == truth["text"]).all()
+    assert set(pred.loc[pred["text"] == "insulin", "class"]) == {"B-CHEMICAL"}
+
+
+def test_pipeline_re_models_matches_default_path(spark):
+    """PipelineConfig.re_models: wiring the probability-contract scorer
+    into the flagship with the reference's own toy model must reproduce
+    the default JVM StartWithTheSameLetter triples exactly."""
+    from search_spark import datagen
+    from search_spark.operators.relations import StartWithSameLetterModel
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 12, seed=33, partitions=2)
+    base = build_triples(spark, pages, PipelineConfig()).collect()
+    re_models = {
+        pair: StartWithSameLetterModel(pair)
+        for pair in datagen.RELATION_PAIRS
+    }
+    probd = build_triples(
+        spark, pages, PipelineConfig(re_models=re_models)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, probd))
+
+
 def test_ner_errors_operator(spark):
     from search_spark.operators.evaluation import ner_errors
 

@@ -179,6 +179,42 @@ def test_canonical_url_duckdb_oracle_parity():
         assert got == want, raw
 
 
+# -- size-gated broadcast ---------------------------------------------------
+
+def test_broadcast_row_limit_parses_threshold(spark):
+    from search_spark.joins import broadcast_row_limit
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, expect in [
+            ("-1", 0),
+            ("0", 0),
+            ("4096", 64),
+            ("1MB", (1 << 20) // 64),
+            ("10mb", 10 * (1 << 20) // 64),
+            ("1048576b", (1 << 20) // 64),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert broadcast_row_limit(spark) == expect, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_maybe_broadcast_gates_on_count(spark):
+    from search_spark.joins import maybe_broadcast
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+        hinted = maybe_broadcast(df, 10)
+        unhinted = maybe_broadcast(df, 1_000_000)
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 # -- flagship: mapping join without broadcast -------------------------------
 
 def test_mapping_join_survives_no_broadcast(spark):

@@ -58,11 +58,26 @@ def main() -> int:
     p_topic.add_argument("--article-topics-col", default="article_topics")
     p_topic.add_argument("--journal-topics-col", default="journal_topics")
 
+    p_tex = sub.add_parser(
+        "topic-extract",
+        help="extract article topics from a PubMed-XML column "
+             "(topic.py:464-487; journal topics via a local catalog "
+             "parquet instead of the reference's NLM HTTP lookup)",
+    )
+    p_tex.add_argument("--input", required=True,
+                       help="parquet with url + xml columns")
+    p_tex.add_argument("--xml-col", default="html")
+    p_tex.add_argument("--catalog", default=None,
+                       help="optional parquet (medline_ta, journal_topics)")
+
     p_embed = sub.add_parser("embed", help="embed a sentence parquet table")
     p_embed.add_argument("--input", required=True)
     p_embed.add_argument("--output", required=True)
     p_embed.add_argument("--text-col", default="text")
     p_embed.add_argument("--dim", type=int, default=64)
+    p_embed.add_argument("--model", default="hash", choices=["hash", "tfidf"],
+                         help="EmbeddingModel implementation (hash-embed or "
+                              "corpus-fitted TF-IDF)")
 
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
@@ -131,10 +146,44 @@ def main() -> int:
         df = table.withColumn("accept", ok).select("url", "source", "accept") \
             if "url" in table.columns else table.withColumn("accept", ok)
         print(df.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "topic-extract":
+        from pyspark.sql import functions as F
+
+        from search_spark.extraction.topics import (
+            attach_journal_topics,
+            pubmed_topics_stage,
+        )
+
+        pages = spark.read.parquet(args.input)
+        topics = pubmed_topics_stage(pages, xml_col=args.xml_col)
+        cols = ["url", "article_topics", "medline_ta"]
+        if args.catalog:
+            topics = attach_journal_topics(
+                topics, spark.read.parquet(args.catalog)
+            )
+            cols.append("journal_topics")
+        out = topics.select(
+            "url",
+            F.array_join("article_topics", "|").alias("article_topics"),
+            "medline_ta",
+            *(
+                [F.array_join("journal_topics", "|").alias("journal_topics")]
+                if args.catalog
+                else []
+            ),
+        )
+        print(out.toPandas().to_csv(index=False), end="")
     elif args.cmd == "embed":
         sentences = spark.read.parquet(args.input)
+        model = None
+        if args.model == "tfidf":
+            from search_spark.operators.tfidf import TfidfEmbeddingModel
+
+            model = TfidfEmbeddingModel.fit(
+                sentences, args.text_col, max_features=args.dim
+            )
         surfaces.compute_embeddings(
-            sentences, args.text_col, args.dim
+            sentences, args.text_col, args.dim, model=model
         ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows "
               f"to {args.output}")
