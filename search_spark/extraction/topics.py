@@ -147,14 +147,21 @@ _TOPICS_SCHEMA_FIELDS = [
 
 
 def pubmed_topics_stage(
-    df: DataFrame, xml_col: str = "html"
+    df: DataFrame, xml_col: str = "html", on_error: str = "raise"
 ) -> DataFrame:
     """Extract ``(article_topics, medline_ta)`` from a PubMed-XML column.
 
     One vectorized Arrow pass (``mapInPandas``) — the distributed analogue
     of the reference's per-file ``get_topics_for_*`` driver loop; all input
     columns pass through unchanged.
+
+    ``on_error="raise"`` (default) fails loud on malformed XML — the
+    reference's behavior on its curated corpora. ``on_error="skip"`` emits
+    ``([], NULL)`` for unparseable rows instead: on an open-web corpus one
+    corrupt page must not kill a 10^12-document job.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
     schema = T.StructType(list(df.schema.fields) + _TOPICS_SCHEMA_FIELDS)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,7 +169,12 @@ def pubmed_topics_stage(
             pdf = pdf.copy()
             topics, tas = [], []
             for raw in pdf[xml_col]:
-                ts, ta = pubmed_article_topics(raw)
+                try:
+                    ts, ta = pubmed_article_topics(raw)
+                except ElementTree.ParseError:
+                    if on_error == "raise":
+                        raise
+                    ts, ta = [], None
                 topics.append(ts)
                 tas.append(ta)
             pdf["article_topics"] = topics

@@ -68,10 +68,18 @@ def get_spark(
     extra_conf
         Per-job overrides applied last.
     """
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "PYSPARK_GATEWAY_PORT" in os.environ:
+        # running under spark-submit (PythonRunner started the JVM first):
+        # the gateway already carries --master / --conf from the submit
+        # command line — forcing .master() here would silently override the
+        # cluster the user asked for, so honor the submit-provided one
+        pass
+    else:
+        if master is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
+        builder = builder.master(master)
     conf = dict(_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)

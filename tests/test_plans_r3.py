@@ -1,0 +1,71 @@
+"""Physical-plan audits for the round-3 query surfaces.
+
+Same contract as tests/test_plans.py: every optimization the round-3
+operators rely on must be visible in the executed plan — one Arrow pass
+per Python-boundary stage, broadcast joins for dim tables, top-k as
+TakeOrderedAndProject, and no cartesian products anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.test_plans import SF_DIR, plan_of
+
+
+def _n_ops(plan: str, op: str) -> int:
+    # formatted explain lists each operator in the tree AND the detail
+    # section; count detail headers "(N) <op>" for an exact instance count
+    return len(re.findall(r"\(\d+\) " + op, plan))
+
+
+def test_tfidf_search_plan(spark):
+    # fit state ships in the UDF closure → exactly one Arrow boundary
+    # (the embed pass); cosine + top-k stay JVM-side (codegen + TakeOrdered)
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tfidf_search"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert _n_ops(plan, "MapInPandas") == 1, plan
+    assert "codegen id" in plan
+
+
+def test_prodigy_annotations_single_arrow_pass(spark):
+    # JSONL → token rows is ONE mapInPandas over the raw lines: no join,
+    # no shuffle, no second Python boundary
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["prodigy_annotations"].spark(spark, SF_DIR))
+    assert _n_ops(plan, "MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pubmed_topic_extract_single_arrow_pass(spark):
+    # XML parse is one Arrow pass; posexplode adds no shuffle
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["pubmed_topic_extract"].spark(spark, SF_DIR))
+    assert _n_ops(plan, "MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_topic_rules_extracted_catalog_join_is_broadcast(spark):
+    # the NLM-catalog dim table (the reference's per-article HTTP call,
+    # topic.py:489-517) must join broadcast-side — never a shuffle of the
+    # article stream against a catalog-sized table
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["topic_rules_extracted"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ner_errors_no_cartesian(spark):
+    # FN/FP listing = two anti-joins + a token range join; the range join
+    # is request-sized broadcast, never a cartesian of the corpora
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["ner_errors"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan

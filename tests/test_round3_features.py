@@ -125,6 +125,37 @@ def test_pubmed_topics_stage_and_catalog_join(spark):
         assert list(row["journal_topics"]) == expected_jt
 
 
+def test_pubmed_topics_stage_on_error_skip(spark):
+    """A corrupt page must not kill an open-web job when on_error='skip';
+    the default stays fail-loud (reference behavior on curated corpora)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from search_spark.extraction.topics import pubmed_topics_stage
+    from search_spark.oracles import pubmed_topic_fixture_rows
+
+    rows = pubmed_topic_fixture_rows(3)
+    rows.append(("https://example.org/bad", "<PubmedArticle><unclosed"))
+    pages = spark.createDataFrame(rows, ["url", "html"])
+
+    out = {
+        r["url"]: r
+        for r in pubmed_topics_stage(
+            pages, xml_col="html", on_error="skip"
+        ).collect()
+    }
+    bad = out["https://example.org/bad"]
+    assert list(bad["article_topics"]) == []
+    assert bad["medline_ta"] is None
+    assert len(out) == 4  # good rows still extracted
+
+    with pytest.raises(PythonException, match="ParseError"):
+        pubmed_topics_stage(pages, xml_col="html").collect()
+
+    with pytest.raises(ValueError):
+        pubmed_topics_stage(pages, xml_col="html", on_error="bogus")
+
+
 # -- Prodigy annotations ----------------------------------------------------
 
 def test_annotations2df_parity_vs_reference(tmp_path):
