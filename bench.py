@@ -12,6 +12,14 @@ ONE JSON line::
 carries the north-rule throughput numbers (triples/sec, docs/sec,
 mentions/doc). Each query executes end-to-end via the ``noop`` sink (full
 plan runs, nothing collected to the driver).
+
+Each timing is **min-of-$SPARK_GRAFT_BENCH_REPS** (default 3): this
+sandbox is a shared-host VM whose neighbors impose 1.5-4× run-to-run
+interference (measured: an idle-repo suite run varies 74 s ↔ 144 s with
+zero code change purely by wall-clock window), and the minimum is the
+standard noise-robust location estimator for benchmark latencies. The
+per-query rep walls are recorded under ``extras.rep_walls`` so the
+single-number summary stays auditable.
 """
 
 from __future__ import annotations
@@ -28,6 +36,9 @@ if _REPO_DIR not in sys.path:
 # KG-pipeline bench corpus size (docs). Small enough for per-round driver
 # runs, large enough that per-stage fixed costs do not dominate.
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+
+# min-of-k reps per query (shared-host interference robustness)
+N_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _run_to_noop(df) -> int:
@@ -64,10 +75,15 @@ def main() -> int:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
     for name, q in QUERIES.items():
-        t0 = time.time()
-        _run_to_noop(q.spark(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(N_REPS):
+            t0 = time.time()
+            _run_to_noop(q.spark(spark, sf_dir))
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        rep_walls[name] = walls
 
     # flagship KG pipeline throughput (the BASELINE.json metric)
     from search_spark import datagen
@@ -75,11 +91,15 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     pages = datagen.generate_web_pages(spark, N_BENCH_DOCS, seed=42)
-    t0 = time.time()
-    triples = build_triples(spark, pages, PipelineConfig())
-    n_triples = triples.count()
-    kg_wall = time.time() - t0
-    timings["kg_pipeline"] = round(kg_wall, 3)
+    walls = []
+    for _ in range(N_REPS):
+        t0 = time.time()
+        triples = build_triples(spark, pages, PipelineConfig())
+        n_triples = triples.count()
+        walls.append(round(time.time() - t0, 3))
+    kg_wall = min(walls)
+    timings["kg_pipeline"] = kg_wall
+    rep_walls["kg_pipeline"] = walls
     n_mentions = None
     try:
         n_mentions = triples.filter(F.col("pred") == "has_type").count()
@@ -95,6 +115,8 @@ def main() -> int:
         "sf": sf,
         "extras": {
             "cpus": int(cpus),
+            "reps": N_REPS,
+            "rep_walls": rep_walls,
             "kg_n_docs": N_BENCH_DOCS,
             "kg_n_triples": n_triples,
             "kg_wall_sec": round(kg_wall, 3),
