@@ -1547,10 +1547,14 @@ FROM events GROUP BY event_type
 
 def _q_streaming_window_counts(spark, sf_dir):
     # real Structured Streaming execution (readStream → watermark → window
-    # agg → AvailableNow); bounded source ⇒ result equals the batch GROUP BY
+    # agg → AvailableNow); bounded source ⇒ result equals the batch GROUP BY.
+    # State is O(days × event types) here — a handful of state partitions,
+    # not scan-width many (see streaming.windowed._state_partitions)
     from search_spark.streaming.windowed import windowed_event_counts
 
-    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+    return windowed_event_counts(
+        spark, f"{sf_dir}/events.parquet", state_partitions=4
+    )
 
 
 _SQL_STREAMING_WINDOW_COUNTS = """

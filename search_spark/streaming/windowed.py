@@ -26,6 +26,7 @@ Two sink paths with different state stories:
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 
@@ -33,11 +34,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
+    query's STATE layout.
+
+    A streaming aggregation's state-store partition count is fixed by the
+    shuffle-partition conf at first start (it persists in the checkpoint).
+    State volume is O(open windows × types) — unrelated to scan width — so
+    a tiny-state query over a wide session pays per-micro-batch task
+    overhead for dozens of near-empty state partitions (measured 2.4× on
+    the bounded oracle query at local[32]). Size state to the state, not
+    to the scan.
+    """
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,
     window_length: str = "1 day",
     watermark_delay: str = "1 hour",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Tumbling-window event counts per type, computed via a real
     streaming query (file source → memory sink, AvailableNow).
@@ -72,14 +98,15 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window_length).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("w_start"), "event_type", "n"
     )
@@ -92,6 +119,7 @@ def windowed_event_counts_to_files(
     checkpoint_dir: str,
     window_length: str = "1 day",
     watermark_delay: str = "1 hour",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Production sink: append-mode windowed counts to a parquet table.
 
@@ -114,15 +142,16 @@ def windowed_event_counts_to_files(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n")
     )
-    query = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     try:
         return spark.read.parquet(out_dir)
     except Exception:  # no window closed → sink dir has no parquet yet

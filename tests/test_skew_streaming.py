@@ -58,3 +58,24 @@ def test_streaming_window_counts_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_state_partitions_knob(spark):
+    # sizing the state store (not the scan) must not change results, and
+    # the session conf must be restored afterwards
+    path = f"{SF_DIR}/events.parquet"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # collect eagerly: both runs share the memory-sink table name, so the
+    # first result must be materialized before the second query replaces it
+    wide_rows = sorted(map(tuple, windowed_event_counts(spark, path).collect()))
+    narrow_rows = sorted(
+        map(
+            tuple,
+            windowed_event_counts(
+                spark, path, state_partitions=4
+            ).collect(),
+        )
+    )
+    assert wide_rows == narrow_rows
+    assert len(narrow_rows) > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
