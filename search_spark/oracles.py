@@ -436,3 +436,145 @@ SELECT url,
        THEN 1 ELSE 0 END AS INTEGER) AS accepted
 FROM lists
 """
+
+
+# --------------------------------------------------------------------------
+# mesh_tree_numbers / mesh_resolved_topics — MeSH RDF parse + ancestor
+# resolution (database/mesh.py:91-239; applied in topic_extract.py:172-217)
+# --------------------------------------------------------------------------
+
+_NLM = "http://id.nlm.nih.gov/mesh"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema"
+
+
+def mesh_tree_spec() -> list[tuple[str, str, list[str]]]:
+    """Deterministic (descriptor_id, label, tree_numbers) spec: a three-root
+    hierarchy with one label on two tree numbers (the reference's
+    'subtopic' case) and complete ancestor chains throughout."""
+    spec: list[tuple[str, str, list[str]]] = [
+        ("D000100", "Science", ["A00"]),
+        ("D000200", "Biology", ["A00.100"]),
+        ("D000300", "Neuroscience", ["A00.100.500"]),
+        ("D000400", "Cognitive Science", ["A00.100.500.100"]),
+        ("D000500", "Medicine", ["B00"]),
+        ("D000600", "Internal Medicine", ["B00.200"]),
+        ("D000700", "Cardiology", ["B00.200.300"]),
+        ("D000800", "Disease", ["C00"]),
+        ("D000900", "Heart Diseases", ["C00.100"]),
+        ("D001000", "Arrhythmia", ["C00.100.400"]),
+        # one label under two roots (multi-tree label, mesh.py docstring)
+        ("D001100", "Computation", ["A00.200", "B00.200.800"]),
+        ("D001200", "Genetics", ["A00.100.600"]),
+    ]
+    for i in range(12):
+        root = ["A00", "B00", "C00"][i % 3]
+        spec.append((f"D10{i:04d}", f"Branch {i}", [f"{root}.{700 + i}"]))
+        spec.append(
+            (f"D20{i:04d}", f"Leaf {i}", [f"{root}.{700 + i}.500"])
+        )
+    return spec
+
+
+def mesh_nt_fixture_lines() -> list[str]:
+    """MeSH RDF N-triples for the spec — per descriptor: an @en label, an
+    @fr label (must be ignored), an unrelated predicate, and one
+    treeNumber triple per tree number; plus non-descriptor subject lines
+    (tree-number parent triples) that the parser must skip."""
+    lines: list[str] = []
+    for desc_id, label, tns in mesh_tree_spec():
+        subj = f"<{_NLM}/2024/{desc_id}>"
+        lines.append(f'{subj} <{_RDFS}#label> "{label}"@en .')
+        lines.append(f'{subj} <{_RDFS}#label> "{label} (fr)"@fr .')
+        lines.append(f"{subj} <{_NLM}/vocab#active> true .")
+        for tn in tns:
+            lines.append(
+                f"{subj} <{_NLM}/vocab#treeNumber> <{_NLM}/2024/{tn}> ."
+            )
+            if "." in tn:
+                parent = tn.rsplit(".", 1)[0]
+                lines.append(
+                    f"<{_NLM}/2024/{tn}> <{_NLM}/vocab#parent> "
+                    f"<{_NLM}/2024/{parent}> ."
+                )
+    return lines
+
+
+def mesh_tree_expected() -> dict[str, str]:
+    return {
+        tn: label for _id, label, tns in mesh_tree_spec() for tn in tns
+    }
+
+
+_P_LINE_SQL = r"^(<.*>) (<.*>) (.*) \.$"
+
+
+def mesh_tree_oracle_sql() -> str:
+    """Re-derive the (tree_number, label) parse relationally in DuckDB —
+    the same regex pipeline over the same raw lines."""
+    vals = values_sql(
+        [(ln,) for ln in mesh_nt_fixture_lines()], ["line"]
+    )
+    return f"""
+WITH lines AS ({vals}),
+tr AS (
+  SELECT regexp_extract(trim(line), '{_P_LINE_SQL}', 1) AS subj,
+         regexp_extract(trim(line), '{_P_LINE_SQL}', 2) AS pred,
+         regexp_extract(trim(line), '{_P_LINE_SQL}', 3) AS obj
+  FROM lines WHERE trim(line) <> ''),
+d AS (
+  SELECT regexp_extract(
+           subj, '^<http://id\\.nlm\\.nih\\.gov/mesh/\\d{{4}}/(D\\d{{3,}})>$',
+           1) AS id,
+         pred, obj
+  FROM tr),
+labels AS (
+  SELECT id, regexp_extract(obj, '^"(.*)"@en$', 1) AS label
+  FROM d
+  WHERE id <> '' AND pred = '<{_RDFS}#label>'
+    AND regexp_matches(obj, '^"(.*)"@en$')),
+trees AS (
+  SELECT id,
+         regexp_extract(
+           obj, '^<http://id\\.nlm\\.nih\\.gov/mesh/\\d{{4}}/(.*)>$',
+           1) AS tree_number
+  FROM d
+  WHERE id <> '' AND pred = '<{_NLM}/vocab#treeNumber>')
+SELECT t.tree_number, l.label
+FROM trees t JOIN labels l USING (id)
+"""
+
+
+MESH_TOPIC_DOCS_N = 40
+
+
+def mesh_topic_doc_rows(n: int = MESH_TOPIC_DOCS_N) -> list[tuple]:
+    """(url, topics) rows whose topic lists draw from the tree's labels,
+    plus an out-of-tree label (must pass through unexpanded) and empty
+    lists (must produce no output rows)."""
+    labels = [label for _id, label, _tns in mesh_tree_spec()]
+    rows: list[tuple] = []
+    for i in range(n):
+        url = f"https://example.org/mesh/{i}"
+        if i % 7 == 0:
+            topics: list[str] = []
+        else:
+            topics = [labels[i % len(labels)]]
+            if i % 3 != 0:
+                topics.append(labels[(5 * i + 2) % len(labels)])
+            if i % 5 == 0:
+                topics.append("Unlisted Topic")
+        rows.append((url, topics))
+    return rows
+
+
+def mesh_resolved_oracle_sql(n: int = MESH_TOPIC_DOCS_N) -> str:
+    """Python-derived ground truth: the pure-Python resolve_parents mirror
+    (parity-tested against the reference module) applied per document."""
+    from search_spark.extraction.mesh import resolve_parents
+
+    tree = mesh_tree_expected()
+    rows: list[tuple] = []
+    for url, topics in mesh_topic_doc_rows(n):
+        for topic in sorted(resolve_parents(topics, tree)):
+            rows.append((url, topic))
+    return values_sql(rows, ["url", "topic"])

@@ -2617,6 +2617,41 @@ def _q_topic_rules_extracted(spark, sf_dir):
     return enriched.select("url", ok.cast("int").alias("accepted"))
 
 
+def _mesh_lines_df(spark):
+    from search_spark.oracles import mesh_nt_fixture_lines
+
+    return spark.createDataFrame(
+        [(ln,) for ln in mesh_nt_fixture_lines()], ["value"]
+    )
+
+
+def _q_mesh_tree_numbers(spark, sf_dir):
+    """Distributed MeSH RDF N-triples parse (mesh.py:157-239): raw lines →
+    (tree_number, label), pure JVM regex over the scan — the reference
+    streams the ~half-GB .nt file single-threaded on the driver."""
+    from search_spark.extraction.mesh import tree_numbers_stage
+
+    return tree_numbers_stage(_mesh_lines_df(spark))
+
+
+def _q_mesh_resolved_topics(spark, sf_dir):
+    """Topic lists expanded with all MeSH ancestor topics
+    (mesh.py:91-155 resolve_parents, applied in topic_extract.py:172-217
+    before rule filtering): broadcast (tree_number, label) dim + prefix
+    slices via transform/slice higher-order functions — zero UDF."""
+    from search_spark.extraction.mesh import (
+        resolve_parent_topics,
+        tree_numbers_stage,
+    )
+    from search_spark.oracles import mesh_topic_doc_rows
+
+    tree = tree_numbers_stage(_mesh_lines_df(spark), validate=False)
+    docs = spark.createDataFrame(
+        mesh_topic_doc_rows(), schema="url string, topics array<string>"
+    )
+    return resolve_parent_topics(docs, tree, ["url"], topics_col="topics")
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -2708,6 +2743,12 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["prodigy_annotations"] = Q(
         _q_prodigy_annotations, oracles.prodigy_oracle_sql(PRODIGY_N)
+    )
+    QUERIES["mesh_tree_numbers"] = Q(
+        _q_mesh_tree_numbers, oracles.mesh_tree_oracle_sql()
+    )
+    QUERIES["mesh_resolved_topics"] = Q(
+        _q_mesh_resolved_topics, oracles.mesh_resolved_oracle_sql()
     )
 
 

@@ -178,3 +178,12 @@ def load_reference_attribute_module():
     import bluesearch.mining.attribute as attribute_module
 
     return attribute_module
+
+
+def load_reference_mesh_module():
+    """The reference's MeSH tree utilities (database/mesh.py) — pure
+    stdlib, importable directly once shared stubs are installed."""
+    load_reference_article_module()  # installs shared stubs
+    from bluesearch.database import mesh
+
+    return mesh

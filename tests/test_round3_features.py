@@ -430,3 +430,89 @@ def test_ner_errors_operator(spark):
         (1, "DIS", 7, 8): "false_pos",
         (2, "CHEM", 3, 4): "false_pos",
     }
+
+
+# -- MeSH tree / ancestor resolution ----------------------------------------
+
+def test_mesh_parse_parity_vs_reference():
+    """parse_tree_numbers: line-for-line parity with the reference parser
+    on the engine's NT fixture AND the reference's own test case."""
+    import io
+    import textwrap
+
+    from reference_oracle import load_reference_mesh_module
+
+    from search_spark.extraction import mesh
+    from search_spark.oracles import mesh_nt_fixture_lines
+
+    ref = load_reference_mesh_module()
+    lines = mesh_nt_fixture_lines()
+    ours = mesh.parse_tree_numbers(lines)
+    theirs = ref.parse_tree_numbers(io.StringIO("\n".join(lines) + "\n"))
+    assert ours == theirs
+
+    # the reference's own unit fixture (test_mesh.py:107-120)
+    nlm = "http://id.nlm.nih.gov/mesh"
+    rdf = "http://www.w3.org/2000/01/rdf-schema"
+    data = textwrap.dedent(f"""\
+    <{nlm}/2022/D123> <{rdf}#label> "Topic"@en .
+    <{nlm}/2022/D123> <{rdf}#label> "Sujet"@fr .
+    <{nlm}/2022/D123> <{rdf}#some-tag> some-value .
+    <{nlm}/2022/D123> <{nlm}/vocab#treeNumber> <{nlm}/2022/A00.123.456> .
+    <{nlm}/2022/A00.123.456> <{nlm}/vocab#parent> <{nlm}/2022/A00.123> .
+    """)
+    assert mesh.parse_tree_numbers(data.splitlines()) == {
+        "A00.123.456": "Topic"
+    }
+
+
+def test_mesh_resolve_parents_parity_vs_reference():
+    from reference_oracle import load_reference_mesh_module
+
+    from search_spark.extraction import mesh
+    from search_spark.oracles import mesh_tree_expected, mesh_topic_doc_rows
+
+    ref = load_reference_mesh_module()
+    tree = mesh_tree_expected()
+    ref_tree = ref.MeSHTree(tree)
+    assert mesh.parents("A0.123.456") == list(
+        ref.MeSHTree.parents("A0.123.456")
+    )
+    for _url, topics in mesh_topic_doc_rows():
+        known = [t for t in topics if t != "Unlisted Topic"]
+        assert mesh.resolve_parents(known, tree) == ref.resolve_parents(
+            known, ref_tree
+        )
+
+
+def test_mesh_tree_numbers_stage_validation(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from search_spark.extraction.mesh import tree_numbers_stage
+    from search_spark.oracles import mesh_nt_fixture_lines
+
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("not a triple at all",)] + [(l,) for l in mesh_nt_fixture_lines()],
+        ["value"],
+    )
+    with pytest.raises(RuntimeError, match="not valid triples"):
+        tree_numbers_stage(bad)
+
+    dup = spark.createDataFrame(
+        [(mesh_nt_fixture_lines()[0],)] * 2, ["value"]
+    )
+    with pytest.raises(RuntimeError, match=">1 en label"):
+        tree_numbers_stage(dup)
+
+
+def test_mesh_resolution_plan_is_jvm_only(spark):
+    # broadcast dim joins + HOF prefix slices: no python boundary at all
+    from search_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    plan = plan_of(QUERIES["mesh_resolved_topics"].spark(spark, None))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
