@@ -2652,10 +2652,155 @@ def _q_mesh_resolved_topics(spark, sf_dir):
     return resolve_parent_topics(docs, tree, ["url"], topics_col="topics")
 
 
+# -- graph analytics over the materialized triples --------------------------
+
+def _kg_edge_instances(spark, sf_dir):
+    """Entity co-occurrence multigraph: one (src, dst) row per ordered
+    mention pair within the relation window (``b.tpos - a.tpos ≤
+    REL_DISTANCE``), src the earlier mention. This is the alias/similarity
+    edge table that canonicalization and the graph diagnostics run over —
+    a per-document self-join on the mention table, shuffle-partitioned on
+    ``doc_id`` (never cross-document), NaE already excluded upstream."""
+    m = _doc_mentions(spark, sf_dir)
+    a = m.select(
+        "doc_id",
+        F.col("tpos").alias("a_tpos"),
+        F.col("mention").alias("src"),
+    )
+    b = m.select(
+        "doc_id",
+        F.col("tpos").alias("b_tpos"),
+        F.col("mention").alias("dst"),
+    )
+    return (
+        a.join(b, on="doc_id")
+        .filter(
+            (F.col("b_tpos") > F.col("a_tpos"))
+            & (F.col("b_tpos") - F.col("a_tpos") <= REL_DISTANCE)
+        )
+        .select("src", "dst")
+    )
+
+
+_EDGES_SQL_BODY = f"""
+edges AS (
+  SELECT a.mention AS src, b.mention AS dst
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id
+   AND b.tpos > a.tpos AND b.tpos - a.tpos <= {REL_DISTANCE})
+"""
+
+
+def _q_kg_entity_degree(spark, sf_dir):
+    """Hub detection: provenance-weighted in/out degree plus distinct
+    neighbor counts per entity — the first diagnostic a KG builder runs
+    (head-entity skew is exactly what this surfaces). One shuffle per
+    direction with map-side partial aggregation."""
+    from search_spark.operators.graph import entity_degrees
+
+    return entity_degrees(_kg_edge_instances(spark, sf_dir))
+
+
+_SQL_KG_ENTITY_DEGREE = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+o AS (SELECT src AS entity, COUNT(*) AS out_edges,
+             COUNT(DISTINCT dst) AS out_neighbors
+      FROM edges GROUP BY src),
+i AS (SELECT dst AS entity, COUNT(*) AS in_edges,
+             COUNT(DISTINCT src) AS in_neighbors
+      FROM edges GROUP BY dst)
+SELECT COALESCE(o.entity, i.entity) AS entity,
+       CAST(COALESCE(out_edges, 0) AS BIGINT) AS out_edges,
+       CAST(COALESCE(out_neighbors, 0) AS BIGINT) AS out_neighbors,
+       CAST(COALESCE(in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(COALESCE(in_neighbors, 0) AS BIGINT) AS in_neighbors
+FROM o FULL JOIN i ON o.entity = i.entity
+"""
+
+_PR_ITER = 10
+_PR_DAMPING = 0.85
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """Global entity importance: PageRank over the distinct relation edge
+    set (10 iterations, d=0.85, dangling mass redistributed). Iterative
+    join-aggregate plan with per-round lineage checkpoints — the same
+    loop discipline as the connected-components canonicalizer."""
+    from search_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _kg_edge_instances(spark, sf_dir),
+        n_iter=_PR_ITER,
+        damping=_PR_DAMPING,
+    )
+    return pr.select("entity", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter: int = _PR_ITER,
+                         damping: float = _PR_DAMPING) -> str:
+    """The same fixed-iteration PageRank unrolled into plain CTEs — one
+    (contribution, dangling-mass, rank-update) triple per iteration; no
+    recursion, so DuckDB executes it as a straight-line relational plan."""
+    # every CTE referenced more than once is MATERIALIZED — without it the
+    # inlined expansion of pr{k} is 3^k subtrees, each re-opening the scan
+    parts = ["""
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+nodes AS MATERIALIZED (
+  SELECT src AS entity FROM dedges UNION SELECT dst FROM dedges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+od AS MATERIALIZED (SELECT src AS entity, CAST(COUNT(*) AS DOUBLE) AS od
+       FROM dedges GROUP BY src),
+pr0 AS MATERIALIZED (
+  SELECT entity, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+c{k} AS MATERIALIZED (SELECT e.dst AS entity, SUM(p.rank / o.od) AS s
+  FROM dedges e
+  JOIN pr{k - 1} p ON e.src = p.entity
+  JOIN od o ON o.entity = e.src
+  GROUP BY e.dst),
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS dm
+  FROM pr{k - 1} p LEFT JOIN od o ON o.entity = p.entity
+  WHERE o.entity IS NULL),
+pr{k} AS MATERIALIZED (SELECT nd.entity,
+  {1.0 - damping} / (SELECT c FROM nn)
+  + {damping} * (COALESCE(c{k}.s, 0)
+                 + (SELECT dm FROM d{k}) / (SELECT c FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN c{k} ON c{k}.entity = nd.entity)""")
+    body = ",".join(parts)
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {body}\n"
+        f"SELECT entity, ROUND(rank, 6) AS rank FROM pr{n_iter}"
+    )
+
+
+def _q_kg_two_hop(spark, sf_dir):
+    """Neighborhood expansion: distinct-edge self-join on the hop vertex
+    with per-(src, dst) path counts; shuffles hash-partition both sides
+    on the hop key and the count partial-combines before the final
+    aggregation shuffle."""
+    from search_spark.operators.graph import two_hop
+
+    return two_hop(_kg_edge_instances(spark, sf_dir))
+
+
+_SQL_KG_TWO_HOP = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+dedges AS (SELECT DISTINCT src, dst FROM edges)
+SELECT a.src, b.dst, COUNT(*) AS n_paths
+FROM dedges a JOIN dedges b ON a.dst = b.src
+WHERE a.src <> b.dst
+GROUP BY a.src, b.dst
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
     "kg_doc_triples": Q(_q_kg_doc_triples, _SQL_KG_DOC_TRIPLES),
+    "kg_entity_degree": Q(_q_kg_entity_degree, _SQL_KG_ENTITY_DEGREE),
+    "kg_pagerank": Q(_q_kg_pagerank, _pagerank_oracle_sql()),
+    "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
     "sentence_filter": Q(_q_sentence_filter, _SQL_SENTENCE_FILTER),

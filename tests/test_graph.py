@@ -1,0 +1,128 @@
+"""Graph analytics over the triple table (operators/graph.py).
+
+The reference materializes triples and leaves graph analysis to notebooks;
+these operators make hub detection, PageRank, and two-hop expansion
+engine-native. Ground truth: numpy power iteration (pagerank) and
+hand-computed adjacency facts (degrees, two-hop).
+"""
+
+import numpy as np
+import pytest
+
+from search_spark.operators.graph import entity_degrees, pagerank, two_hop
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+# deterministic digraph: 8 nodes, cycles, a dangling sink, parallel paths
+EDGE_SET = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+    ("d", "e"), ("e", "a"), ("e", "f"), ("f", "g"), ("g", "e"),
+    ("b", "h"),  # h is dangling (no out-edges)
+    ("a", "d"), ("d", "b"),
+]
+
+
+def _numpy_pagerank(edges, n_iter=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in set(edges):
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[out == 0].sum()
+        nxt += d * dangling / n
+        for u, v in set(edges):
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+@pytest.mark.parametrize("local_threshold", [100_000, 0])
+def test_pagerank_matches_numpy_power_iteration(spark, local_threshold):
+    """local_threshold=0 forces the distributed join-aggregate loop; the
+    default takes the driver fallback — both must match the independent
+    numpy power iteration exactly (same double math)."""
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, EDGE_SET),
+            n_iter=10,
+            local_threshold=local_threshold,
+        ).collect()
+    }
+    want = _numpy_pagerank(EDGE_SET, n_iter=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_edges(spark):
+    df = _edges_df(spark, [("a", "b")]).filter("src = 'zzz'")
+    assert pagerank(df).collect() == []
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the operator works on the *distinct* edge set: multigraph input
+    # must give identical ranks
+    once = {
+        r["entity"]: r["rank"]
+        for r in pagerank(_edges_df(spark, EDGE_SET), n_iter=5).collect()
+    }
+    dup = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, EDGE_SET + EDGE_SET), n_iter=5
+        ).collect()
+    }
+    for k in once:
+        assert dup[k] == pytest.approx(once[k], abs=1e-12)
+
+
+def test_entity_degrees_weighted_and_distinct(spark):
+    # b->c twice (weighted 2, distinct 1); d has in-edges only
+    rows = {
+        r["entity"]: r
+        for r in entity_degrees(
+            _edges_df(
+                spark, [("b", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+            )
+        ).collect()
+    }
+    assert rows["b"]["out_edges"] == 3 and rows["b"]["out_neighbors"] == 2
+    assert rows["b"]["in_edges"] == 0 and rows["b"]["in_neighbors"] == 0
+    assert rows["c"]["in_edges"] == 2 and rows["c"]["in_neighbors"] == 1
+    assert rows["d"]["in_edges"] == 2 and rows["d"]["in_neighbors"] == 2
+
+
+def test_two_hop_counts_paths_and_excludes_cycles(spark):
+    # a->b->c and a->d->c: two paths a=>c; a->b->a excluded (src == dst)
+    got = {
+        (r["src"], r["dst"]): r["n_paths"]
+        for r in two_hop(
+            _edges_df(
+                spark,
+                [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("b", "a")],
+            )
+        ).collect()
+    }
+    # a=>c via b and via d (2 paths); b=>d via a; a->b->a and b->a->b are
+    # cycles back to the origin and excluded; c has no out-edges
+    assert got == {("a", "c"): 2, ("b", "d"): 1}
+
+
+def test_graph_query_plans_are_jvm_only(spark):
+    from search_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    for name in ["kg_entity_degree", "kg_two_hop"]:
+        plan = plan_of(QUERIES[name].spark(spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan.lower() or "HashAggregate" in plan
