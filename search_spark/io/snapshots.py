@@ -105,6 +105,37 @@ class SnapshotTable:
             .distinct()
         )
 
+    def match_triples(
+        self,
+        subj: str | None = None,
+        pred: str | None = None,
+        obj: str | None = None,
+        url: str | None = None,
+    ) -> DataFrame | None:
+        """Triple-pattern lookup: any combination of bound terms.
+
+        The serving analogue of a triple-store point query over the
+        materialized KG. A bound ``url`` prunes to its hash bucket
+        *before* the scan — the reader lists only ``bucket=K`` of the
+        ``n_buckets`` partition directories (Iceberg ``bucket(N, url)``
+        partition pruning), so a provenance probe touches 1/N of a
+        100-TB table. ``subj``/``pred``/``obj`` equality terms push down
+        to the parquet row-group filters (``PushedFilters`` in the
+        plan). Unbound terms stay wildcards.
+        """
+        df = self.load()
+        if df is None:
+            return None
+        if url is not None:
+            df = df.filter(
+                F.col("bucket")
+                == F.pmod(F.xxhash64(F.lit(url)), F.lit(self.n_buckets))
+            ).filter(F.col("url") == url)
+        for col, val in (("subj", subj), ("pred", pred), ("obj", obj)):
+            if val is not None:
+                df = df.filter(F.col(col) == val)
+        return df
+
     def lineage(self) -> list[dict]:
         out = []
         for k in self.snapshots():

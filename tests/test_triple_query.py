@@ -1,0 +1,90 @@
+"""Triple-pattern serving queries over the snapshot table.
+
+`SnapshotTable.match_triples` is the point-lookup surface of the
+materialized KG: a bound url must prune to its hash bucket before the
+scan (partition pruning), bound terms must reach the parquet reader as
+pushed filters, and results must equal a plain filter over the full load.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark import datagen, pipeline
+from search_spark.io.snapshots import SnapshotTable
+from tests.test_plans import plan_of
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("triples"))
+    pages = datagen.generate_web_pages(spark, 40, seed=11)
+    pipeline.run_to_snapshot(spark, pages, root)
+    return SnapshotTable(spark, root)
+
+
+def test_match_triples_equals_plain_filter(snapshot):
+    full = snapshot.load()
+    some = full.select("subj", "pred", "obj", "url").first()
+    got = snapshot.match_triples(
+        subj=some["subj"], pred=some["pred"], url=some["url"]
+    )
+    want = full.filter(
+        (F.col("subj") == some["subj"])
+        & (F.col("pred") == some["pred"])
+        & (F.col("url") == some["url"])
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() >= 1
+
+
+def test_match_triples_wildcards(snapshot):
+    # all-unbound = the whole table
+    assert snapshot.match_triples().count() == snapshot.load().count()
+    # pred-only binds one column
+    n_type = snapshot.match_triples(pred="has_type").count()
+    assert 0 < n_type < snapshot.load().count()
+
+
+def test_url_probe_prunes_to_one_bucket(snapshot):
+    url = snapshot.load().select("url").first()["url"]
+    plan = plan_of(snapshot.match_triples(url=url))
+    # partition pruning: the scan's partition filter mentions the bucket
+    # column; the url equality reaches the parquet pushed filters
+    assert "bucket" in plan
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(url)" in plan or "EqualTo(url" in plan
+    # and the scan reads a single partition directory
+    df = snapshot.match_triples(url=url)
+    n_parts = df.select(F.input_file_name()).distinct().count()
+    buckets = {
+        p.split("bucket=")[1].split("/")[0]
+        for (p,) in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(buckets) == 1
+    assert n_parts >= 1
+
+
+def test_subj_pred_pushdown(snapshot):
+    plan = plan_of(snapshot.match_triples(subj="join", pred="has_type"))
+    assert "EqualTo(subj,join)" in plan.replace(" ", "") or "subj" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_cli_triples_subcommand(snapshot):
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "triples",
+         "--snapshot", snapshot.root, "--pred", "has_type", "--limit", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0].split(",")[:3] == ["subj", "pred", "obj"]
+    assert 1 < len(lines) <= 6
+    assert all(ln.split(",")[1] == "has_type" for ln in lines[1:])

@@ -79,6 +79,19 @@ def main() -> int:
                          help="EmbeddingModel implementation (hash-embed or "
                               "corpus-fitted TF-IDF)")
 
+    p_tri = sub.add_parser(
+        "triples",
+        help="triple-pattern lookup over a snapshot KG "
+             "(point query: bound url prunes to its hash bucket, bound "
+             "terms push to the parquet reader)",
+    )
+    p_tri.add_argument("--snapshot", required=True, help="snapshot table root")
+    p_tri.add_argument("--subj", default=None)
+    p_tri.add_argument("--pred", default=None)
+    p_tri.add_argument("--obj", default=None)
+    p_tri.add_argument("--url", default=None)
+    p_tri.add_argument("--limit", type=int, default=100)
+
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
                           help="parquet with an embedding column")
@@ -117,6 +130,19 @@ def main() -> int:
         # mining-cache retrieval order (sql.py:327-329); prov embeds
         # "uid:section:ppos", so (url, prov, start_char) is the composite
         df = df.orderBy("url", "prov", "start_char").limit(args.limit)
+        print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "triples":
+        from search_spark.io.snapshots import SnapshotTable
+
+        df = SnapshotTable(spark, args.snapshot).match_triples(
+            subj=args.subj, pred=args.pred, obj=args.obj, url=args.url
+        )
+        if df is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        df = df.orderBy("url", "prov", "subj", "pred", "obj").limit(
+            args.limit
+        )
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
     elif args.cmd == "topic-filter":
         from pyspark.sql import functions as F
