@@ -1,0 +1,314 @@
+"""WARC container I/O — the Common-Crawl wire format for web pages.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web pages"
+(BASELINE.json ``input_hint``); the table side is covered by
+``datagen.WEB_PAGES_SCHEMA`` + ``io.snapshots``.  This module covers the
+*container* side: real Common Crawl data arrives as WARC/1.0 files
+(ISO 28500) — ~1 GB archives where **each record is an independent gzip
+member** so readers can skip to any record without decompressing the whole
+file.  A from-scratch ingestion pipeline therefore needs:
+
+  * ``read_warc(spark, path)``   WARC files → (url, warc_ts, html) DataFrame
+  * ``write_warc(df, out_dir)``  web_pages DataFrame → WARC files (one per
+    partition, written executor-side; returns a manifest DataFrame)
+
+Scale notes (the part that matters at 10^12 documents):
+
+  * WARC is **not splittable** — gzip members carry no sync markers, so the
+    unit of parallelism is the *file*, exactly how Common Crawl ships data
+    (a crawl is ~80k × ~1 GB segments → ~80k parallel tasks, far above any
+    realistic executor count; per-file skew is bounded because the crawler
+    rolls files at a target size).  We read via ``binaryFile`` (one row =
+    one file, loaded on the executor that parses it — never the driver) and
+    parse inside ``mapInPandas`` so the html bytes stay in Arrow batches.
+  * A 1 GB archive decompresses to ~3-5 GB of records, but the parser is a
+    *generator*: it walks gzip members one at a time and yields bounded
+    pandas batches, so peak executor memory is O(file + batch), not
+    O(decompressed archive).
+  * The writer emits one WARC file per input partition from inside
+    ``mapInPandas`` (records stream to disk per-row) and returns a
+    one-row-per-file manifest — the same lineage shape as
+    ``snapshots.SnapshotTable`` — so ingestion is resumable per file.
+
+Reference parity: the reference ingests article *files* from a local
+directory scan (``data_and_models/pipelines/.../download``, scoped out by
+SURVEY §7.4 as HTTP); WARC is the web-corpus equivalent of that source
+slot, done Spark-first.  Only stdlib (``gzip``/``zlib``) is used — no
+``warcio`` dependency.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import io as _io
+import os
+import uuid
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+# (url, warc_ts, html) — the container carries no derived columns; `text`
+# and `lang` are *computed* downstream (extract stage / langid), matching
+# how Common Crawl's WARC → WET derivation works.
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+    ]
+)
+
+WARC_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# record encode
+# --------------------------------------------------------------------------
+
+
+def _warc_date(ts: _dt.datetime) -> str:
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def warc_record_bytes(
+    url: str,
+    ts: _dt.datetime,
+    payload: bytes,
+    record_type: str = "response",
+) -> bytes:
+    """Serialize one WARC/1.0 record. ``response`` records wrap the payload
+    in a minimal HTTP/1.1 response block (Content-Length framing, never
+    chunked), which is how Common Crawl stores fetched pages."""
+    if record_type == "response":
+        http_head = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html; charset=utf-8" + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+        )
+        block = http_head + payload
+        content_type = b"application/http; msgtype=response"
+    else:
+        block = payload
+        content_type = b"application/warc-fields"
+
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + record_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:"
+        + str(uuid.uuid5(uuid.NAMESPACE_URL, url + _warc_date(ts))).encode()
+        + b">",
+        b"WARC-Date: " + _warc_date(ts).encode(),
+        b"Content-Type: " + content_type,
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    if record_type == "response":
+        headers.insert(2, b"WARC-Target-URI: " + url.encode())
+    return _CRLF.join(headers) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def _warcinfo_record(filename: str) -> bytes:
+    fields = (
+        b"software: search_spark\r\nformat: WARC File Format 1.0\r\n"
+    )
+    return warc_record_bytes(
+        "urn:warcinfo:" + filename,
+        _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc),
+        fields,
+        record_type="warcinfo",
+    )
+
+
+# --------------------------------------------------------------------------
+# record decode
+# --------------------------------------------------------------------------
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield the decompressed payload of each gzip member in a multistream
+    file (Common Crawl framing: one member per record)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        yield d.decompress(data[pos:])
+        tail = d.unused_data
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC file")
+        pos = len(data) - len(tail)
+        if not tail:
+            break
+
+
+def _parse_record(raw: bytes) -> tuple[dict[str, str], bytes, int]:
+    """Parse one record at the head of ``raw``. Returns (headers, block,
+    bytes consumed including the trailing CRLF CRLF)."""
+    if not raw.startswith(b"WARC/"):
+        raise ValueError(
+            "bad WARC framing: record does not start with WARC/ "
+            f"(got {raw[:16]!r})"
+        )
+    head_end = raw.index(_CRLF + _CRLF)
+    headers: dict[str, str] = {}
+    for line in raw[:head_end].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.decode().strip().lower()] = v.decode("utf-8", "replace").strip()
+    n = int(headers["content-length"])
+    block_start = head_end + 4
+    block = raw[block_start : block_start + n]
+    if len(block) != n:
+        raise ValueError("truncated WARC record block")
+    return headers, block, block_start + n + 4  # + record-final CRLF CRLF
+
+
+def _iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Iterate (headers, block) over a *plain* (already-decompressed) WARC
+    byte stream that may hold many concatenated records."""
+    pos = 0
+    while pos < len(data):
+        # tolerate extra blank lines between records
+        while pos < len(data) and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(data):
+            break
+        headers, block, consumed = _parse_record(data[pos:])
+        yield headers, block
+        pos += consumed
+
+
+def _http_payload(block: bytes) -> bytes:
+    """Strip the HTTP response head from a ``response`` record block."""
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return block  # non-HTTP response payload: take the block verbatim
+    return block[sep + 4 :]
+
+
+def parse_warc_bytes(
+    data: bytes,
+) -> Iterator[tuple[str, _dt.datetime, bytes]]:
+    """Yield (url, warc_ts, html) for every ``response`` record in a WARC
+    file given as bytes. Handles both per-record-gzip (Common Crawl) and
+    plain framing; other record types (warcinfo/request/metadata) are
+    skipped, matching what a WET-style text derivation consumes."""
+    if data[:2] == _GZIP_MAGIC:
+        streams: Iterable[bytes] = _split_gzip_members(data)
+    else:
+        streams = [data]
+    for chunk in streams:
+        for headers, block in _iter_records(chunk):
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers["warc-target-uri"]
+            ts = _dt.datetime.strptime(
+                headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=_dt.timezone.utc)
+            yield url, ts, _http_payload(block)
+
+
+# --------------------------------------------------------------------------
+# Spark reader / writer
+# --------------------------------------------------------------------------
+
+_READ_BATCH_ROWS = 1024
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → DataFrame(url, warc_ts, html).
+
+    ``binaryFile`` gives one row per file with the content loaded lazily on
+    the executor (`PushedFilters` keep directory listing cheap); each file
+    is parsed independently inside an Arrow pass, yielding bounded batches
+    so a large archive never materializes as one Python object list.
+    Parallelism = number of files — the natural WARC unit (see module
+    docstring).
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                urls: list[str] = []
+                tss: list[_dt.datetime] = []
+                htmls: list[bytes] = []
+                for url, ts, html in parse_warc_bytes(bytes(content)):
+                    urls.append(url)
+                    tss.append(ts)  # tz-aware UTC, same as datagen rows
+                    htmls.append(html)
+                    if len(urls) >= _READ_BATCH_ROWS:
+                        yield pd.DataFrame(
+                            {"url": urls, "warc_ts": tss, "html": htmls}
+                        )
+                        urls, tss, htmls = [], [], []
+                if urls:
+                    yield pd.DataFrame(
+                        {"url": urls, "warc_ts": tss, "html": htmls}
+                    )
+
+    return files.select("content").mapInPandas(_parse, schema=WARC_PAGES_SCHEMA)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """web_pages-shaped DataFrame → WARC files, one per partition, written
+    on the executors (records stream straight to disk — nothing collects).
+
+    Returns the manifest DataFrame (path, n_records, n_bytes); the caller
+    is expected to materialize it (e.g. ``.collect()`` its few rows) —
+    that action *is* the write.  ``gzip_members=True`` produces the
+    Common-Crawl framing (one gzip member per record).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+        if gzip_members:
+            out_path += ".gz"
+        n = 0
+        f: _io.BufferedWriter | None = None
+
+        def _emit(rec: bytes) -> None:
+            nonlocal f
+            if f is None:
+                f = open(out_path, "wb")
+                info = _warcinfo_record(os.path.basename(out_path))
+                f.write(gzip.compress(info, 6) if gzip_members else info)
+            f.write(gzip.compress(rec, 6) if gzip_members else rec)
+
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                _emit(warc_record_bytes(str(url), ts_py, bytes(html)))
+                n += 1
+        if f is None:  # empty partition: no file
+            return
+        f.close()
+        yield pd.DataFrame(
+            {
+                "path": [out_path],
+                "n_records": [n],
+                "n_bytes": [os.path.getsize(out_path)],
+            }
+        )
+
+    return (
+        df.select("url", "warc_ts", "html")
+        .mapInPandas(_write, schema=WARC_MANIFEST_SCHEMA)
+    )

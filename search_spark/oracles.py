@@ -578,3 +578,27 @@ def mesh_resolved_oracle_sql(n: int = MESH_TOPIC_DOCS_N) -> str:
         for topic in sorted(resolve_parents(topics, tree)):
             rows.append((url, topic))
     return values_sql(rows, ["url", "topic"])
+
+
+# --------------------------------------------------------------------------
+# warc_ingest — ground truth derived from the pure (seed, doc_id) generator,
+# never from the WARC writer/reader under test
+# --------------------------------------------------------------------------
+
+
+def warc_ingest_oracle_sql(n: int, seed: int) -> str:
+    rows: list[tuple] = []
+    for i in range(n):
+        row, _ = datagen.generate_doc(seed, i)
+        rows.append(
+            (
+                row["url"],
+                int(row["warc_ts"].timestamp()),
+                len(row["html"]),
+                hashlib.md5(row["html"]).hexdigest(),
+            )
+        )
+    rows.sort()
+    return values_sql(
+        rows, ["url", "ts_epoch", "n_html_bytes", "html_md5"]
+    )

@@ -20,6 +20,7 @@ name):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -2436,6 +2437,42 @@ def _q_multiformat_extract(spark, sf_dir):
     return extract_stage_multi(pages, english_only=False)
 
 
+WARC_INGEST_N = 48
+WARC_INGEST_SEED = 11
+
+
+def _q_warc_ingest(spark, sf_dir):
+    """WARC container roundtrip over the distributed sink + reader
+    (io/warc.py): web_pages → Common-Crawl-framed WARC files (one gzip
+    member per record, one file per partition, executor-side) → binaryFile
+    scan → record parse in Arrow batches. Output is the per-url byte-level
+    identity proof (md5 + length of the html payload and the record's
+    WARC-Date), checked against pure-Python ground truth from the
+    (seed, doc_id) generator — the writer/reader pair never sees the
+    oracle's derivation. Corpus is deterministic, independent of sf_dir."""
+    import shutil
+    import tempfile
+
+    from search_spark import datagen
+    from search_spark.io import warc as warc_io
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"search_spark_warc_{WARC_INGEST_N}_{WARC_INGEST_SEED}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    pages = datagen.generate_web_pages(
+        spark, WARC_INGEST_N, seed=WARC_INGEST_SEED, partitions=4
+    )
+    warc_io.write_warc(pages, out).collect()  # the action IS the write
+    return warc_io.read_warc(spark, out).select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.length("html").cast("long").alias("n_html_bytes"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 TFIDF_QUERY_TEXT = "stream hash join window"
 TFIDF_MAX_FEATURES = 256
 TFIDF_TOPK = 10
@@ -2894,6 +2931,10 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["mesh_resolved_topics"] = Q(
         _q_mesh_resolved_topics, oracles.mesh_resolved_oracle_sql()
+    )
+    QUERIES["warc_ingest"] = Q(
+        _q_warc_ingest,
+        oracles.warc_ingest_oracle_sql(WARC_INGEST_N, WARC_INGEST_SEED),
     )
 
 

@@ -1,0 +1,104 @@
+"""WARC container I/O: encode/decode unit tests + distributed roundtrip.
+
+The container format is public (ISO 28500 / Common Crawl framing); parity
+target is *self-consistency* (write → read is byte-identical per url) plus
+framing rules a third-party WARC would rely on (per-record gzip members,
+skipped non-response records, HTTP head stripping).
+"""
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from search_spark import datagen
+from search_spark.io import warc as W
+
+UTC = dt.timezone.utc
+TS = dt.datetime(2024, 3, 1, 12, 0, 5, tzinfo=UTC)
+
+
+def _rows(n=10, seed=3):
+    return [datagen.generate_doc(seed, i)[0] for i in range(n)]
+
+
+# ---------------------------------------------------------------- encode/decode
+
+
+def test_single_record_roundtrip_plain():
+    rec = W.warc_record_bytes("https://x.org/a", TS, b"<html>hi</html>")
+    got = list(W.parse_warc_bytes(rec))
+    assert got == [("https://x.org/a", TS, b"<html>hi</html>")]
+
+
+def test_payload_with_crlf_crlf_inside_html_survives():
+    # Content-Length framing must win over separator scanning
+    payload = b"<html>\r\n\r\n<body>x</body></html>"
+    rec = W.warc_record_bytes("https://x.org/b", TS, payload)
+    (_, _, html), = W.parse_warc_bytes(rec)
+    assert html == payload
+
+
+def test_gzip_multistream_members_split():
+    recs = [
+        W.warc_record_bytes(f"https://x.org/{i}", TS, f"<p>{i}</p>".encode())
+        for i in range(5)
+    ]
+    data = b"".join(gzip.compress(r, 6) for r in recs)
+    got = list(W.parse_warc_bytes(data))
+    assert [u for u, _, _ in got] == [f"https://x.org/{i}" for i in range(5)]
+    assert got[3][2] == b"<p>3</p>"
+
+
+def test_non_response_records_skipped():
+    info = W._warcinfo_record("f.warc")
+    rec = W.warc_record_bytes("https://x.org/c", TS, b"<html/>")
+    got = list(W.parse_warc_bytes(info + rec))
+    assert len(got) == 1 and got[0][0] == "https://x.org/c"
+
+
+def test_bad_framing_raises():
+    with pytest.raises(ValueError, match="bad WARC framing"):
+        list(W.parse_warc_bytes(b"NOT-A-WARC\r\n\r\n"))
+
+
+def test_truncated_block_raises():
+    rec = W.warc_record_bytes("https://x.org/d", TS, b"<html>full</html>")
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.parse_warc_bytes(rec[:-12]))
+
+
+# ---------------------------------------------------------------- spark paths
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_distributed_roundtrip(spark, tmp_path, gz):
+    rows = _rows(24)
+    pages = datagen.generate_web_pages(spark, 24, seed=3, partitions=4)
+    out = str(tmp_path / ("gz" if gz else "plain"))
+    manifest = W.write_warc(pages, out, gzip_members=gz).collect()
+
+    # one file per non-empty partition; counts add up
+    assert sum(m.n_records for m in manifest) == 24
+    assert len(manifest) == 4
+    for m in manifest:
+        assert m.n_bytes > 0
+
+    back = W.read_warc(spark, out).collect()
+    got = {r.url: (r.warc_ts, bytes(r.html)) for r in back}
+    assert len(got) == 24
+    for row in rows:
+        ts, html = got[row["url"]]
+        assert html == row["html"]  # byte-identical per url
+        assert ts.replace(tzinfo=UTC) == row["warc_ts"]
+
+
+def test_read_warc_plan_prunes_file_metadata(spark, tmp_path):
+    pages = datagen.generate_web_pages(spark, 8, seed=3, partitions=2)
+    out = str(tmp_path / "w")
+    W.write_warc(pages, out).collect()
+    df = W.read_warc(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # only the content column feeds the parser (path/length/modTime pruned)
+    assert "ReadSchema" in plan and "content" in plan
+    assert "modificationTime" not in plan.split("ReadSchema")[1][:200]
