@@ -42,6 +42,7 @@ from __future__ import annotations
 import datetime as _dt
 import gzip
 import io as _io
+import json
 import os
 import uuid
 import zlib
@@ -266,6 +267,7 @@ def write_warc(
     df: DataFrame,
     out_dir: str,
     gzip_members: bool = True,
+    cdx: bool = False,
 ) -> DataFrame:
     """web_pages-shaped DataFrame → WARC files, one per partition, written
     on the executors (records stream straight to disk — nothing collects).
@@ -274,6 +276,13 @@ def write_warc(
     is expected to materialize it (e.g. ``.collect()`` its few rows) —
     that action *is* the write.  ``gzip_members=True`` produces the
     Common-Crawl framing (one gzip member per record).
+
+    ``cdx=True`` additionally writes a CDXJ-style sidecar per archive
+    (``<archive>.cdx``): one ``urlkey ts_epoch {json}`` line per record,
+    SURT-sorted, carrying the member's (offset, length) — the Common Crawl
+    index layer that turns "fetch these k urls" into k byte-range reads
+    instead of a full-archive scan (see :func:`read_cdx` /
+    :func:`fetch_records`).
     """
     os.makedirs(out_dir, exist_ok=True)
 
@@ -283,23 +292,42 @@ def write_warc(
             out_path += ".gz"
         n = 0
         f: _io.BufferedWriter | None = None
+        index: list[tuple[str, str, int, int, int]] = []
 
-        def _emit(rec: bytes) -> None:
+        def _emit(rec: bytes) -> tuple[int, int]:
             nonlocal f
             if f is None:
                 f = open(out_path, "wb")
                 info = _warcinfo_record(os.path.basename(out_path))
                 f.write(gzip.compress(info, 6) if gzip_members else info)
-            f.write(gzip.compress(rec, 6) if gzip_members else rec)
+            member = gzip.compress(rec, 6) if gzip_members else rec
+            off = f.tell()
+            f.write(member)
+            return off, len(member)
 
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                _emit(warc_record_bytes(str(url), ts_py, bytes(html)))
+                off, length = _emit(
+                    warc_record_bytes(str(url), ts_py, bytes(html))
+                )
+                if cdx:
+                    index.append(
+                        (surt(str(url)), str(url),
+                         int(ts_py.timestamp()), off, length)
+                    )
                 n += 1
         if f is None:  # empty partition: no file
             return
         f.close()
+        if cdx:
+            with open(out_path + ".cdx", "w", encoding="utf-8") as cf:
+                for key, url, ts_epoch, off, length in sorted(index):
+                    meta = json.dumps(
+                        {"url": url, "offset": off, "length": length},
+                        separators=(",", ":"),
+                    )
+                    cf.write(f"{key} {ts_epoch} {meta}\n")
         yield pd.DataFrame(
             {
                 "path": [out_path],
@@ -311,4 +339,107 @@ def write_warc(
     return (
         df.select("url", "warc_ts", "html")
         .mapInPandas(_write, schema=WARC_MANIFEST_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# CDX index: pruned random access (the Common Crawl cc-index pattern)
+# --------------------------------------------------------------------------
+
+
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform — the key Common Crawl's CDX
+    index sorts by: scheme dropped, host dot-reversed and comma-joined, so
+    all pages of a site (and of a path subtree) are one contiguous key
+    range. ``https://news.example.org/d3/x`` → ``org,example,news)/d3/x``.
+    """
+    rest = url.split("://", 1)[-1]
+    host, sep, path = rest.partition("/")
+    host = host.split("@")[-1].split(":")[0].lower()
+    return ",".join(reversed(host.split("."))) + ")/" + (path if sep else "")
+
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("urlkey", T.StringType(), False),
+        T.StructField("ts_epoch", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("archive", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
+
+def read_cdx(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """CDX sidecars → DataFrame(urlkey, ts_epoch, url, archive, offset,
+    length). Pure JVM parse (``F.from_json`` over ``spark.read.text``) —
+    the index is the *small* side, scanned without touching any archive;
+    filters on ``urlkey`` (site / path-subtree prefixes thanks to SURT)
+    prune before a single archive byte is read."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(os.path.join(warc_dir, "*.cdx"))
+    lines = lines.withColumn("_file", F.input_file_name())
+    key_ts_json = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(
+        key_ts_json.getItem(2),
+        "url STRING, offset BIGINT, length BIGINT",
+    )
+    return lines.select(
+        key_ts_json.getItem(0).alias("urlkey"),
+        key_ts_json.getItem(1).cast("long").alias("ts_epoch"),
+        meta["url"].alias("url"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("_file"), r"^file:/+", "/"), r"\.cdx$", ""
+        ).alias("archive"),
+        meta["offset"].alias("offset"),
+        meta["length"].alias("length"),
+    )
+
+
+def fetch_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Byte-range fetch: a (filtered) CDX DataFrame → (url, warc_ts, html).
+
+    Repartitions by archive so each task opens each file once, then
+    seek+read exactly (offset, length) per record — I/O is proportional to
+    the *lookup result*, not the corpus. This is how a 10^12-page corpus
+    serves point queries ("re-extract these 10k urls") without a scan.
+    """
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, 64))
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, _io.BufferedReader] = {}
+        try:
+            for pdf in batches:
+                urls: list[str] = []
+                tss: list[_dt.datetime] = []
+                htmls: list[bytes] = []
+                # sequential offsets within each archive (CDX order is not
+                # file order after a filter)
+                pdf = pdf.sort_values(["archive", "offset"])
+                for archive, off, length in zip(
+                    pdf["archive"], pdf["offset"], pdf["length"]
+                ):
+                    fh = handles.get(archive)
+                    if fh is None:
+                        fh = handles[archive] = open(archive, "rb")
+                    fh.seek(int(off))
+                    member = fh.read(int(length))
+                    for url, ts, html in parse_warc_bytes(member):
+                        urls.append(url)
+                        tss.append(ts)
+                        htmls.append(html)
+                if urls:
+                    yield pd.DataFrame(
+                        {"url": urls, "warc_ts": tss, "html": htmls}
+                    )
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return (
+        cdx.select("archive", "offset", "length")
+        .repartition(n_part, "archive")
+        .mapInPandas(_fetch, schema=WARC_PAGES_SCHEMA)
     )

@@ -602,3 +602,22 @@ def warc_ingest_oracle_sql(n: int, seed: int) -> str:
     return values_sql(
         rows, ["url", "ts_epoch", "n_html_bytes", "html_md5"]
     )
+
+
+def warc_cdx_lookup_oracle_sql(n: int, seed: int, doc_mod: int) -> str:
+    """Expected byte-range fetch result for the SURT-prefix subtree
+    ``org,example)/d{doc_mod}/`` (urls are example.org/d{id%20}/doc{id})."""
+    rows: list[tuple] = []
+    for i in range(n):
+        if i % 20 != doc_mod:
+            continue
+        row, _ = datagen.generate_doc(seed, i)
+        rows.append(
+            (
+                row["url"],
+                int(row["warc_ts"].timestamp()),
+                hashlib.md5(row["html"]).hexdigest(),
+            )
+        )
+    rows.sort()
+    return values_sql(rows, ["url", "ts_epoch", "html_md5"])

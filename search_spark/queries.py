@@ -2473,6 +2473,43 @@ def _q_warc_ingest(spark, sf_dir):
     )
 
 
+WARC_CDX_MOD = 3  # lookup subtree: urls example.org/d3/*
+
+
+def _q_warc_cdx_lookup(spark, sf_dir):
+    """CDX point lookup (io/warc.py): write the corpus once with CDXJ
+    sidecars (SURT-sorted (urlkey, offset, length) per gzip member), scan
+    only the *index* with a JVM ``from_json`` parse, prune to one SURT
+    path-subtree prefix, then byte-range-fetch exactly those records —
+    I/O proportional to the lookup result, never a corpus scan. This is the
+    Common Crawl cc-index access pattern; at 10^12 pages it is the only
+    viable "re-extract these urls" path."""
+    import shutil
+    import tempfile
+
+    from search_spark import datagen
+    from search_spark.io import warc as warc_io
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"search_spark_warccdx_{WARC_INGEST_N}_{WARC_INGEST_SEED}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    pages = datagen.generate_web_pages(
+        spark, WARC_INGEST_N, seed=WARC_INGEST_SEED, partitions=4
+    )
+    warc_io.write_warc(pages, out, cdx=True).collect()
+    cdx = warc_io.read_cdx(spark, out)
+    hits = cdx.filter(
+        F.col("urlkey").startswith(f"org,example)/d{WARC_CDX_MOD}/")
+    )
+    return warc_io.fetch_records(spark, hits).select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 TFIDF_QUERY_TEXT = "stream hash join window"
 TFIDF_MAX_FEATURES = 256
 TFIDF_TOPK = 10
@@ -2935,6 +2972,12 @@ def _register_python_derived_oracles() -> None:
     QUERIES["warc_ingest"] = Q(
         _q_warc_ingest,
         oracles.warc_ingest_oracle_sql(WARC_INGEST_N, WARC_INGEST_SEED),
+    )
+    QUERIES["warc_cdx_lookup"] = Q(
+        _q_warc_cdx_lookup,
+        oracles.warc_cdx_lookup_oracle_sql(
+            WARC_INGEST_N, WARC_INGEST_SEED, WARC_CDX_MOD
+        ),
     )
 
 

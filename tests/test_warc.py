@@ -102,3 +102,57 @@ def test_read_warc_plan_prunes_file_metadata(spark, tmp_path):
     # only the content column feeds the parser (path/length/modTime pruned)
     assert "ReadSchema" in plan and "content" in plan
     assert "modificationTime" not in plan.split("ReadSchema")[1][:200]
+
+
+# ---------------------------------------------------------------- cdx index
+
+
+def test_surt_key():
+    assert W.surt("https://news.example.org/d3/x?q=1") == "org,example,news)/d3/x?q=1"
+    assert W.surt("http://Example.ORG") == "org,example)/"
+    assert W.surt("https://u:p@example.org:8080/a") == "org,example)/a"
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_cdx_fetch_is_byte_identical(spark, tmp_path, gz):
+    rows = _rows(20)
+    pages = datagen.generate_web_pages(spark, 20, seed=3, partitions=3)
+    out = str(tmp_path / "w")
+    W.write_warc(pages, out, gzip_members=gz, cdx=True).collect()
+
+    cdx = W.read_cdx(spark, out)
+    assert cdx.count() == 20
+    # point lookup: one url through the byte-range path
+    want = rows[7]
+    hit = cdx.filter(cdx.url == want["url"])
+    got = W.fetch_records(spark, hit).collect()
+    assert len(got) == 1
+    assert bytes(got[0].html) == want["html"]
+    assert got[0].warc_ts.replace(tzinfo=dt.timezone.utc) == want["warc_ts"]
+
+
+def test_cdx_prefix_range_prunes_before_fetch(spark, tmp_path):
+    pages = datagen.generate_web_pages(spark, 40, seed=3, partitions=4)
+    out = str(tmp_path / "w")
+    W.write_warc(pages, out, cdx=True).collect()
+    cdx = W.read_cdx(spark, out)
+    # SURT prefix = one path subtree (urls are example.org/d{id%20}/doc{id})
+    sub = cdx.filter(cdx.urlkey.startswith("org,example)/d3/"))
+    fetched = W.fetch_records(spark, sub).collect()
+    want_urls = {
+        datagen.generate_doc(3, i)[0]["url"]
+        for i in range(40)
+        if i % 20 == 3
+    }
+    assert {r.url for r in fetched} == want_urls and len(want_urls) == 2
+
+
+def test_cdx_sidecar_is_surt_sorted(spark, tmp_path):
+    pages = datagen.generate_web_pages(spark, 16, seed=3, partitions=1)
+    out = str(tmp_path / "w")
+    W.write_warc(pages, out, cdx=True).collect()
+    import glob
+
+    (cdx_path,) = glob.glob(out + "/*.cdx")
+    keys = [line.split(" ", 1)[0] for line in open(cdx_path)]
+    assert keys == sorted(keys) and len(keys) == 16
