@@ -238,7 +238,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     Parallelism = number of files — the natural WARC unit (see module
     docstring).
     """
+    from pyspark.sql import functions as F
+
+    # a directory glob may also match CDX sidecars (<archive>.cdx) — they
+    # are index text, not WARC, so drop them before the parse
     files = spark.read.format("binaryFile").load(path)
+    files = files.filter(~F.col("path").endswith(".cdx"))
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -442,4 +447,36 @@ def fetch_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
         cdx.select("archive", "offset", "length")
         .repartition(n_part, "archive")
         .mapInPandas(_fetch, schema=WARC_PAGES_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# WET-style derivation: fill the input_hint columns a raw crawl lacks
+# --------------------------------------------------------------------------
+
+# mirror of the langid_ngram marker heuristic (queries.py EN_MARKERS) —
+# duplicated here so io/ never imports the query registry
+_EN_MARKERS = ("the", "a", "of", "is")
+
+
+def derive_lang(pages: DataFrame, threshold: float = 0.03) -> DataFrame:
+    """Add the ``lang`` column the input_hint table carries but a raw WARC
+    crawl does not: marker-token ratio over the (lowercased) html bytes,
+    entirely JVM-side so the heuristic fuses into the scan and the
+    downstream ``lang = 'en'`` filter prunes *before* the expensive
+    extraction UDF — the same pushdown shape as parquet input. The default
+    threshold sits below the text-side langid_ngram cut (0.05) because tag
+    and attribute tokens dilute the ratio on raw html."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(
+        F.lower(F.decode(F.col("html"), "UTF-8")), r"[^a-z]+"
+    )
+    n = F.size(toks)
+    n_en = F.size(F.filter(toks, lambda x: x.isin(*_EN_MARKERS)))
+    return pages.withColumn(
+        "lang",
+        F.when((n > 0) & (n_en / n >= threshold), F.lit("en")).otherwise(
+            F.lit("other")
+        ),
     )

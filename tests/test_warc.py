@@ -156,3 +156,56 @@ def test_cdx_sidecar_is_surt_sorted(spark, tmp_path):
     (cdx_path,) = glob.glob(out + "/*.cdx")
     keys = [line.split(" ", 1)[0] for line in open(cdx_path)]
     assert keys == sorted(keys) and len(keys) == 16
+
+
+# ------------------------------------------------------------ pipeline input
+
+
+def test_read_warc_skips_cdx_sidecars(spark, tmp_path):
+    pages = datagen.generate_web_pages(spark, 8, seed=3, partitions=2)
+    out = str(tmp_path / "w")
+    W.write_warc(pages, out, cdx=True).collect()
+    assert W.read_warc(spark, out).count() == 8  # .cdx files ignored
+
+
+def test_warc_dir_feeds_kg_pipeline(spark, tmp_path):
+    """Raw crawl → triples: WARC archives are a first-class pipeline input
+    (derive_lang fills the lang column the input_hint table carries)."""
+    from search_spark.pipeline import PipelineConfig, run_to_snapshot
+
+    pages = datagen.generate_web_pages(spark, 30, seed=3, partitions=3)
+    warc_dir = str(tmp_path / "crawl")
+    W.write_warc(pages, warc_dir).collect()
+
+    crawl = W.derive_lang(W.read_warc(spark, warc_dir))
+    assert set(crawl.columns) == {"url", "warc_ts", "html", "lang"}
+    metrics = run_to_snapshot(
+        spark, crawl, str(tmp_path / "kg"), PipelineConfig(), n_buckets=4
+    )
+    assert metrics["n_docs"] > 0 and metrics["n_triples"] > 0
+
+
+def test_run_pipeline_cli_warc_format(spark, tmp_path, capsys):
+    """tools/run_pipeline.py --input-format warc end-to-end (argparse +
+    auto-detection), reusing the active test session."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import run_pipeline
+
+    pages = datagen.generate_web_pages(spark, 12, seed=3, partitions=2)
+    warc_dir = str(tmp_path / "crawl.warc.d")
+    W.write_warc(pages, warc_dir).collect()
+
+    argv = sys.argv
+    sys.argv = [
+        "run_pipeline.py", "--input", warc_dir, "--input-format", "warc",
+        "--output", str(tmp_path / "kg"), "--n-buckets", "4",
+    ]
+    try:
+        assert run_pipeline.main() == 0
+    finally:
+        sys.argv = argv
+    metrics = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_docs"] > 0

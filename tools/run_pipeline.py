@@ -29,6 +29,16 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="web_pages parquet path or table name")
+    ap.add_argument(
+        "--input-format",
+        choices=("auto", "parquet", "table", "warc"),
+        default="auto",
+        help="input container: parquet path, catalog table, or a directory "
+             "of WARC archives (*.warc / *.warc.gz; lang is derived "
+             "JVM-side since raw crawls don't carry it). auto = warc when "
+             "the path mentions .warc, else parquet for paths / table for "
+             "names",
+    )
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True, help="snapshot table root")
@@ -63,7 +73,20 @@ def main() -> int:
     if args.synthetic:
         pages = datagen.generate_web_pages(spark, args.synthetic, seed=42)
     elif args.input:
-        if "/" in args.input:
+        fmt = args.input_format
+        if fmt == "auto":
+            if ".warc" in args.input:
+                fmt = "warc"
+            else:
+                fmt = "parquet" if "/" in args.input else "table"
+        if fmt == "warc":
+            from search_spark.io.warc import derive_lang, read_warc
+
+            path = args.input
+            if not path.rstrip("/").endswith((".warc", ".warc.gz")):
+                path = path.rstrip("/") + "/*.warc*"
+            pages = derive_lang(read_warc(spark, path))
+        elif fmt == "parquet":
             pages = spark.read.parquet(args.input)
         else:
             pages = spark.read.table(args.input)
