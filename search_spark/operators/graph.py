@@ -74,6 +74,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 1,
     local_threshold: int = LOCAL_PR_THRESHOLD,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the distinct edge set of ``(src, dst)`` rows.
 
@@ -96,6 +97,12 @@ def pagerank(
     aggregate joined via broadcast-nested-loop; lineage is truncated with
     ``localCheckpoint`` every ``checkpoint_every`` rounds. Nothing except
     the O(1) vocabulary count crosses the driver.
+
+    ``init_ranks`` warm-starts the iteration (incremental recompute after
+    an edge-batch append): vertices present in ``init_ranks`` keep their
+    previous rank, new vertices start at ``1/N``, and the vector is
+    renormalized to sum 1 before iterating. Vertices in ``init_ranks``
+    that no longer appear in ``edges`` are dropped.
     """
     from search_spark.joins import maybe_broadcast
 
@@ -105,7 +112,9 @@ def pagerank(
     if n_edges == 0:
         return spark.createDataFrame([], schema=_PR_SCHEMA)
     if n_edges <= local_threshold:
-        return _pagerank_local(spark, e.collect(), n_iter, damping)
+        init_rows = init_ranks.collect() if init_ranks is not None else None
+        return _pagerank_local(spark, e.collect(), n_iter, damping,
+                               init_rows=init_rows)
 
     nodes = (
         e.select(F.col("src").alias("entity"))
@@ -129,9 +138,34 @@ def pagerank(
     )
     e_od.count()
 
-    ranks = nodes.repartition(state_parts, "entity").withColumn(
-        "rank", F.lit(1.0 / n_nodes)
-    )
+    if init_ranks is None:
+        ranks = nodes.repartition(state_parts, "entity").withColumn(
+            "rank", F.lit(1.0 / n_nodes)
+        )
+    else:
+        # warm start: previous rank where known, 1/N for new vertices,
+        # renormalized with a 1-row broadcast total (state stays one
+        # double per vertex; the previous vector is vocabulary-sized so
+        # the gate-broadcast join never reshuffles the node table)
+        warm = (
+            nodes.join(
+                maybe_broadcast(
+                    init_ranks.withColumnRenamed("rank", "prev"), n_nodes
+                ),
+                on="entity",
+                how="left",
+            )
+            .select(
+                "entity",
+                F.coalesce(F.col("prev"), F.lit(1.0 / n_nodes)).alias("r0"),
+            )
+        )
+        total = warm.agg(F.sum("r0").alias("t"))
+        ranks = (
+            warm.crossJoin(F.broadcast(total))
+            .select("entity", (F.col("r0") / F.col("t")).alias("rank"))
+            .repartition(state_parts, "entity")
+        )
     has_out = outdeg.select("entity")
     for i in range(n_iter):
         contrib = (
@@ -177,7 +211,8 @@ def pagerank(
     return ranks
 
 
-def _pagerank_local(spark, edge_rows, n_iter: int, damping: float):
+def _pagerank_local(spark, edge_rows, n_iter: int, damping: float,
+                    init_rows=None):
     """Driver power iteration — same math as the distributed loop."""
     import numpy as np
 
@@ -188,7 +223,12 @@ def _pagerank_local(spark, edge_rows, n_iter: int, damping: float):
     out = np.zeros(n)
     for u, _ in pairs:
         out[idx[u]] += 1.0
-    r = np.full(n, 1.0 / n)
+    if init_rows is not None:
+        prev = {row["entity"]: row["rank"] for row in init_rows}
+        r = np.array([prev.get(name, 1.0 / n) for name in names])
+        r = r / r.sum()
+    else:
+        r = np.full(n, 1.0 / n)
     for _ in range(n_iter):
         nxt = np.full(n, (1.0 - damping) / n)
         nxt += damping * r[out == 0.0].sum() / n
@@ -197,6 +237,106 @@ def _pagerank_local(spark, edge_rows, n_iter: int, damping: float):
         r = nxt
     return spark.createDataFrame(
         [(name, float(r[idx[name]])) for name in names], schema=_PR_SCHEMA
+    )
+
+
+def incremental_pagerank(
+    batches: list[DataFrame],
+    n_iter_per_batch: int = 4,
+    damping: float = 0.85,
+    local_threshold: int = LOCAL_PR_THRESHOLD,
+) -> DataFrame:
+    """PageRank maintained across successive edge-batch appends.
+
+    The batch-ingest shape of a KG constructor: each micro-batch appends
+    relation edges, and the rank vector is *recomputed warm* instead of
+    cold — batch ``i`` runs ``n_iter_per_batch`` iterations over the
+    cumulative distinct edge set, initialized from batch ``i-1``'s final
+    ranks (new vertices at ``1/N``, renormalized). Because the stationary
+    distribution of the grown graph is close to the previous one, a
+    handful of warm iterations replaces a full cold run — the standard
+    restart trick for evolving-graph PageRank.
+
+    Semantics are deterministic (fixed iteration counts, no convergence
+    test) so the whole schedule is expressible as an unrolled SQL oracle.
+    Returns the final ``(entity, rank)`` vector.
+    """
+    if not batches:
+        raise ValueError("incremental_pagerank needs at least one batch")
+    acc: DataFrame | None = None
+    ranks: DataFrame | None = None
+    for batch in batches:
+        e = batch.select("src", "dst")
+        acc = e if acc is None else acc.unionByName(e)
+        ranks = pagerank(
+            acc,
+            n_iter=n_iter_per_batch,
+            damping=damping,
+            local_threshold=local_threshold,
+            init_ranks=ranks,
+        )
+        # truncate lineage between batches: the rank vector is
+        # vocabulary-sized, the cumulative edge plan is not
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected
+    simple graph induced by ``(src, dst)``.
+
+    Degree-ordered wedge join (the classic MapReduce triangle-counting
+    formulation): every undirected edge is directed from its lower-
+    ``(degree, id)`` endpoint to the higher one, wedges are enumerated at
+    the lowest-ranked vertex of each triangle, and the wedge is closed
+    with one more join against the ordered edge set. Orienting by degree
+    bounds the per-vertex wedge fan-out by min-degree² — a head entity of
+    degree ``d`` only expands ``d²`` wedges when *both* of a wedge's far
+    endpoints out-rank it, which is exactly the skew guard a web-scale
+    co-occurrence graph needs. The triangle set is orientation-invariant,
+    so the lexicographically-ordered SQL oracle checks the same counts.
+
+    Returns ``(entity, n_triangles)`` for vertices in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("entity"))
+        .unionByName(und.select(F.col("v").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # degree is vocabulary-sized; AQE converts these joins to broadcast
+    # when it fits (no hard hint — same gate discipline as the pipeline)
+    ed = und.join(
+        deg.select(F.col("entity").alias("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("entity").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    eo = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=True)
+    # triangle with rank order a < b < c appears exactly once:
+    # eo(a,b) ⋈ eo(b,c) closed by eo(a,c)
+    wedge = eo.join(
+        eo.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedge.join(eo.select("a", F.col("b").alias("c")), ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 

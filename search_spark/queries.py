@@ -2728,14 +2728,18 @@ def _q_mesh_resolved_topics(spark, sf_dir):
 
 # -- graph analytics over the materialized triples --------------------------
 
-def _kg_edge_instances(spark, sf_dir):
+def _kg_edge_instances(spark, sf_dir, parity: int | None = None):
     """Entity co-occurrence multigraph: one (src, dst) row per ordered
     mention pair within the relation window (``b.tpos - a.tpos ≤
     REL_DISTANCE``), src the earlier mention. This is the alias/similarity
     edge table that canonicalization and the graph diagnostics run over —
     a per-document self-join on the mention table, shuffle-partitioned on
-    ``doc_id`` (never cross-document), NaE already excluded upstream."""
+    ``doc_id`` (never cross-document), NaE already excluded upstream.
+    ``parity`` restricts to even/odd doc_ids — the deterministic two-way
+    batch split the incremental-PageRank query ingests."""
     m = _doc_mentions(spark, sf_dir)
+    if parity is not None:
+        m = m.filter(F.col("doc_id") % 2 == parity)
     a = m.select(
         "doc_id",
         F.col("tpos").alias("a_tpos"),
@@ -2810,42 +2814,133 @@ def _q_kg_pagerank(spark, sf_dir):
     return pr.select("entity", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_oracle_sql(n_iter: int = _PR_ITER,
-                         damping: float = _PR_DAMPING) -> str:
-    """The same fixed-iteration PageRank unrolled into plain CTEs — one
+def _pr_stage_ctes(tag: str, edges_src: str, n_iter: int, damping: float,
+                   init_from: str | None = None) -> tuple[str, str]:
+    """One fixed-iteration PageRank stage unrolled into plain CTEs — a
     (contribution, dangling-mass, rank-update) triple per iteration; no
-    recursion, so DuckDB executes it as a straight-line relational plan."""
+    recursion, so DuckDB executes it as a straight-line relational plan.
+    ``init_from`` names a previous stage's final rank CTE for a warm
+    start (previous rank where known, 1/N for new vertices, renormalized
+    to sum 1) — the same semantics as ``pagerank(init_ranks=...)``.
+    Returns ``(cte_block, final_rank_cte_name)``."""
     # every CTE referenced more than once is MATERIALIZED — without it the
     # inlined expansion of pr{k} is 3^k subtrees, each re-opening the scan
-    parts = ["""
-dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
-nodes AS MATERIALIZED (
-  SELECT src AS entity FROM dedges UNION SELECT dst FROM dedges),
-nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
-od AS MATERIALIZED (SELECT src AS entity, CAST(COUNT(*) AS DOUBLE) AS od
-       FROM dedges GROUP BY src),
-pr0 AS MATERIALIZED (
-  SELECT entity, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""]
+    parts = [f"""
+dedges{tag} AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_src}),
+nodes{tag} AS MATERIALIZED (
+  SELECT src AS entity FROM dedges{tag} UNION SELECT dst FROM dedges{tag}),
+nn{tag} AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes{tag}),
+od{tag} AS MATERIALIZED (
+  SELECT src AS entity, CAST(COUNT(*) AS DOUBLE) AS od
+  FROM dedges{tag} GROUP BY src)"""]
+    if init_from is None:
+        parts.append(f"""
+pr{tag}0 AS MATERIALIZED (
+  SELECT entity, 1.0 / (SELECT c FROM nn{tag}) AS rank FROM nodes{tag})""")
+    else:
+        parts.append(f"""
+init{tag} AS MATERIALIZED (
+  SELECT n.entity, COALESCE(p.rank, 1.0 / (SELECT c FROM nn{tag})) AS r
+  FROM nodes{tag} n LEFT JOIN {init_from} p ON p.entity = n.entity),
+tot{tag} AS MATERIALIZED (SELECT SUM(r) AS t FROM init{tag}),
+pr{tag}0 AS MATERIALIZED (
+  SELECT entity, r / (SELECT t FROM tot{tag}) AS rank FROM init{tag})""")
     for k in range(1, n_iter + 1):
         parts.append(f"""
-c{k} AS MATERIALIZED (SELECT e.dst AS entity, SUM(p.rank / o.od) AS s
-  FROM dedges e
-  JOIN pr{k - 1} p ON e.src = p.entity
-  JOIN od o ON o.entity = e.src
+c{tag}{k} AS MATERIALIZED (SELECT e.dst AS entity, SUM(p.rank / o.od) AS s
+  FROM dedges{tag} e
+  JOIN pr{tag}{k - 1} p ON e.src = p.entity
+  JOIN od{tag} o ON o.entity = e.src
   GROUP BY e.dst),
-d{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS dm
-  FROM pr{k - 1} p LEFT JOIN od o ON o.entity = p.entity
+d{tag}{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS dm
+  FROM pr{tag}{k - 1} p LEFT JOIN od{tag} o ON o.entity = p.entity
   WHERE o.entity IS NULL),
-pr{k} AS MATERIALIZED (SELECT nd.entity,
-  {1.0 - damping} / (SELECT c FROM nn)
-  + {damping} * (COALESCE(c{k}.s, 0)
-                 + (SELECT dm FROM d{k}) / (SELECT c FROM nn)) AS rank
-  FROM nodes nd LEFT JOIN c{k} ON c{k}.entity = nd.entity)""")
-    body = ",".join(parts)
+pr{tag}{k} AS MATERIALIZED (SELECT nd.entity,
+  {1.0 - damping} / (SELECT c FROM nn{tag})
+  + {damping} * (COALESCE(c{tag}{k}.s, 0)
+                 + (SELECT dm FROM d{tag}{k}) / (SELECT c FROM nn{tag}))
+  AS rank
+  FROM nodes{tag} nd LEFT JOIN c{tag}{k} ON c{tag}{k}.entity = nd.entity)""")
+    return ",".join(parts), f"pr{tag}{n_iter}"
+
+
+def _pagerank_oracle_sql(n_iter: int = _PR_ITER,
+                         damping: float = _PR_DAMPING) -> str:
+    body, final = _pr_stage_ctes("", "edges", n_iter, damping)
     return (
         f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {body}\n"
-        f"SELECT entity, ROUND(rank, 6) AS rank FROM pr{n_iter}"
+        f"SELECT entity, ROUND(rank, 6) AS rank FROM {final}"
     )
+
+
+_PR_INC_ITER = 4
+
+
+def _q_kg_pagerank_incremental(spark, sf_dir):
+    """Evolving-graph PageRank: the edge set arrives in two appends
+    (even-doc_id docs, then odd), and each batch recomputes the rank
+    vector warm-started from the previous batch's final ranks — four
+    iterations per batch instead of a cold ten. The per-batch plan is the
+    same join-aggregate loop as kg_pagerank; only the O(vocabulary) rank
+    vector carries between batches (lineage-truncated)."""
+    from search_spark.operators.graph import incremental_pagerank
+
+    batches = [
+        _kg_edge_instances(spark, sf_dir, parity=0),
+        _kg_edge_instances(spark, sf_dir, parity=1),
+    ]
+    pr = incremental_pagerank(
+        batches, n_iter_per_batch=_PR_INC_ITER, damping=_PR_DAMPING
+    )
+    return pr.select("entity", F.round("rank", 6).alias("rank"))
+
+
+def _incremental_pagerank_oracle_sql(
+    n_iter: int = _PR_INC_ITER, damping: float = _PR_DAMPING
+) -> str:
+    # batch 0 = edges within even-doc_id documents; cumulative after
+    # batch 1 = the full edge set (edges never cross documents)
+    batch0 = f"""
+m0 AS (SELECT * FROM mentions WHERE doc_id % 2 = 0),
+edges0 AS (
+  SELECT a.mention AS src, b.mention AS dst
+  FROM m0 a JOIN m0 b
+    ON a.doc_id = b.doc_id
+   AND b.tpos > a.tpos AND b.tpos - a.tpos <= {REL_DISTANCE})"""
+    stage_a, final_a = _pr_stage_ctes("A", "edges0", n_iter, damping)
+    stage_b, final_b = _pr_stage_ctes(
+        "B", "edges", n_iter, damping, init_from=final_a
+    )
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {batch0}, {stage_a}, "
+        f"{stage_b}\n"
+        f"SELECT entity, ROUND(rank, 6) AS rank FROM {final_b}"
+    )
+
+
+def _q_kg_triangles(spark, sf_dir):
+    """Per-entity triangle counts over the undirected co-occurrence
+    graph: degree-ordered wedge join (skew-guarded — wedges enumerate at
+    the lowest-degree vertex of each triangle) closed by one more join
+    against the oriented edge set."""
+    from search_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_kg_edge_instances(spark, sf_dir))
+
+
+_SQL_KG_TRIANGLES = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS entity FROM tri) x
+GROUP BY entity
+"""
 
 
 def _q_kg_two_hop(spark, sf_dir):
@@ -2874,6 +2969,10 @@ QUERIES: dict[str, Q] = {
     "kg_doc_triples": Q(_q_kg_doc_triples, _SQL_KG_DOC_TRIPLES),
     "kg_entity_degree": Q(_q_kg_entity_degree, _SQL_KG_ENTITY_DEGREE),
     "kg_pagerank": Q(_q_kg_pagerank, _pagerank_oracle_sql()),
+    "kg_pagerank_incremental": Q(
+        _q_kg_pagerank_incremental, _incremental_pagerank_oracle_sql()
+    ),
+    "kg_triangles": Q(_q_kg_triangles, _SQL_KG_TRIANGLES),
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),

@@ -9,7 +9,13 @@ hand-computed adjacency facts (degrees, two-hop).
 import numpy as np
 import pytest
 
-from search_spark.operators.graph import entity_degrees, pagerank, two_hop
+from search_spark.operators.graph import (
+    entity_degrees,
+    incremental_pagerank,
+    pagerank,
+    triangle_counts,
+    two_hop,
+)
 
 
 def _edges_df(spark, pairs):
@@ -85,6 +91,95 @@ def test_pagerank_duplicate_edges_collapse(spark):
         assert dup[k] == pytest.approx(once[k], abs=1e-12)
 
 
+def _numpy_warm_pagerank(edges, init, n_iter, d=0.85):
+    """Warm-started power iteration: previous rank where known, 1/N for
+    new vertices, renormalized — the init contract of
+    pagerank(init_ranks=...)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in set(edges):
+        out[idx[u]] += 1
+    r = np.array([init.get(name, 1.0 / n) for name in nodes])
+    r = r / r.sum()
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        nxt += d * r[out == 0].sum() / n
+        for u, v in set(edges):
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+# second batch grows the graph: new vertices i, j and new edges between
+# existing ones
+EDGE_BATCH_2 = [
+    ("h", "i"), ("i", "j"), ("j", "a"), ("b", "i"), ("c", "f"),
+]
+
+
+@pytest.mark.parametrize("local_threshold", [100_000, 0])
+def test_incremental_pagerank_warm_start(spark, local_threshold):
+    """Two-batch incremental recompute: batch 2 must warm-start from
+    batch 1's final ranks (new vertices at 1/N, renormalized). Both the
+    driver fallback and the distributed join loop must match the numpy
+    simulation of the same schedule."""
+    got = {
+        r["entity"]: r["rank"]
+        for r in incremental_pagerank(
+            [_edges_df(spark, EDGE_SET), _edges_df(spark, EDGE_BATCH_2)],
+            n_iter_per_batch=3,
+            local_threshold=local_threshold,
+        ).collect()
+    }
+    stage1 = _numpy_pagerank(EDGE_SET, n_iter=3)
+    want = _numpy_warm_pagerank(
+        EDGE_SET + EDGE_BATCH_2, stage1, n_iter=3
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_incremental_single_batch_equals_cold_start(spark):
+    cold = {
+        r["entity"]: r["rank"]
+        for r in pagerank(_edges_df(spark, EDGE_SET), n_iter=4).collect()
+    }
+    inc = {
+        r["entity"]: r["rank"]
+        for r in incremental_pagerank(
+            [_edges_df(spark, EDGE_SET)], n_iter_per_batch=4
+        ).collect()
+    }
+    for k in cold:
+        assert inc[k] == pytest.approx(cold[k], abs=1e-12)
+
+
+def test_triangle_counts_known_graph(spark):
+    # triangles: {a,b,c} and {b,c,d}; reversed duplicate ("b","a") and a
+    # multigraph repeat must collapse; (d,e) closes no triangle
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"),
+        ("b", "a"), ("a", "b"), ("d", "e"),
+    ]
+    got = {
+        r["entity"]: r["n_triangles"]
+        for r in triangle_counts(_edges_df(spark, edges)).collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    # a path graph has wedges but no closures
+    got = triangle_counts(
+        _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    ).collect()
+    assert got == []
+
+
 def test_entity_degrees_weighted_and_distinct(spark):
     # b->c twice (weighted 2, distinct 1); d has in-edges only
     rows = {
@@ -121,7 +216,7 @@ def test_graph_query_plans_are_jvm_only(spark):
     from search_spark.queries import QUERIES
     from tests.test_plans import plan_of
 
-    for name in ["kg_entity_degree", "kg_two_hop"]:
+    for name in ["kg_entity_degree", "kg_two_hop", "kg_triangles"]:
         plan = plan_of(QUERIES[name].spark(spark, "/root/testdata/sf0.001"))
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
