@@ -1,0 +1,94 @@
+"""Deterministic sampling and dataset splitting.
+
+A training-data pipeline needs its train/holdout split and its corpus
+subsamples to be *reproducible functions of the row key*, not of Spark's
+partition-dependent RNG: ``df.sample()`` changes membership when the
+partitioning changes, which silently leaks holdout documents into
+training between runs. Both operators here key every decision off an MD5
+of the row key, so membership is stable across runs, cluster sizes, and
+engines (the DuckDB oracles compute the identical buckets).
+
+* :func:`hash_split` — assign each row to a named split by comparing a
+  hex prefix of ``md5(key)`` against cumulative thresholds. Pure
+  projection: no shuffle, no UDF, pushes down with the scan.
+* :func:`stratified_sample` — per-stratum top-k by ``md5(key)`` order
+  (deterministic quota sampling, e.g. "≤ k docs per language"). One
+  shuffle on the stratum key; the per-group ``row_number`` window is the
+  standard distributed quota plan and the rank order is hash-uniform, so
+  hot strata spread evenly across the hash space rather than biasing
+  toward any natural ordering.
+
+At web scale both are safe by construction: ``hash_split`` is stateless
+per row, and ``stratified_sample``'s window partitions by stratum — a
+skewed stratum is one sort partition, which AQE splits if oversized; the
+output is bounded at ``k`` rows per stratum regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex_prefix(key: Column, n_hex: int) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, n_hex)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    splits: dict[str, float],
+    split_col: str = "split",
+    n_hex: int = 4,
+) -> DataFrame:
+    """Assign a stable named split per row from ``md5(key)``.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; any remainder goes
+    to the last split). Fractions are quantized to the ``16**n_hex``
+    hash buckets, so the realized proportions are exact over the hash
+    space and membership never depends on partitioning or run order.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    space = 16 ** n_hex
+    key_col = F.col(key) if isinstance(key, str) else key
+    prefix = _hex_prefix(key_col, n_hex)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        # lexicographic compare of fixed-width hex == numeric compare
+        bound = format(min(space, round(cum * space)), f"0{n_hex}x")
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str | Column,
+    key: str | Column,
+    k: int,
+    n_hex: int = 8,
+) -> DataFrame:
+    """Deterministic quota sample: the ``k`` rows of each stratum whose
+    ``md5(key)`` sorts first (ties broken by the key itself, so the
+    result is a pure function of the data)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    stratum_col = F.col(stratum) if isinstance(stratum, str) else stratum
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hex_prefix(key_col, n_hex), key_col.cast("string")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2963,6 +2963,65 @@ GROUP BY a.src, b.dst
 """
 
 
+# -- deterministic sampling / dataset splitting -----------------------------
+
+_SPLIT_HEX = 4
+# train fraction 0.9 quantized to the 16^4 hash space (operators/sampling.py)
+_SPLIT_TRAIN_BOUND = format(round(0.9 * 16 ** _SPLIT_HEX), f"0{_SPLIT_HEX}x")
+_STRAT_K = 20
+
+
+def _q_split_train_holdout(spark, sf_dir):
+    """Reproducible train/holdout split keyed on md5(doc_id): membership
+    is a pure function of the row key — stable across runs, partitioning,
+    and cluster sizes (df.sample() is none of those). Pure projection, no
+    shuffle, no UDF."""
+    from search_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        {"train": 0.9, "holdout": 0.1},
+        n_hex=_SPLIT_HEX,
+    ).select("doc_id", "split")
+
+
+_SQL_SPLIT_TRAIN_HOLDOUT = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, {_SPLIT_HEX})
+                 < '{_SPLIT_TRAIN_BOUND}'
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (≤ k docs per lang): the k
+    rows of each stratum whose md5(doc_id) sorts first. One shuffle on
+    the stratum key; output bounded at k rows per stratum regardless of
+    corpus size."""
+    from search_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        stratum="lang",
+        key="doc_id",
+        k=_STRAT_K,
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                    CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents) x
+WHERE rn <= {_STRAT_K}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -3032,6 +3091,10 @@ QUERIES: dict[str, Q] = {
     "repetition_stats": Q(_q_repetition_stats, _SQL_REPETITION_STATS),
     "quality_gate": Q(_q_quality_gate, _SQL_QUALITY_GATE),
     "search_hydrated": Q(_q_search_hydrated, _SQL_SEARCH_HYDRATED),
+    "split_train_holdout": Q(
+        _q_split_train_holdout, _SQL_SPLIT_TRAIN_HOLDOUT
+    ),
+    "stratified_sample": Q(_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
 }
 
 

@@ -180,6 +180,33 @@ def test_triangle_counts_no_triangles(spark):
     assert got == []
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_counts_random_graphs_vs_bruteforce(spark, seed):
+    """Randomized check of the degree-ordered wedge join against an
+    itertools brute force over the canonical undirected simple graph
+    (self-loops dropped, duplicates/reversals collapsed)."""
+    import random
+    from itertools import combinations
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ]
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    want: dict[str, int] = {}
+    verts = sorted({v for e in und for v in e})
+    for a, b, c in combinations(verts, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {
+        r["entity"]: r["n_triangles"]
+        for r in triangle_counts(_edges_df(spark, edges)).collect()
+    }
+    assert got == want
+
+
 def test_entity_degrees_weighted_and_distinct(spark):
     # b->c twice (weighted 2, distinct 1); d has in-edges only
     rows = {

@@ -1,0 +1,100 @@
+"""Deterministic sampling/splitting (operators/sampling.py): membership
+must be a pure function of the row key — identical across partitionings
+— and quotas must hold exactly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark.operators.sampling import hash_split, stratified_sample
+
+
+def _md5(s) -> str:
+    return hashlib.md5(str(s).encode()).hexdigest()
+
+
+def test_hash_split_matches_python_reference(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, "doc_id", {"train": 0.9, "holdout": 0.1}, n_hex=4
+        ).collect()
+    }
+    bound = format(round(0.9 * 16 ** 4), "04x")
+    want = {
+        i: ("train" if _md5(i)[:4] < bound else "holdout")
+        for i in range(500)
+    }
+    assert got == want
+    # quantized 90/10 split should land near 450/50
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 400 <= n_train <= 480
+
+
+def test_hash_split_is_partitioning_invariant(spark):
+    base = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    one = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            base.coalesce(1), "doc_id", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    many = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            base.repartition(17), "doc_id", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert one == many
+
+
+def test_hash_split_three_way_and_validation(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    rows = hash_split(
+        df, "doc_id", {"train": 0.8, "dev": 0.1, "test": 0.1}
+    ).collect()
+    assert {r["split"] for r in rows} == {"train", "dev", "test"}
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.9, "b": 0.3})
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", "doc_id", k=10)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 10 for v in per.values())
+    # the chosen rows are exactly the k lowest by (md5-prefix, key)
+    for lang, ids in per.items():
+        universe = [i for i in range(400) if str(i % 3) == lang]
+        want = sorted(universe, key=lambda i: (_md5(i)[:8], str(i)))[:10]
+        assert sorted(ids) == sorted(want)
+    # partitioning-invariant
+    again = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(
+            df.repartition(13), "lang", "doc_id", k=10
+        ).collect()
+    )
+    assert again == sorted((r["lang"], r["doc_id"]) for r in rows)
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], ["doc_id", "lang"]
+    )
+    rows = stratified_sample(df, "lang", "doc_id", k=5).collect()
+    assert len(rows) == 3
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", "doc_id", k=0)
