@@ -65,8 +65,15 @@ class SnapshotTable:
                 ids.append(int(name[len("snapshot="):-len(".json")]))
         return sorted(ids)
 
-    def load(self) -> DataFrame | None:
+    def load(self, as_of: int | None = None) -> DataFrame | None:
+        """Read the table; ``as_of`` time-travels to the state after
+        snapshot ``as_of`` committed (Iceberg ``VERSION AS OF``) — only
+        data from snapshots with id ≤ ``as_of`` is visible. Reproducing
+        a training run against the exact KG state it was built from is a
+        read-side filter on the snapshot list, no data movement."""
         snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [k for k in snaps if k <= as_of]
         if not snaps:
             return None
         # a snapshot fully emptied by delete_where keeps its lineage JSON
@@ -111,6 +118,7 @@ class SnapshotTable:
         pred: str | None = None,
         obj: str | None = None,
         url: str | None = None,
+        as_of: int | None = None,
     ) -> DataFrame | None:
         """Triple-pattern lookup: any combination of bound terms.
 
@@ -121,9 +129,10 @@ class SnapshotTable:
         partition pruning), so a provenance probe touches 1/N of a
         100-TB table. ``subj``/``pred``/``obj`` equality terms push down
         to the parquet row-group filters (``PushedFilters`` in the
-        plan). Unbound terms stay wildcards.
+        plan). Unbound terms stay wildcards. ``as_of`` probes the KG as
+        of that snapshot (time travel).
         """
-        df = self.load()
+        df = self.load(as_of=as_of)
         if df is None:
             return None
         if url is not None:
@@ -271,3 +280,79 @@ class SnapshotTable:
                 json.dump(lineage, f, indent=2, default=str)
             os.rename(tmp_json, lineage_path)
         return total
+
+    def _data_files(self, path: str) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(path):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def compact(self, min_files_per_bucket: int = 2) -> dict:
+        """Small-file compaction — the Iceberg ``rewrite_data_files``
+        analogue. Streaming/micro-batch appends leave each snapshot's
+        bucket directories littered with per-task files; at 100-TB scale
+        the file count, not the byte count, is what kills scan planning
+        and NameNode/manifest pressure. Each committed snapshot whose
+        data spans more than ``min_files_per_bucket × n_buckets`` files
+        is rewritten with one file per bucket (``repartition("bucket")``
+        puts every bucket wholly in one task), via the same
+        write-to-sibling-then-swap protocol as :meth:`delete_where` so
+        readers never observe a half-compacted snapshot. Row content,
+        snapshot boundaries, and time travel are all preserved — only
+        the file layout changes; lineage gains a ``compactions`` audit
+        entry. Returns ``{"snapshots_compacted", "files_before",
+        "files_after"}``.
+        """
+        snapshots_compacted = 0
+        files_before = files_after = 0
+        for k in self.snapshots():
+            path = f"{self.root}/data/snapshot={k}"
+            if not os.path.isdir(path):
+                continue
+            before = self._data_files(path)
+            n_buckets_present = len(
+                [d for d in os.listdir(path) if d.startswith("bucket=")]
+            )
+            files_before += len(before)
+            if len(before) <= min_files_per_bucket * n_buckets_present:
+                files_after += len(before)
+                continue
+            df = self.spark.read.parquet(path)
+            tmp = f"{self.root}/data/.snapshot={k}.compact"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            (
+                df.repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            after = self._data_files(path)
+            files_after += len(after)
+            snapshots_compacted += 1
+
+            lineage_path = f"{self.root}/_lineage/snapshot={k}.json"
+            with open(lineage_path) as f:
+                lineage = json.load(f)
+            lineage.setdefault("compactions", []).append(
+                {
+                    "files_before": len(before),
+                    "files_after": len(after),
+                    "at": time.time(),
+                }
+            )
+            tmp_json = f"{self.root}/_lineage/.snapshot={k}.json.tmp"
+            with open(tmp_json, "w") as f:
+                json.dump(lineage, f, indent=2, default=str)
+            os.rename(tmp_json, lineage_path)
+        return {
+            "snapshots_compacted": snapshots_compacted,
+            "files_before": files_before,
+            "files_after": files_after,
+        }

@@ -1,0 +1,92 @@
+"""Snapshot time travel and small-file compaction (io/snapshots.py).
+
+Time travel: load(as_of=k) must show exactly the data committed through
+snapshot k (Iceberg VERSION AS OF). Compaction: rewriting a snapshot's
+small files must change only the file layout — row content, snapshot
+boundaries, time travel, and resume markers all survive.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_spark.io.snapshots import SnapshotTable
+
+COLS = ["subj", "pred", "obj", "prov", "url"]
+
+BATCH_1 = [
+    (f"e{i}", "p" if i % 2 else "q", f"o{i}", f"s{i}", f"http://u{i}")
+    for i in range(40)
+]
+BATCH_2 = [
+    (f"e{i}", "p" if i % 2 else "q", f"o{i}", f"s{i}", f"http://u{i}")
+    for i in range(40, 60)
+]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "kg"), n_buckets=4)
+    # repartition forces several upstream tasks → multiple files per
+    # bucket directory (the streaming-append small-file pathology)
+    t.append(spark.createDataFrame(BATCH_1, COLS).repartition(6))
+    t.append(spark.createDataFrame(BATCH_2, COLS).repartition(6))
+    return t
+
+
+def _rows(df):
+    return sorted(
+        (r["subj"], r["pred"], r["obj"], r["url"]) for r in df.collect()
+    )
+
+
+def test_time_travel_load(table):
+    assert table.load().count() == 60
+    at1 = table.load(as_of=1)
+    assert _rows(at1) == _rows(
+        table.spark.createDataFrame(BATCH_1, COLS)
+    )
+    assert table.load(as_of=0) is None
+    # as_of beyond the head is the current state
+    assert table.load(as_of=99).count() == 60
+
+
+def test_time_travel_match_triples(table):
+    assert table.match_triples(pred="p", as_of=1).count() == 20
+    assert table.match_triples(pred="p").count() == 30
+    got = table.match_triples(url="http://u45", as_of=1)
+    assert got.count() == 0
+
+
+def test_compaction_preserves_content_and_history(table):
+    before_all = _rows(table.load())
+    before_at1 = _rows(table.load(as_of=1))
+    stats = table.compact(min_files_per_bucket=1)
+    assert stats["snapshots_compacted"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    # one file per populated bucket directory after the rewrite
+    for k in table.snapshots():
+        path = f"{table.root}/data/snapshot={k}"
+        files = table._data_files(path)
+        import os
+
+        n_buckets = len(
+            [d for d in os.listdir(path) if d.startswith("bucket=")]
+        )
+        assert len(files) == n_buckets
+    assert _rows(table.load()) == before_all
+    assert _rows(table.load(as_of=1)) == before_at1
+    audit = [
+        entry
+        for lin in table.lineage()
+        for entry in lin.get("compactions", [])
+    ]
+    assert len(audit) == 2
+    assert all(a["files_after"] < a["files_before"] for a in audit)
+
+
+def test_compaction_is_idempotent(table):
+    table.compact(min_files_per_bucket=1)
+    second = table.compact(min_files_per_bucket=1)
+    assert second["snapshots_compacted"] == 0
+    assert second["files_before"] == second["files_after"]
