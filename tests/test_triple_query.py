@@ -88,3 +88,39 @@ def test_cli_triples_subcommand(snapshot):
     assert lines[0].split(",")[:3] == ["subj", "pred", "obj"]
     assert 1 < len(lines) <= 6
     assert all(ln.split(",")[1] == "has_type" for ln in lines[1:])
+
+
+def test_cli_graph_and_compact_subcommands(snapshot):
+    """graph/pagerank prints a rank CSV; compact prints a stats JSON and
+    the table remains queryable (incl. time travel) afterwards."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "graph",
+         "--snapshot", snapshot.root, "--op", "pagerank",
+         "--n-iter", "3", "--limit", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "entity,rank"
+    assert 1 < len(lines) <= 6
+    ranks = [float(ln.rsplit(",", 1)[1]) for ln in lines[1:]]
+    assert ranks == sorted(ranks, reverse=True)
+
+    out2 = subprocess.run(
+        [sys.executable, "tools/cli.py", "compact",
+         "--snapshot", snapshot.root, "--min-files-per-bucket", "1"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    stats = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert stats["files_after"] <= stats["files_before"]
+    # table still answers a time-travel probe after the rewrite
+    assert snapshot.match_triples(pred="has_type", as_of=1).count() > 0

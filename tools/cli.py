@@ -91,6 +91,29 @@ def main() -> int:
     p_tri.add_argument("--obj", default=None)
     p_tri.add_argument("--url", default=None)
     p_tri.add_argument("--limit", type=int, default=100)
+    p_tri.add_argument("--as-of", type=int, default=None, dest="as_of",
+                       help="time-travel: probe the KG as of this snapshot")
+
+    p_compact = sub.add_parser(
+        "compact",
+        help="rewrite a snapshot table's small files (one file per "
+             "bucket; content, history, and time travel preserved)",
+    )
+    p_compact.add_argument("--snapshot", required=True,
+                           help="snapshot table root")
+    p_compact.add_argument("--min-files-per-bucket", type=int, default=2)
+
+    p_graph = sub.add_parser(
+        "graph",
+        help="graph analytics over a snapshot KG's (subj, obj) edges",
+    )
+    p_graph.add_argument("--snapshot", required=True,
+                         help="snapshot table root")
+    p_graph.add_argument("--op", required=True,
+                         choices=["degrees", "pagerank", "triangles",
+                                  "two-hop"])
+    p_graph.add_argument("--n-iter", type=int, default=10)
+    p_graph.add_argument("--limit", type=int, default=50)
 
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
@@ -135,7 +158,8 @@ def main() -> int:
         from search_spark.io.snapshots import SnapshotTable
 
         df = SnapshotTable(spark, args.snapshot).match_triples(
-            subj=args.subj, pred=args.pred, obj=args.obj, url=args.url
+            subj=args.subj, pred=args.pred, obj=args.obj, url=args.url,
+            as_of=args.as_of,
         )
         if df is None:
             print("no committed snapshots", file=sys.stderr)
@@ -144,6 +168,47 @@ def main() -> int:
             args.limit
         )
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "compact":
+        import json
+
+        from search_spark.io.snapshots import SnapshotTable
+
+        stats = SnapshotTable(spark, args.snapshot).compact(
+            min_files_per_bucket=args.min_files_per_bucket
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "graph":
+        from pyspark.sql import functions as F
+
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators import graph as G
+
+        full = SnapshotTable(spark, args.snapshot).load()
+        if full is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        edges = full.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        if args.op == "degrees":
+            out = G.entity_degrees(edges).orderBy(
+                F.desc("out_edges"), "entity"
+            )
+        elif args.op == "pagerank":
+            out = G.pagerank(edges, n_iter=args.n_iter).orderBy(
+                F.desc("rank"), "entity"
+            )
+        elif args.op == "triangles":
+            out = G.triangle_counts(edges).orderBy(
+                F.desc("n_triangles"), "entity"
+            )
+        else:
+            out = G.two_hop(edges).orderBy(
+                F.desc("n_paths"), "src", "dst"
+            )
+        print(
+            out.limit(args.limit).toPandas().to_csv(index=False), end=""
+        )
     elif args.cmd == "topic-filter":
         from pyspark.sql import functions as F
 
