@@ -1,0 +1,123 @@
+"""N-Quads export/import for the materialized KG.
+
+The engine already *reads* RDF N-Triples (the MeSH vocabulary,
+``extraction/mesh.py``); this module adds the write side plus a generic
+reader, so the KG a pipeline materializes can leave as a standard triple
+exchange format — the lingua franca for loading into any triple store —
+and come back losslessly.
+
+Mapping: ``subj``/``pred`` become IRIs under a caller-supplied base
+namespace (percent-encoded, so arbitrary surface forms survive), ``obj``
+becomes a literal, and ``prov`` (when present) becomes the graph label of
+an N-Quad — provenance is first-class in the export, not a comment.
+Literal escaping follows the N-Triples grammar (backslash, quote,
+newline, CR, tab).
+
+Everything is JVM-side column expressions over ``url_encode`` /
+``regexp_extract`` — the export is a narrow map over the triple scan
+(zero shuffle, whole-stage codegen) and the import is the same shape as
+the MeSH reader; both scale with the file count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BASE = "kg:"
+
+
+def _escape_literal(col: Column) -> Column:
+    # N-Triples literal escapes: \ first, then ", LF, CR, TAB
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def _unescape_literal(col: Column) -> Column:
+    # inverse order of _escape_literal; a placeholder keeps literal
+    # backslashes out of the way while the short escapes resolve
+    sentinel = "\x00"
+    out = F.replace(col, F.lit("\\\\"), F.lit(sentinel))
+    out = F.replace(out, F.lit('\\"'), F.lit('"'))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    return F.replace(out, F.lit(sentinel), F.lit("\\"))
+
+
+def _iri(kind: str, col: Column, base: str) -> Column:
+    return F.concat(
+        F.lit(f"<{base}{kind}/"), F.url_encode(col), F.lit(">")
+    )
+
+
+def _iri_value(col: Column, kind: str, base: str) -> Column:
+    prefix = f"<{base}{kind}/"
+    return F.url_decode(
+        F.substring(col, len(prefix) + 1, F.length(col) - len(prefix) - 1)
+    )
+
+
+def to_nquad_lines(
+    df: DataFrame, base: str = DEFAULT_BASE, prov_col: str | None = "prov"
+) -> DataFrame:
+    """``(subj, pred, obj[, prov])`` → one-column ``line`` DataFrame of
+    N-Quads (N-Triples when ``prov_col`` is None or absent)."""
+    parts = [
+        _iri("entity", F.col("subj"), base),
+        F.lit(" "),
+        _iri("pred", F.col("pred"), base),
+        F.lit(' "'),
+        _escape_literal(F.col("obj")),
+        F.lit('"'),
+    ]
+    if prov_col is not None and prov_col in df.columns:
+        parts += [F.lit(" "), _iri("prov", F.col(prov_col), base)]
+    parts.append(F.lit(" ."))
+    return df.select(F.concat(*parts).alias("line"))
+
+
+def write_ntriples(
+    df: DataFrame,
+    path: str,
+    base: str = DEFAULT_BASE,
+    prov_col: str | None = "prov",
+) -> None:
+    """Export the triple table as N-Quads text files (one archive-ready
+    ``.nt`` part per partition; narrow map, no shuffle)."""
+    to_nquad_lines(df, base=base, prov_col=prov_col).write.mode(
+        "errorifexists"
+    ).text(path)
+
+
+# subject/predicate IRIs, quoted literal with escapes, optional graph IRI
+_NQ_PATTERN = (
+    r'^(<[^>]*>)\s+(<[^>]*>)\s+"((?:[^"\\]|\\.)*)"(?:\s+(<[^>]*>))?\s*\.\s*$'
+)
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Parse N-Quads/N-Triples text back to ``(subj, pred, obj, prov)``
+    (``prov`` NULL for plain triples). Pure JVM regex over the text scan
+    — the same plan shape as the MeSH vocabulary reader."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _NQ_PATTERN, 1).alias("s_iri"),
+        F.regexp_extract("value", _NQ_PATTERN, 2).alias("p_iri"),
+        F.regexp_extract("value", _NQ_PATTERN, 3).alias("o_lit"),
+        F.regexp_extract("value", _NQ_PATTERN, 4).alias("g_iri"),
+    ).filter(F.col("s_iri") != "")
+    return parsed.select(
+        _iri_value(F.col("s_iri"), "entity", base).alias("subj"),
+        _iri_value(F.col("p_iri"), "pred", base).alias("pred"),
+        _unescape_literal(F.col("o_lit")).alias("obj"),
+        F.when(
+            F.col("g_iri") != "",
+            _iri_value(F.col("g_iri"), "prov", base),
+        ).alias("prov"),
+    )

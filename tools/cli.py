@@ -103,6 +103,16 @@ def main() -> int:
                            help="snapshot table root")
     p_compact.add_argument("--min-files-per-bucket", type=int, default=2)
 
+    p_export = sub.add_parser(
+        "export",
+        help="export a snapshot KG as N-Quads text (provenance as the "
+             "graph term; lossless roundtrip via io/ntriples.py)",
+    )
+    p_export.add_argument("--snapshot", required=True,
+                          help="snapshot table root")
+    p_export.add_argument("--output", required=True)
+    p_export.add_argument("--as-of", type=int, default=None, dest="as_of")
+
     p_graph = sub.add_parser(
         "graph",
         help="graph analytics over a snapshot KG's (subj, obj) edges",
@@ -168,6 +178,19 @@ def main() -> int:
             args.limit
         )
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "export":
+        from search_spark.io.ntriples import write_ntriples
+        from search_spark.io.snapshots import SnapshotTable
+
+        df = SnapshotTable(spark, args.snapshot).load(as_of=args.as_of)
+        if df is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        write_ntriples(
+            df.select("subj", "pred", "obj", "prov"), args.output
+        )
+        print(f"wrote {spark.read.text(args.output).count()} quads "
+              f"to {args.output}")
     elif args.cmd == "compact":
         import json
 
