@@ -136,3 +136,29 @@ def test_topic_rules_is_pure_codegen(spark):
     plan = plan_of(QUERIES["topic_rules"].spark(spark, SF_DIR))
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_hash_split_is_pure_projection(spark):
+    # split assignment must be a narrow codegen map over the scan:
+    # no shuffle, no UDF — membership computable at read time
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["split_train_holdout"].spark(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(spark):
+    # one hash-partition exchange on the stratum key feeds the window
+    # (with a pre-shuffle WindowGroupLimit pruning each map partition to
+    # its local top-k); nothing else shuffles and no UDF appears
+    import re
+
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["stratified_sample"].spark(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan
