@@ -1,0 +1,125 @@
+"""Basic-graph-pattern (SPARQL-style) matching over the triple table.
+
+The reference materializes ``(subj, pred, obj, prov)`` rows into its mining
+cache (``database/mining_cache.py``) and leaves querying to hand-written
+SQL in notebooks. A KG engine needs declarative conjunctive queries over
+those triples — the SPARQL basic graph pattern: a list of triple patterns
+whose terms are either constants or shared variables, answered by the set
+of variable bindings satisfying every pattern.
+
+Spark-first formulation: each triple pattern becomes one scan of the triple
+table with its constant terms applied as filters (Catalyst pushes them into
+the parquet scan) and its variable terms projected under the variable
+name; patterns then inner-join left-to-right on whichever variables they
+share with the patterns already joined. Per-pattern ``distinct`` runs
+before the join (set semantics over the triple graph — provenance rows
+collapse) so the partial-aggregated dedup shuffle shrinks each side before
+the join shuffle, and AQE turns selective patterns (constant-bound ones)
+into broadcast sides at runtime.
+
+At scale the plan holds: no pattern is ever cross-joined (a pattern that
+shares no variable with the accumulated bindings raises — cartesian BGPs
+are a query bug, not a physical strategy), each join hash-partitions on
+bound variables, and constant filters prune at the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POSITIONS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_scan(triples: DataFrame, pattern: Sequence[str]) -> DataFrame:
+    """One triple pattern → filtered scan projecting its variable columns."""
+    if len(pattern) != 3:
+        raise ValueError(f"triple pattern must have 3 terms, got {pattern!r}")
+    scan = triples
+    proj: dict[str, str] = {}  # var name -> triple column
+    for col, term in zip(_POSITIONS, pattern):
+        if _is_var(term):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"empty variable name in {pattern!r}")
+            if var in proj:
+                # repeated variable inside one pattern, e.g. (?x, p, ?x)
+                scan = scan.filter(F.col(proj[var]) == F.col(col))
+            else:
+                proj[var] = col
+        else:
+            scan = scan.filter(F.col(col) == F.lit(term))
+    if not proj:
+        raise ValueError(f"pattern {pattern!r} binds no variables")
+    return scan.select(
+        *[F.col(src).alias(var) for var, src in proj.items()]
+    ).distinct()
+
+
+def _shared_vars(scan: DataFrame, bound: list[str], pattern) -> list[str]:
+    shared = [c for c in scan.columns if c in bound]
+    if not shared:
+        raise ValueError(
+            f"pattern {tuple(pattern)!r} shares no variable with "
+            f"already-bound {bound} — cartesian BGPs are not supported"
+        )
+    return shared
+
+
+def match_bgp(
+    triples: DataFrame,
+    patterns: Sequence[Sequence[str]],
+    optional: Sequence[Sequence[str]] = (),
+    not_exists: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """Match a conjunction of triple patterns; one column per variable.
+
+    ``triples`` needs columns ``subj, pred, obj`` (extra columns such as
+    ``prov`` are ignored). Each pattern is a ``(subj, pred, obj)`` triple
+    of terms; terms starting with ``?`` are variables, anything else is a
+    constant. Returns the DISTINCT bindings of all variables, columns in
+    order of first appearance across the patterns.
+
+    ``optional`` patterns are SPARQL ``OPTIONAL { ... }`` blocks of one
+    pattern each: left-joined on the variables they share with the
+    bindings so far, their new variables NULL where unmatched. They may
+    chain (a later optional may join on a variable a previous one bound);
+    the join is plain equality, so a NULL introduced by an earlier
+    optional never matches.
+
+    ``not_exists`` patterns are SPARQL ``FILTER NOT EXISTS { ... }``:
+    bindings with at least one match are dropped (anti-join on the shared
+    variables; the pattern's other variables are existential). Applied
+    after all required and optional patterns, per SPARQL evaluation order.
+
+    Patterns must be connected in the given order: every pattern after the
+    first must share at least one variable with those before it (otherwise
+    the query is a cartesian product — raise instead of silently building
+    one).
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    base = triples.select("subj", "pred", "obj")
+    out = _pattern_scan(base, patterns[0])
+    bound = list(out.columns)
+    for pattern in patterns[1:]:
+        scan = _pattern_scan(base, pattern)
+        out = out.join(scan, on=_shared_vars(scan, bound, pattern), how="inner")
+        bound += [c for c in scan.columns if c not in bound]
+    for pattern in optional:
+        scan = _pattern_scan(base, pattern)
+        out = out.join(scan, on=_shared_vars(scan, bound, pattern), how="left")
+        bound += [c for c in scan.columns if c not in bound]
+    for pattern in not_exists:
+        scan = _pattern_scan(base, pattern)
+        shared = _shared_vars(scan, bound, pattern)
+        # other vars in the pattern are existential — anti on shared only
+        out = out.join(scan.select(*shared), on=shared, how="left_anti")
+    # joins reorder columns; restore first-appearance order, dedup bindings
+    return out.select(*bound).distinct()

@@ -356,3 +356,55 @@ def two_hop(edges: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Directed BFS hop distance from a seed set, bounded at ``max_hops``.
+
+    ``seeds`` is a one-column DataFrame of starting entities. Returns
+    ``(entity, dist)`` for every vertex reachable within ``max_hops``
+    directed hops (seeds at distance 0); unreachable vertices are absent.
+
+    Per-round plan: the previous round's frontier (rows first discovered
+    at ``k-1``) joins the distinct edge set on ``src`` to propose
+    distance-``k`` rows, then a min-aggregate over (old ∪ proposed) keeps
+    first-discovery distances. State is one int per *reached* vertex —
+    vocabulary-sized — while the edge table is hash-partitioned on ``src``
+    once and persisted, so each round reuses its shuffle instead of
+    rescanning; lineage truncates per round (``localCheckpoint``), the
+    same loop discipline as :func:`pagerank` and the connected-components
+    canonicalizer. Expanding only the newly-discovered frontier keeps the
+    per-round join |frontier| × outdeg, not |reached| × outdeg.
+    """
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("entity"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == k - 1).select(
+            F.col("entity").alias("src")
+        )
+        reached = e.join(frontier, on="src").select(
+            F.col("dst").alias("entity"), F.lit(k).alias("dist")
+        )
+        final = k == max_hops
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("entity")
+            .agg(F.min("dist").alias("dist"))
+            # the last round materializes eagerly so the returned plan no
+            # longer references the edge cache being unpersisted below
+            .localCheckpoint(eager=final)
+        )
+    e.unpersist()
+    return dist.select("entity", F.col("dist").cast("int").alias("dist"))

@@ -2963,6 +2963,155 @@ GROUP BY a.src, b.dst
 """
 
 
+def _q_kg_bgp_match(spark, sf_dir):
+    """SPARQL-style basic graph pattern over the materialized triples:
+    ``?a DIFF ?b . ?c DIFF ?b . ?b has_type ?bt`` (operator pairs sharing
+    a related object, with the object's type) — per-pattern scans with
+    constants pushed into the scan, per-pattern dedup (set semantics over
+    provenance rows), then hash-joins on the shared variables; no pattern
+    is ever cartesian (the operator raises on disconnected BGPs)."""
+    from search_spark.operators.bgp import match_bgp
+
+    return match_bgp(
+        _q_kg_doc_triples(spark, sf_dir),
+        [
+            ("?a", DIFF, "?b"),
+            ("?c", DIFF, "?b"),
+            ("?b", "has_type", "?bt"),
+        ],
+    )
+
+
+_SQL_KG_BGP_MATCH = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT DISTINCT p1.subj AS a, p1.obj AS b, p2.subj AS c, p3.obj AS bt
+FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p1
+JOIN (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p2
+  ON p2.obj = p1.obj
+JOIN (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'has_type') p3
+  ON p3.subj = p1.obj
+"""
+
+
+def _q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER NOT EXISTS over the triples: every typed
+    entity, its DIFF-related object when one exists (left join, NULL
+    otherwise), restricted to entities never appearing as a DIFF object
+    themselves (anti-join). Optional blocks are left joins on the shared
+    variable; negation is an anti-join — both stay hash-partitioned on
+    the entity variable."""
+    from search_spark.operators.bgp import match_bgp
+
+    return match_bgp(
+        _q_kg_doc_triples(spark, sf_dir),
+        [("?m", "has_type", "?t")],
+        optional=[("?m", DIFF, "?o")],
+        not_exists=[("?x", DIFF, "?m")],
+    )
+
+
+_SQL_KG_BGP_OPTIONAL = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT DISTINCT p1.subj AS m, p1.obj AS t, p2.obj AS o
+FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'has_type') p1
+LEFT JOIN (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p2
+  ON p2.subj = p1.subj
+WHERE NOT EXISTS (SELECT 1 FROM triples t3
+                  WHERE t3.pred = '{DIFF}' AND t3.obj = p1.subj)
+"""
+
+
+_BFS_HOPS = 4
+
+
+def _q_kg_bfs_distances(spark, sf_dir):
+    """Bounded directed BFS from the ENGINE-typed seed entities over the
+    relation edge set: per-round frontier⋈edges + min-aggregate, edge
+    table hash-partitioned on src once and reused every round, state one
+    int per reached vertex. The unrolled-CTE oracle computes the same
+    first-discovery distances."""
+    from search_spark.operators.graph import bfs_distances
+
+    seeds = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("entity_type") == "ENGINE")
+        .select(F.col("mention").alias("entity"))
+    )
+    return bfs_distances(
+        _kg_edge_instances(spark, sf_dir), seeds, max_hops=_BFS_HOPS
+    )
+
+
+def _bfs_oracle_sql(max_hops: int = _BFS_HOPS) -> str:
+    parts = ["""
+dedges AS (SELECT DISTINCT src, dst FROM edges),
+d0 AS (SELECT DISTINCT mention AS entity, 0 AS dist
+       FROM mentions WHERE entity_type = 'ENGINE')"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f"""
+r{k} AS (SELECT e.dst AS entity, {k} AS dist
+  FROM dedges e JOIN d{k - 1} p ON p.entity = e.src AND p.dist = {k - 1}),
+d{k} AS (SELECT entity, MIN(dist) AS dist
+  FROM (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM r{k}) GROUP BY entity)""")
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {','.join(parts)}\n"
+        f"SELECT entity, CAST(dist AS INT) AS dist FROM d{max_hops}"
+    )
+
+
+def _q_kg_edge_pmi(spark, sf_dir):
+    """Pointwise mutual information per distinct co-occurrence edge —
+    the standard association weight a KG builder attaches before
+    thresholding noisy co-occurrence edges. Three partial-aggregated
+    counts (pair, src marginal, dst marginal) joined back onto the pair
+    table; the corpus total is a 1-row aggregate broadcast, never a
+    driver round-trip."""
+    edges = _kg_edge_instances(spark, sf_dir)
+    pair = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_pair"))
+    srcm = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_src"))
+    dstm = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_dst"))
+    total = edges.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        pair.join(srcm, on="src")
+        .join(dstm, on="dst")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "src",
+            "dst",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_total"))
+                    / (F.col("n_src") * F.col("n_dst"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+_SQL_KG_EDGE_PMI = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+pair AS (SELECT src, dst, COUNT(*) AS n_pair FROM edges GROUP BY src, dst),
+sm AS (SELECT src, COUNT(*) AS n_src FROM edges GROUP BY src),
+dm AS (SELECT dst, COUNT(*) AS n_dst FROM edges GROUP BY dst),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM edges)
+SELECT p.src, p.dst, CAST(p.n_pair AS BIGINT) AS n_pair,
+       ROUND(LN((p.n_pair * n_total) / (sm.n_src * dm.n_dst)), 4) AS pmi
+FROM pair p JOIN sm ON sm.src = p.src JOIN dm ON dm.dst = p.dst, tot
+"""
+
+
 # -- deterministic sampling / dataset splitting -----------------------------
 
 _SPLIT_HEX = 4
@@ -3033,6 +3182,10 @@ QUERIES: dict[str, Q] = {
     ),
     "kg_triangles": Q(_q_kg_triangles, _SQL_KG_TRIANGLES),
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
+    "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
+    "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
+    "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
+    "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
     "sentence_filter": Q(_q_sentence_filter, _SQL_SENTENCE_FILTER),

@@ -1,0 +1,186 @@
+"""Unit tests for SPARQL-style basic-graph-pattern matching and BFS.
+
+Reference context: the reference materializes (subj, pred, obj, prov)
+rows into its mining cache (database/mining_cache.py) and queries them
+with ad-hoc SQL; match_bgp is the engine-native conjunctive-query surface
+over that table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark.operators.bgp import match_bgp
+from search_spark.operators.graph import bfs_distances
+
+TRIPLES = [
+    # (subj, pred, obj, prov) — prov must be ignored by BGP matching
+    ("alice", "knows", "bob", "d1:0"),
+    ("alice", "knows", "bob", "d2:3"),  # duplicate fact, distinct prov
+    ("bob", "knows", "carol", "d1:1"),
+    ("carol", "knows", "alice", "d3:0"),
+    ("alice", "type", "person", "d1:0"),
+    ("bob", "type", "person", "d1:1"),
+    ("carol", "type", "robot", "d3:0"),
+    ("loop", "knows", "loop", "d4:0"),
+    ("loop", "type", "robot", "d4:0"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj", "prov"])
+
+
+def test_single_pattern_constants_pushed(triples):
+    out = match_bgp(triples, [("?x", "type", "person")])
+    assert sorted(r["x"] for r in out.collect()) == ["alice", "bob"]
+
+
+def test_join_on_shared_variable(triples):
+    out = match_bgp(
+        triples,
+        [("?x", "knows", "?y"), ("?y", "type", "robot")],
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("bob", "carol"), ("loop", "loop")}
+
+
+def test_duplicate_provenance_collapses_to_set_semantics(triples):
+    out = match_bgp(triples, [("?x", "knows", "bob")])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["x"] == "alice"
+
+
+def test_repeated_variable_within_pattern(triples):
+    out = match_bgp(triples, [("?x", "knows", "?x")])
+    assert [r["x"] for r in out.collect()] == ["loop"]
+
+
+def test_three_pattern_chain_column_order(triples):
+    out = match_bgp(
+        triples,
+        [
+            ("?a", "knows", "?b"),
+            ("?b", "knows", "?c"),
+            ("?c", "type", "?t"),
+        ],
+    )
+    assert out.columns == ["a", "b", "c", "t"]
+    got = {tuple(r) for r in out.collect()}
+    assert ("alice", "bob", "carol", "robot") in got
+    assert ("bob", "carol", "alice", "person") in got
+
+
+def test_disconnected_pattern_raises(triples):
+    with pytest.raises(ValueError, match="cartesian"):
+        match_bgp(
+            triples,
+            [("?x", "knows", "?y"), ("?a", "type", "?b")],
+        )
+
+
+def test_no_variable_pattern_raises(triples):
+    with pytest.raises(ValueError, match="binds no variables"):
+        match_bgp(triples, [("alice", "knows", "bob")])
+
+
+def test_empty_bgp_raises(triples):
+    with pytest.raises(ValueError, match="empty"):
+        match_bgp(triples, [])
+
+
+def test_bgp_plan_has_no_cartesian_and_pushes_filters(triples):
+    out = match_bgp(
+        triples,
+        [("?x", "knows", "?y"), ("?y", "type", "robot")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_optional_left_joins_with_null(triples):
+    # everyone with a type; who they know, NULL if nobody
+    out = match_bgp(
+        triples,
+        [("?x", "type", "?t")],
+        optional=[("?x", "knows", "?y")],
+    )
+    got = {(r["x"], r["t"], r["y"]) for r in out.collect()}
+    assert ("alice", "person", "bob") in got
+    assert ("loop", "robot", "loop") in got
+    # carol knows alice — matched; no NULL row for carol
+    assert ("carol", "robot", "alice") in got
+    assert not any(x == "carol" and y is None for x, _, y in got)
+
+
+def test_optional_null_when_unmatched(spark):
+    t = spark.createDataFrame(
+        [("a", "type", "person"), ("b", "type", "person"), ("a", "knows", "b")],
+        ["subj", "pred", "obj"],
+    )
+    out = match_bgp(
+        t, [("?x", "type", "person")], optional=[("?x", "knows", "?y")]
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", None)}
+
+
+def test_not_exists_filters_bindings(triples):
+    # people nobody knows (no triple ?z knows ?x)
+    out = match_bgp(
+        triples,
+        [("?x", "type", "?t")],
+        not_exists=[("?z", "knows", "?x")],
+    )
+    # alice<-carol, bob<-alice, carol<-bob, loop<-loop all known; none left
+    assert out.count() == 0
+    t2 = match_bgp(
+        triples,
+        [("?x", "type", "person")],
+        not_exists=[("?x", "knows", "carol")],
+    )
+    assert sorted(r["x"] for r in t2.collect()) == ["alice"]
+
+
+def test_optional_disconnected_raises(triples):
+    with pytest.raises(ValueError, match="cartesian"):
+        match_bgp(
+            triples,
+            [("?x", "type", "person")],
+            optional=[("?a", "knows", "?b")],
+        )
+
+
+# -- BFS hop distances -------------------------------------------------------
+
+EDGES = [
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "d"),
+    ("d", "e"),
+    ("a", "c"),  # shortcut: c is dist 1, not 2
+    ("x", "y"),  # disconnected from the seed
+    ("e", "a"),  # back edge — distances stay first-discovery
+]
+
+
+def test_bfs_distances_basic(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+    got = {r["entity"]: r["dist"] for r in bfs_distances(edges, seeds, 4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_bfs_distances_hop_bound(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+    got = {r["entity"]: r["dist"] for r in bfs_distances(edges, seeds, 2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multiple_seeds(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("x",)], ["entity"])
+    got = {r["entity"]: r["dist"] for r in bfs_distances(edges, seeds, 1).collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1, "y": 1}
