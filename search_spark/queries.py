@@ -2972,6 +2972,10 @@ def _q_kg_bgp_match(spark, sf_dir):
     is ever cartesian (the operator raises on disconnected BGPs)."""
     from search_spark.operators.bgp import match_bgp
 
+    # the triples here are derived on the fly; leaving the plan lazy lets
+    # Catalyst constant-fold each pattern's pred filter into the union
+    # branches (a has_type scan never runs the relation self-join) —
+    # measured on par with materializing the derived table once
     return match_bgp(
         _q_kg_doc_triples(spark, sf_dir),
         [

@@ -69,3 +69,27 @@ def test_ner_errors_no_cartesian(spark):
 
     plan = plan_of(QUERIES["ner_errors"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_kg_bgp_queries_no_cartesian_and_pruned_union(spark):
+    # every BGP join keys on shared variables (hash or broadcast, never
+    # cartesian), and Catalyst constant-folds each pattern's pred filter
+    # into the triples union so a has_type scan never runs the relation
+    # self-join: the plan has fewer self-join instances than pattern count
+    from search_spark.queries import QUERIES
+
+    for name in ("kg_bgp_match", "kg_bgp_optional"):
+        plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kg_edge_pmi_single_row_broadcast(spark):
+    # the corpus-total denominator is a 1-row aggregate broadcast into the
+    # pair table — a BroadcastNestedLoopJoin over one row, not a shuffle
+    # and never a driver round-trip (no collect in the query body)
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_edge_pmi"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
