@@ -123,3 +123,96 @@ def match_bgp(
         out = out.join(scan.select(*shared), on=shared, how="left_anti")
     # joins reorder columns; restore first-appearance order, dedup bindings
     return out.select(*bound).distinct()
+
+
+def construct(
+    triples: DataFrame,
+    patterns: Sequence[Sequence[str]],
+    template: Sequence[Sequence[str]],
+    optional: Sequence[Sequence[str]] = (),
+    not_exists: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: match a BGP, emit templated triples.
+
+    Every binding of ``patterns`` (plus ``optional``/``not_exists``, see
+    :func:`match_bgp`) instantiates each ``(subj, pred, obj)`` entry of
+    ``template`` — terms starting with ``?`` substitute the bound
+    variable, anything else is a constant. Returns the DISTINCT derived
+    ``(subj, pred, obj)`` rows. Bindings where a template variable is
+    NULL (possible via ``optional``) are dropped, matching SPARQL's
+    incomplete-instantiation rule.
+    """
+    bindings = match_bgp(
+        triples, patterns, optional=optional, not_exists=not_exists
+    )
+    bound = set(bindings.columns)
+    outs = []
+    for entry in template:
+        if len(entry) != 3:
+            raise ValueError(f"template entry must have 3 terms: {entry!r}")
+        cols = []
+        guards = []
+        for col, term in zip(_POSITIONS, entry):
+            if _is_var(term):
+                var = term[1:]
+                if var not in bound:
+                    raise ValueError(
+                        f"template variable ?{var} is not bound by the BGP"
+                    )
+                cols.append(F.col(var).alias(col))
+                guards.append(F.col(var).isNotNull())
+            else:
+                cols.append(F.lit(term).alias(col))
+        one = bindings
+        for g in guards:
+            one = one.filter(g)
+        outs.append(one.select(*cols))
+    if not outs:
+        raise ValueError("empty CONSTRUCT template")
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
+def forward_chain(
+    triples: DataFrame,
+    rules: Sequence[tuple[Sequence[Sequence[str]], Sequence[Sequence[str]]]],
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Apply CONSTRUCT rules to a bounded fixpoint (RDFS-lite inference).
+
+    ``rules`` is a list of ``(patterns, template)`` pairs. Each round
+    evaluates every rule against the *current* triple set (base plus
+    everything derived so far) and unions in the new triples; iteration
+    stops when a round derives nothing new or after ``max_rounds``.
+    Because the rules are monotone, a run that reaches fixpoint early is
+    identical to one that executes all rounds — the unrolled-CTE oracle
+    relies on exactly this.
+
+    Per-round state is the distinct triple set: lineage truncates with an
+    eager ``localCheckpoint`` (the same loop discipline as
+    connected-components and PageRank) and the convergence check is one
+    count per round — a scalar, not a collect of the data.
+
+    Returns the closed triple set ``(subj, pred, obj)``.
+    """
+    current = triples.select("subj", "pred", "obj").distinct().localCheckpoint(
+        eager=True
+    )
+    n = current.count()
+    for _ in range(max_rounds):
+        derived = None
+        for patterns, template in rules:
+            d = construct(current, patterns, template)
+            derived = d if derived is None else derived.unionByName(d)
+        if derived is None:
+            break
+        current = (
+            current.unionByName(derived).distinct().localCheckpoint(eager=True)
+        )
+        n_new = current.count()
+        if n_new == n:
+            break
+        n = n_new
+    return current

@@ -3035,6 +3035,63 @@ WHERE NOT EXISTS (SELECT 1 FROM triples t3
 """
 
 
+_FC_ROUNDS = 4
+_CO_OP = "co_operator"
+
+
+def _q_kg_forward_chain(spark, sf_dir):
+    """Rule-based forward chaining to fixpoint (RDFS-lite inference):
+    rule 1 derives ``co_operator`` edges between operators sharing a DIFF
+    object; rule 2 closes ``co_operator`` transitively. Each round is a
+    CONSTRUCT (BGP join + templated projection) unioned into the triple
+    set with per-round lineage checkpoints; monotone rules make the
+    early-exit fixpoint identical to the oracle's fixed unroll."""
+    from search_spark.operators.bgp import forward_chain
+
+    closed = forward_chain(
+        _q_kg_doc_triples(spark, sf_dir),
+        rules=[
+            (
+                [("?a", DIFF, "?b"), ("?c", DIFF, "?b")],
+                [("?a", _CO_OP, "?c")],
+            ),
+            (
+                [("?a", _CO_OP, "?x"), ("?x", _CO_OP, "?e")],
+                [("?a", _CO_OP, "?e")],
+            ),
+        ],
+        max_rounds=_FC_ROUNDS,
+    )
+    return closed.filter(F.col("pred") == _CO_OP)
+
+
+def _forward_chain_oracle_sql(n_rounds: int = _FC_ROUNDS) -> str:
+    parts = ["""
+t0 AS MATERIALIZED (
+  SELECT DISTINCT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION
+  SELECT DISTINCT subj, pred, obj FROM relations)"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""
+d{k}a AS (SELECT p1.subj AS subj, '{_CO_OP}' AS pred, p2.subj AS obj
+  FROM (SELECT DISTINCT subj, obj FROM t{k - 1} WHERE pred = '{DIFF}') p1
+  JOIN (SELECT DISTINCT subj, obj FROM t{k - 1} WHERE pred = '{DIFF}') p2
+    ON p2.obj = p1.obj),
+d{k}b AS (SELECT p1.subj AS subj, '{_CO_OP}' AS pred, p2.obj AS obj
+  FROM (SELECT DISTINCT subj, obj FROM t{k - 1} WHERE pred = '{_CO_OP}') p1
+  JOIN (SELECT DISTINCT subj, obj FROM t{k - 1} WHERE pred = '{_CO_OP}') p2
+    ON p2.subj = p1.obj),
+t{k} AS MATERIALIZED (
+  SELECT DISTINCT * FROM (SELECT * FROM t{k - 1}
+    UNION ALL SELECT * FROM d{k}a
+    UNION ALL SELECT * FROM d{k}b))""")
+    return (
+        f"{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY}, {','.join(parts)}\n"
+        f"SELECT subj, pred, obj FROM t{n_rounds} WHERE pred = '{_CO_OP}'"
+    )
+
+
 _BFS_HOPS = 4
 
 
@@ -3188,6 +3245,7 @@ QUERIES: dict[str, Q] = {
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
+    "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),

@@ -9,7 +9,7 @@ over that table.
 import pytest
 from pyspark.sql import functions as F
 
-from search_spark.operators.bgp import match_bgp
+from search_spark.operators.bgp import construct, forward_chain, match_bgp
 from search_spark.operators.graph import bfs_distances
 
 TRIPLES = [
@@ -150,6 +150,96 @@ def test_optional_disconnected_raises(triples):
             [("?x", "type", "person")],
             optional=[("?a", "knows", "?b")],
         )
+
+
+# -- CONSTRUCT + forward chaining ---------------------------------------------
+
+
+def test_construct_templated_triples(triples):
+    out = construct(
+        triples,
+        [("?x", "knows", "?y"), ("?y", "type", "robot")],
+        [("?x", "knows_robot", "?y"), ("?y", "is", "known_robot")],
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        ("bob", "knows_robot", "carol"),
+        ("loop", "knows_robot", "loop"),
+        ("carol", "is", "known_robot"),
+        ("loop", "is", "known_robot"),
+    }
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_construct_drops_null_optional_bindings(spark):
+    t = spark.createDataFrame(
+        [("a", "type", "person"), ("b", "type", "person"), ("a", "knows", "b")],
+        ["subj", "pred", "obj"],
+    )
+    out = construct(
+        t,
+        [("?x", "type", "person")],
+        [("?x", "friend_of", "?y")],
+        optional=[("?x", "knows", "?y")],
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "friend_of", "b")]
+
+
+def test_construct_unbound_template_var_raises(triples):
+    with pytest.raises(ValueError, match="not bound"):
+        construct(triples, [("?x", "type", "person")], [("?x", "p", "?zzz")])
+
+
+def test_forward_chain_transitive_closure(spark):
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")],
+        ["subj", "pred", "obj"],
+    )
+    closed = forward_chain(
+        t,
+        rules=[
+            ([("?x", "next", "?y")], [("?x", "reach", "?y")]),
+            (
+                [("?x", "reach", "?y"), ("?y", "reach", "?z")],
+                [("?x", "reach", "?z")],
+            ),
+        ],
+        max_rounds=5,
+    )
+    reach = {
+        (r["subj"], r["obj"])
+        for r in closed.filter(F.col("pred") == "reach").collect()
+    }
+    assert reach == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    # base facts survive
+    assert closed.filter(F.col("pred") == "next").count() == 3
+
+
+def test_forward_chain_round_bound(spark):
+    # chain of 9 'next' hops: closure needs ~4 doubling rounds; 1 round
+    # (derive 'reach') + 1 round of transitivity only reaches 2 hops
+    rows = [(f"n{i}", "next", f"n{i+1}") for i in range(9)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    closed = forward_chain(
+        t,
+        rules=[
+            ([("?x", "next", "?y")], [("?x", "reach", "?y")]),
+            (
+                [("?x", "reach", "?y"), ("?y", "reach", "?z")],
+                [("?x", "reach", "?z")],
+            ),
+        ],
+        max_rounds=2,
+    )
+    reach = {
+        (r["subj"], r["obj"])
+        for r in closed.filter(F.col("pred") == "reach").collect()
+    }
+    assert ("n0", "n2") in reach
+    assert ("n0", "n9") not in reach
 
 
 # -- BFS hop distances -------------------------------------------------------
