@@ -124,3 +124,25 @@ def test_cli_graph_and_compact_subcommands(snapshot):
     assert stats["files_after"] <= stats["files_before"]
     # table still answers a time-travel probe after the rewrite
     assert snapshot.match_triples(pred="has_type", as_of=1).count() > 0
+
+
+def test_cli_bgp_subcommand(snapshot):
+    """bgp runs a two-pattern conjunctive query over the snapshot and
+    prints one CSV column per variable."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "bgp",
+         "--snapshot", snapshot.root,
+         "--pattern", "?m has_type ?t",
+         "--not-exists", "?x ?p ?m",
+         "--limit", "10"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "m,t"
+    assert 1 < len(lines) <= 11

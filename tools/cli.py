@@ -125,6 +125,24 @@ def main() -> int:
     p_graph.add_argument("--n-iter", type=int, default=10)
     p_graph.add_argument("--limit", type=int, default=50)
 
+    p_bgp = sub.add_parser(
+        "bgp",
+        help="SPARQL-style basic-graph-pattern query over a snapshot KG "
+             "(patterns are 'term term term'; ?name terms are variables)",
+    )
+    p_bgp.add_argument("--snapshot", required=True, help="snapshot table root")
+    p_bgp.add_argument("--pattern", action="append", required=True,
+                       dest="patterns", metavar="'?s pred ?o'",
+                       help="required triple pattern (repeatable)")
+    p_bgp.add_argument("--optional", action="append", default=[],
+                       dest="optionals", metavar="'?s pred ?o'",
+                       help="OPTIONAL pattern: left join, NULL if unmatched")
+    p_bgp.add_argument("--not-exists", action="append", default=[],
+                       dest="not_exists", metavar="'?s pred ?o'",
+                       help="FILTER NOT EXISTS pattern: drops matching rows")
+    p_bgp.add_argument("--limit", type=int, default=100)
+    p_bgp.add_argument("--as-of", type=int, default=None, dest="as_of")
+
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
                           help="parquet with an embedding column")
@@ -232,6 +250,29 @@ def main() -> int:
         print(
             out.limit(args.limit).toPandas().to_csv(index=False), end=""
         )
+    elif args.cmd == "bgp":
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.bgp import match_bgp
+
+        full = SnapshotTable(spark, args.snapshot).load(as_of=args.as_of)
+        if full is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+
+        def parse(spec: str) -> tuple[str, str, str]:
+            terms = spec.split()
+            if len(terms) != 3:
+                ap.error(f"pattern needs exactly 3 terms: {spec!r}")
+            return tuple(terms)
+
+        out = match_bgp(
+            full,
+            [parse(p) for p in args.patterns],
+            optional=[parse(p) for p in args.optionals],
+            not_exists=[parse(p) for p in args.not_exists],
+        )
+        out = out.orderBy(*out.columns).limit(args.limit)
+        print(out.toPandas().to_csv(index=False), end="")
     elif args.cmd == "topic-filter":
         from pyspark.sql import functions as F
 
