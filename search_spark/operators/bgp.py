@@ -216,3 +216,35 @@ def forward_chain(
             break
         n = n_new
     return current
+
+
+def ask(
+    triples: DataFrame,
+    patterns: Sequence[Sequence[str]],
+    optional: Sequence[Sequence[str]] = (),
+    not_exists: Sequence[Sequence[str]] = (),
+) -> bool:
+    """SPARQL ``ASK``: does the BGP have at least one solution?
+
+    Evaluates :func:`match_bgp` under a LIMIT 1 — Spark's LocalLimit
+    short-circuits each partition at the first row, so the scan stops as
+    soon as any binding exists instead of materializing the solution set.
+    """
+    bindings = match_bgp(
+        triples, patterns, optional=optional, not_exists=not_exists
+    )
+    return bindings.limit(1).count() > 0
+
+
+def describe(triples: DataFrame, resource: str) -> DataFrame:
+    """SPARQL ``DESCRIBE``: every triple mentioning ``resource``.
+
+    One scan with an OR-of-equalities predicate (subj, pred, or obj equals
+    the resource) — pushed to the parquet reader as a single filter, no
+    join, no shuffle. Extra columns (``prov``, ``url``) pass through so
+    the description keeps its provenance.
+    """
+    r = F.lit(resource)
+    return triples.filter(
+        (F.col("subj") == r) | (F.col("pred") == r) | (F.col("obj") == r)
+    )

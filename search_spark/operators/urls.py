@@ -36,3 +36,23 @@ def canonical_url_col(url: str | Column) -> Column:
     c = F.regexp_replace(c, r"^https?://(www\.)?", "")
     c = F.regexp_replace(c, "/$", "")
     return c
+
+
+def registered_domain_col(url: str | Column) -> Column:
+    """Registered domain of a url — the per-site aggregation key.
+
+    Host = everything between the scheme (optional) and the first ``/``,
+    ``?``, ``#``, or ``:port``; the registered domain approximates the
+    public-suffix rule with the host's last two labels (``a.b.example.org``
+    → ``example.org``), which is exact for generic TLDs — a full
+    public-suffix list is a broadcast dim-table join, out of scope here.
+    Pure codegen (``lower`` + two ``regexp_extract``), so per-domain
+    rollups stay one hash aggregation at any corpus size.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(
+        F.lower(c), r"^(?:[a-z][a-z0-9+.-]*://)?([^/?#:]+)", 1
+    )
+    two_label = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    # single-label hosts (localhost, bare names) pass through unchanged
+    return F.when(two_label == "", host).otherwise(two_label)

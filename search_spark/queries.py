@@ -2149,6 +2149,67 @@ FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
 """
 
 
+_DOMAIN_HOSTS = [
+    "news.example.com", "www.example.com", "blog.sample.org", "sample.org",
+    "cdn.media.net:8080", "media.net", "localhost",
+]
+# registered domain each host resolves to (ground truth for the oracle)
+_DOMAIN_TRUTH = [
+    "example.com", "example.com", "sample.org", "sample.org",
+    "media.net", "media.net", "localhost",
+]
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus accounting (the first rollup a
+    Common-Crawl-scale crawl runs: docs, language spread, size per site).
+    Urls are synthesized deterministically over 7 host variants
+    (subdomains, www, ports, single-label) because documents carry none;
+    domain extraction is pure codegen regex, the rollup one hash
+    aggregation. The oracle maps each host variant to its ground-truth
+    registered domain directly — checking the extraction, not mirroring
+    it."""
+    from search_spark.operators.urls import registered_domain_col
+
+    d = _docs(spark, sf_dir)
+    hosts = F.array(*[F.lit(h) for h in _DOMAIN_HOSTS])
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (F.col("doc_id") % 7 + 1).cast("int")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(
+            registered_domain_col(url).alias("domain"), "lang", "n_chars"
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+_SQL_DOMAIN_STATS = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.com'
+           WHEN 2 THEN 'sample.org'  WHEN 3 THEN 'sample.org'
+           WHEN 4 THEN 'media.net'   WHEN 5 THEN 'media.net'
+           ELSE 'localhost' END AS domain
+  FROM documents)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM d GROUP BY domain
+"""
+
+
 def _q_url_dedup(spark, sf_dir):
     # webtext url-canonicalization dedup (operators/urls.py): raw urls with
     # tracking params / fragments / www / trailing slashes collapse to one
@@ -3035,6 +3096,30 @@ WHERE NOT EXISTS (SELECT 1 FROM triples t3
 """
 
 
+def _q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE: every triple mentioning the resource 'spark' —
+    one scan with an OR-of-equalities predicate (no join, no shuffle);
+    provenance passes through."""
+    from search_spark.operators.bgp import describe
+
+    return describe(_q_kg_doc_triples(spark, sf_dir), "spark")
+
+
+_SQL_KG_DESCRIBE = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(tpos AS VARCHAR) AS prov
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov
+  FROM relations)
+SELECT subj, pred, obj, prov FROM triples
+WHERE subj = 'spark' OR pred = 'spark' OR obj = 'spark'
+"""
+
+
 _FC_ROUNDS = 4
 _CO_OP = "co_operator"
 
@@ -3246,6 +3331,8 @@ QUERIES: dict[str, Q] = {
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
+    "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),
+    "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
     "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),

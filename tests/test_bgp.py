@@ -9,7 +9,13 @@ over that table.
 import pytest
 from pyspark.sql import functions as F
 
-from search_spark.operators.bgp import construct, forward_chain, match_bgp
+from search_spark.operators.bgp import (
+    ask,
+    construct,
+    describe,
+    forward_chain,
+    match_bgp,
+)
 from search_spark.operators.graph import bfs_distances
 
 TRIPLES = [
@@ -150,6 +156,47 @@ def test_optional_disconnected_raises(triples):
             [("?x", "type", "person")],
             optional=[("?a", "knows", "?b")],
         )
+
+
+def test_ask(triples):
+    assert ask(triples, [("?x", "knows", "carol")]) is True
+    assert ask(triples, [("?x", "knows", "nobody")]) is False
+    assert (
+        ask(
+            triples,
+            [("?x", "type", "person")],
+            not_exists=[("?x", "knows", "?y")],
+        )
+        is False
+    )
+
+
+def test_describe_includes_subject_and_object_sides(triples):
+    out = describe(triples, "carol")
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("bob", "knows", "carol"),
+        ("carol", "knows", "alice"),
+        ("carol", "type", "robot"),
+    }
+    # provenance column passes through
+    assert "prov" in out.columns
+
+
+def test_registered_domain_col(spark):
+    from search_spark.operators.urls import registered_domain_col
+
+    cases = [
+        ("https://news.example.com/a/b?q=1", "example.com"),
+        ("http://www.example.com", "example.com"),
+        ("HTTPS://CDN.Media.NET:8080/x", "media.net"),
+        ("sample.org/path", "sample.org"),
+        ("a.b.c.deep.example.org#frag", "example.org"),
+        ("http://localhost:9000/x", "localhost"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    bad = df.filter(registered_domain_col("url") != F.col("want"))
+    assert bad.count() == 0, bad.collect()
 
 
 # -- CONSTRUCT + forward chaining ---------------------------------------------
