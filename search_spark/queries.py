@@ -3258,6 +3258,98 @@ FROM pair p JOIN sm ON sm.src = p.src JOIN dm ON dm.dst = p.dst, tot
 """
 
 
+# benchmark decontamination fixture: the eval suite's 3-gram shingles
+# (two appear in the corpus, one never does — the negative control)
+BENCHMARK_SHINGLES: list[str] = [
+    "slow hash batch",
+    "window fast query",
+    "part filter scan",
+    "row column sort",
+    "held out benchmark",
+]
+_CONTAM_THRESHOLD = 2
+
+
+def _q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing ≥ T distinct
+    3-gram shingles with a held-out eval suite. The benchmark shingle set
+    is an eval-suite-sized dim table — broadcast into the shingle stream
+    (never a shuffle of the corpus against it); the per-doc overlap count
+    partial-aggregates map-side. Docs with zero overlap drop out before
+    the aggregate, so output is contamination-sized, not corpus-sized."""
+    bench = spark.createDataFrame(
+        [(s,) for s in BENCHMARK_SHINGLES], ["shingle"]
+    )
+    overlap = (
+        _shingles(spark, sf_dir)
+        # broadcast-filter BEFORE the dedup shuffle: the distinct then
+        # runs over matching shingles only (contamination-sized)
+        .join(F.broadcast(bench), on="shingle")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return overlap.select(
+        "doc_id",
+        "n_overlap",
+        (F.col("n_overlap") >= _CONTAM_THRESHOLD)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+_SQL_CONTAMINATION_CHECK = f"""
+WITH {_SHINGLES_SQL},
+bench(shingle) AS (VALUES {", ".join(f"('{s}')" for s in BENCHMARK_SHINGLES)}),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT DISTINCT doc_id, shingle FROM sh) s
+  JOIN bench USING (shingle)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN n_overlap >= {_CONTAM_THRESHOLD} THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM overlap
+"""
+
+
+_PACK_CAPACITY = 4096
+
+
+def _q_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and slice the stream into fixed-size context windows — the window id,
+    offset, and span count per document fall out of a global cumulative
+    sum, computed as the classic two-phase parallel scan (range shuffle →
+    per-partition window → partition-count-sized offset broadcast); the
+    oracle is the sequential SUM() OVER the same order."""
+    from search_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        order_col="doc_id",
+        length_col="n_chars",
+        capacity=_PACK_CAPACITY,
+    ).select("doc_id", "window_id", "offset", "n_windows")
+
+
+_SQL_SEQUENCE_PACKING = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS incl
+  FROM documents)
+SELECT doc_id,
+       CAST(FLOOR(CAST(incl - n_chars AS DOUBLE) / {_PACK_CAPACITY})
+            AS BIGINT) AS window_id,
+       CAST((incl - n_chars) % {_PACK_CAPACITY} AS BIGINT) AS offset,
+       CAST(GREATEST(
+         CEIL(CAST(incl AS DOUBLE) / {_PACK_CAPACITY})
+         - FLOOR(CAST(incl - n_chars AS DOUBLE) / {_PACK_CAPACITY}),
+         1) AS BIGINT) AS n_windows
+FROM c
+"""
+
+
 # -- deterministic sampling / dataset splitting -----------------------------
 
 _SPLIT_HEX = 4
@@ -3333,6 +3425,10 @@ QUERIES: dict[str, Q] = {
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),
     "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
+    "sequence_packing": Q(_q_sequence_packing, _SQL_SEQUENCE_PACKING),
+    "contamination_check": Q(
+        _q_contamination_check, _SQL_CONTAMINATION_CHECK
+    ),
     "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),

@@ -93,3 +93,25 @@ def test_kg_edge_pmi_single_row_broadcast(spark):
     plan = plan_of(QUERIES["kg_edge_pmi"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_sequence_packing_two_phase_scan_plan(spark):
+    # the global cumsum must be the two-phase scan: a range shuffle (not a
+    # single-partition global window over the corpus) plus a broadcast of
+    # the partition-count-sized offset table
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["sequence_packing"].spark(spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    # the eval-suite shingle set joins broadcast-side; the corpus shingle
+    # stream is never shuffled against it
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["contamination_check"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
