@@ -3120,6 +3120,58 @@ WHERE subj = 'spark' OR pred = 'spark' OR obj = 'spark'
 """
 
 
+def _q_kg_shacl_validate(spark, sf_dir):
+    """SHACL-lite conformance report: domain, value-pattern, and
+    cardinality shapes over the triples — each shape is one anti-join,
+    codegen rlike filter, or partial-aggregated count; the report is
+    their union. Violations here: ENGINE breaks the type vocabulary, and
+    operator fan-out breaches both count bounds."""
+    from search_spark.operators.shapes import Shape, validate_shapes
+
+    return validate_shapes(
+        _q_kg_doc_triples(spark, sf_dir),
+        [
+            Shape("diff-domain", "domain", DIFF, cls="OPERATOR"),
+            Shape("type-vocab", "pattern", "has_type",
+                  regex="^(OPERATOR|OBJECT)$"),
+            Shape("op-fanout-max", "max_count", DIFF, cls="OPERATOR", hi=4),
+            Shape("op-fanout-min", "min_count", DIFF, cls="OPERATOR", lo=2),
+        ],
+    )
+
+
+_SQL_KG_SHACL_VALIDATE = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations),
+counts AS (
+  SELECT subj AS node, COUNT(DISTINCT obj) AS n
+  FROM triples WHERE pred = '{DIFF}' GROUP BY subj),
+typed AS (
+  SELECT DISTINCT subj AS node FROM triples
+  WHERE pred = 'has_type' AND obj = 'OPERATOR'),
+focus AS (
+  SELECT typed.node, COALESCE(counts.n, 0) AS n
+  FROM typed LEFT JOIN counts ON counts.node = typed.node)
+SELECT 'diff-domain' AS shape, node, 'missing has_type OPERATOR' AS detail
+FROM (SELECT DISTINCT subj AS node FROM triples WHERE pred = '{DIFF}') s
+WHERE NOT EXISTS (SELECT 1 FROM typed WHERE typed.node = s.node)
+UNION ALL
+SELECT DISTINCT 'type-vocab', subj, 'bad value ' || obj
+FROM triples
+WHERE pred = 'has_type' AND NOT regexp_matches(obj, '^(OPERATOR|OBJECT)$')
+UNION ALL
+SELECT 'op-fanout-max', node, '{DIFF} count ' || CAST(n AS VARCHAR)
+FROM focus WHERE n > 4
+UNION ALL
+SELECT 'op-fanout-min', node, '{DIFF} count ' || CAST(n AS VARCHAR)
+FROM focus WHERE n < 2
+"""
+
+
 _FC_ROUNDS = 4
 _CO_OP = "co_operator"
 
@@ -3424,6 +3476,7 @@ QUERIES: dict[str, Q] = {
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),
+    "kg_shacl_validate": Q(_q_kg_shacl_validate, _SQL_KG_SHACL_VALIDATE),
     "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
     "sequence_packing": Q(_q_sequence_packing, _SQL_SEQUENCE_PACKING),
     "contamination_check": Q(

@@ -146,3 +146,44 @@ def test_cli_bgp_subcommand(snapshot):
     lines = [ln for ln in out.stdout.splitlines() if ln]
     assert lines[0] == "m,t"
     assert 1 < len(lines) <= 11
+
+
+def test_cli_validate_subcommand(snapshot, tmp_path):
+    """validate prints the violation CSV and signals conformance via the
+    exit code (0 = conforms, 2 = violations)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    ok_shapes = tmp_path / "ok.json"
+    ok_shapes.write_text(json.dumps(
+        [{"name": "tv", "kind": "pattern", "pred": "has_type",
+          "regex": "^[A-Z_]+$"}]
+    ))
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "validate",
+         "--snapshot", snapshot.root, "--shapes", str(ok_shapes)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0] == "shape,node,detail"
+
+    bad_shapes = tmp_path / "bad.json"
+    bad_shapes.write_text(json.dumps(
+        [{"name": "impossible", "kind": "pattern", "pred": "has_type",
+          "regex": "^zzz$"}]
+    ))
+    out2 = subprocess.run(
+        [sys.executable, "tools/cli.py", "validate",
+         "--snapshot", snapshot.root, "--shapes", str(bad_shapes),
+         "--limit", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out2.returncode == 2, out2.stderr[-2000:]
+    lines = [ln for ln in out2.stdout.splitlines() if ln]
+    assert 1 < len(lines) <= 6
+    assert all(ln.startswith("impossible,") for ln in lines[1:])

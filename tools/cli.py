@@ -143,6 +143,19 @@ def main() -> int:
     p_bgp.add_argument("--limit", type=int, default=100)
     p_bgp.add_argument("--as-of", type=int, default=None, dest="as_of")
 
+    p_val = sub.add_parser(
+        "validate",
+        help="SHACL-lite shape validation over a snapshot KG; prints the "
+             "violation report CSV (empty = conforms, exit code 2 if not)",
+    )
+    p_val.add_argument("--snapshot", required=True, help="snapshot table root")
+    p_val.add_argument("--shapes", required=True,
+                       help="JSON file: list of shape objects "
+                            '(e.g. [{"name": "d", "kind": "domain", '
+                            '"pred": "is_a", "cls": "CHEMICAL"}])')
+    p_val.add_argument("--limit", type=int, default=1000)
+    p_val.add_argument("--as-of", type=int, default=None, dest="as_of")
+
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
                           help="parquet with an embedding column")
@@ -273,6 +286,25 @@ def main() -> int:
         )
         out = out.orderBy(*out.columns).limit(args.limit)
         print(out.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "validate":
+        import json
+
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.shapes import Shape, validate_shapes
+
+        full = SnapshotTable(spark, args.snapshot).load(as_of=args.as_of)
+        if full is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        with open(args.shapes) as f:
+            shapes = [Shape(**s) for s in json.load(f)]
+        report = validate_shapes(full, shapes).orderBy(
+            "shape", "node", "detail"
+        ).limit(args.limit)
+        rows = report.toPandas()
+        print(rows.to_csv(index=False), end="")
+        if len(rows):
+            return 2
     elif args.cmd == "topic-filter":
         from pyspark.sql import functions as F
 
