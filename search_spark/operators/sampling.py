@@ -92,3 +92,28 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str | Column,
+    prob: Column,
+    n_hex: int = 8,
+) -> DataFrame:
+    """Per-row Bernoulli sample with row-specific acceptance probability,
+    derandomized: keep a row iff ``uniform(key) < prob`` where
+    ``uniform(key)`` is the first ``n_hex`` hex digits of ``md5(key)``
+    mapped to [0, 1).
+
+    This is the quality-weighted subsampling step of web-corpus pipelines
+    (keep high-quality documents with probability ~1, boilerplate with
+    probability ~p) made reproducible: membership is a pure function of
+    the row key and the probability column, stable across runs, cluster
+    sizes, and engines. ``prob`` is clamped to [0, 1]. Pure projection —
+    no shuffle, no UDF; the filter pushes down with the scan.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    space = float(16 ** n_hex)
+    u = F.conv(_hex_prefix(key_col, n_hex), 16, 10).cast("double") / space
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), prob))
+    return df.filter(u < p)

@@ -3404,6 +3404,47 @@ FROM c
 
 # -- deterministic sampling / dataset splitting -----------------------------
 
+_RESAMPLE_HEX = 8
+
+
+def _q_quality_resample(spark, sf_dir):
+    """Quality-weighted subsampling, derandomized: keep each document
+    with probability proportional to a quality proxy (here length/400,
+    clamped), decided by md5(doc_id) mapped to [0,1) — membership is a
+    pure function of the data, stable across runs, partitionings, and
+    engines. Pure projection + filter; no shuffle, no UDF."""
+    from search_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    prob = F.col("n_chars").cast("double") / 400.0
+    kept = weighted_sample(d, "doc_id", prob, n_hex=_RESAMPLE_HEX)
+    return kept.select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), prob)), 4
+        ).alias("accept_prob"),
+    )
+
+
+# DuckDB lacks a hex→int scalar; the oracle evaluates the same 8-hex-digit
+# uniform positionally (exact: every value < 2^32 is double-representable)
+_SQL_QUALITY_RESAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(list_sum(list_transform(range(0, {_RESAMPLE_HEX}),
+           i -> (strpos('0123456789abcdef',
+                        substr(substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, {_RESAMPLE_HEX}),
+                               CAST(i + 1 AS INTEGER), 1)) - 1)
+                * POWER(16, {_RESAMPLE_HEX - 1} - i))) AS DOUBLE)
+           / {float(16 ** _RESAMPLE_HEX)} AS u,
+         LEAST(CAST(1.0 AS DOUBLE),
+               GREATEST(CAST(0.0 AS DOUBLE),
+                        CAST(n_chars AS DOUBLE) / 400.0)) AS p
+  FROM documents)
+SELECT doc_id, ROUND(p, 4) AS accept_prob FROM s WHERE u < p
+"""
+
 _SPLIT_HEX = 4
 # train fraction 0.9 quantized to the 16^4 hash space (operators/sampling.py)
 _SPLIT_TRAIN_BOUND = format(round(0.9 * 16 ** _SPLIT_HEX), f"0{_SPLIT_HEX}x")
@@ -3482,6 +3523,7 @@ QUERIES: dict[str, Q] = {
     "contamination_check": Q(
         _q_contamination_check, _SQL_CONTAMINATION_CHECK
     ),
+    "quality_resample": Q(_q_quality_resample, _SQL_QUALITY_RESAMPLE),
     "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),

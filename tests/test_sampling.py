@@ -98,3 +98,44 @@ def test_stratified_sample_small_stratum_returns_all(spark):
     assert len(rows) == 3
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", "doc_id", k=0)
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["k"])
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 400
+    # clamping: out-of-range probabilities behave like 0/1
+    assert weighted_sample(df, "k", F.lit(-3.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(7.0)).count() == 400
+
+    half = weighted_sample(df, "k", F.lit(0.5))
+    kept = sorted(r["k"] for r in half.collect())
+    # membership is partitioning-independent
+    kept2 = sorted(
+        r["k"]
+        for r in weighted_sample(df.repartition(17), "k", F.lit(0.5)).collect()
+    )
+    assert kept == kept2
+    # hash-uniform: the realized rate is near the target
+    assert 140 <= len(kept) <= 260
+
+
+def test_weighted_sample_matches_python_md5(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    got = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3)).collect()}
+    want = {
+        i
+        for i in range(100)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8 < 0.3
+    }
+    assert got == want
