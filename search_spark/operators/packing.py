@@ -6,19 +6,27 @@ windows (GPT-style packing with document spanning). The core primitive is
 a **global cumulative sum** over a total order — inherently sequential,
 but exactly parallelizable with the classic two-phase scan:
 
-1. range-partition the rows by the order key (``repartitionByRange`` —
-   partition *p* holds a contiguous key range),
-2. per-partition local cumsum (a window over rows *within* one
-   partition — no cross-partition shuffle),
-3. per-partition totals (one tiny aggregate, |partitions| rows) are
-   prefix-summed on the driver-free path: a broadcast join of each
-   partition's *offset* (sum of all earlier partitions) back onto the
-   rows.
+1. assign each row a contiguous *block* derived from its key —
+   ``floor((key - min) / width)`` with width sized so there is roughly
+   one block per target partition (one O(1) min/max aggregate up front;
+   blocks are a pure function of the key, so the assignment is
+   deterministic across runs and engines, unlike sampled range
+   partitioning),
+2. per-block local cumsum: one window ``partitionBy(block)`` — the
+   plan's **only full-data shuffle**,
+3. block totals come straight from a ``groupBy(block).sum(value)`` on the
+   *unshuffled* input — partial aggregation collapses each input
+   partition to one row per block map-side, so this branch's exchange
+   moves a block-count-sized table, not the corpus — then get
+   prefix-summed by a window over that tiny table and broadcast-join
+   back as per-block offsets.
 
-At 10^12 documents the only global data movement is the range shuffle;
-phase 3's offset table has one row per partition and broadcasts. The
-result is bit-identical to a single sequential scan, which is what the
-plain ``SUM() OVER (ORDER BY ...)`` oracle computes.
+At 10^12 documents the only corpus-sized data movement is the one hash
+shuffle on the block id; the offset table has one row per block and
+broadcasts. A skewed key *density* degrades block balance (more rows in
+some blocks), never correctness — the result is bit-identical to a
+single sequential scan, which is what the plain ``SUM() OVER (ORDER
+BY ...)`` oracle computes.
 """
 
 from __future__ import annotations
@@ -26,9 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_PART = "__part_id"
+_BLOCK = "__block"
 _LOCAL = "__local_cum"
-_OFFSET = "__part_offset"
+_OFFSET = "__block_offset"
 
 
 def global_cumsum(
@@ -40,43 +48,52 @@ def global_cumsum(
 ) -> DataFrame:
     """Inclusive cumulative sum of ``value_col`` in ``order_col`` order.
 
-    ``order_col`` must be a total order (unique keys); ties would make
-    the result nondeterministic. Returns ``df`` plus ``result_col``.
+    ``order_col`` must be a numeric total order (unique keys); ties would
+    make the result nondeterministic. Returns ``df`` plus ``result_col``.
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        _PART, F.spark_partition_id()
+    bounds = df.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).first()
+    if bounds["mn"] is None:
+        return df.withColumn(result_col, F.lit(None).cast("double"))
+    span = int(bounds["mx"]) - int(bounds["mn"]) + 1
+    width = max(1, -(-span // n_parts))
+    block = F.floor(
+        (F.col(order_col) - F.lit(int(bounds["mn"]))) / F.lit(width)
     )
-    local = ranged.withColumn(
+    local = df.withColumn(_BLOCK, block).withColumn(
         _LOCAL,
         F.sum(value_col).over(
-            Window.partitionBy(_PART)
+            Window.partitionBy(_BLOCK)
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    # one row per partition: (part_id, exclusive prefix of earlier totals).
-    # |partitions| rows — broadcast by construction.
+    # block totals from the unshuffled input: partial aggregation makes
+    # this branch's exchange block-count-sized; the exclusive prefix of
+    # earlier block totals then runs over that tiny table
     totals = (
-        local.groupBy(_PART)
-        .agg(F.max(_LOCAL).alias("__total"))
+        df.withColumn(_BLOCK, block)
+        .groupBy(_BLOCK)
+        .agg(F.sum(value_col).alias("__total"))
         .withColumn(
             _OFFSET,
             F.coalesce(
                 F.sum("__total").over(
-                    Window.orderBy(_PART).rowsBetween(
+                    Window.orderBy(_BLOCK).rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
                 F.lit(0),
             ),
         )
-        .select(_PART, _OFFSET)
+        .select(_BLOCK, _OFFSET)
     )
     return (
-        local.join(F.broadcast(totals), on=_PART)
+        local.join(F.broadcast(totals), on=_BLOCK)
         .withColumn(result_col, F.col(_LOCAL) + F.col(_OFFSET))
-        .drop(_PART, _LOCAL, _OFFSET)
+        .drop(_BLOCK, _LOCAL, _OFFSET)
     )
 
 

@@ -95,16 +95,33 @@ def test_kg_edge_pmi_single_row_broadcast(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_sequence_packing_two_phase_scan_plan(spark):
-    # the global cumsum must be the two-phase scan: a range shuffle (not a
-    # single-partition global window over the corpus) plus a broadcast of
-    # the partition-count-sized offset table
+def test_sequence_packing_single_shuffle_scan_plan(spark):
+    # the global cumsum must be the two-phase scan with exactly ONE
+    # corpus-sized shuffle: blocks derive from the key itself (no sampled
+    # range partitioning anywhere), the window's block exchange moves raw
+    # rows, every other block exchange sits above a partial HashAggregate
+    # (block-count-sized), and the offset table joins broadcast-side —
+    # never a single-partition global window over the corpus
     from search_spark.queries import QUERIES
 
-    plan = plan_of(QUERIES["sequence_packing"].spark(spark, SF_DIR))
-    assert "rangepartitioning" in plan.lower(), plan
-    assert "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
+    df = QUERIES["sequence_packing"].spark(spark, SF_DIR)
+    df.collect()  # adaptive plans finalize on execution of this df
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
+    assert "rangepartitioning" not in executed.lower(), executed
+    assert "BroadcastExchange" in executed
+    assert "CartesianProduct" not in executed
+    lines = executed.splitlines()
+    final_end = next(
+        i for i, l in enumerate(lines) if "Initial Plan" in l
+    ) if "Initial Plan" in executed else len(lines)
+    raw_shuffles = 0
+    for i, line in enumerate(lines[:final_end]):
+        if "Exchange hashpartitioning(__block" in line:
+            child = lines[i + 1] if i + 1 < final_end else ""
+            if "HashAggregate" not in child:
+                raw_shuffles += 1
+    assert raw_shuffles == 1, executed
 
 
 def test_contamination_check_broadcasts_benchmark(spark):
