@@ -72,11 +72,64 @@ def _shared_vars(scan: DataFrame, bound: list[str], pattern) -> list[str]:
     return shared
 
 
+def order_patterns(
+    patterns: Sequence[Sequence[str]],
+    pred_counts: dict[str, int],
+    total: int,
+) -> list[Sequence[str]]:
+    """Greedy selectivity-based join order for a BGP.
+
+    Classic textbook heuristic: estimate each pattern's cardinality from
+    the predicate's triple count (``total`` when the predicate is a
+    variable), discounted 10× per additional bound constant, then start
+    from the cheapest pattern and repeatedly append the cheapest pattern
+    *connected* to the variables bound so far (disconnected patterns are
+    deferred, preserving the no-cartesian property; if the BGP itself is
+    disconnected the remaining patterns are appended in estimate order
+    and :func:`match_bgp` raises as usual). Ties break on the original
+    position, so the order is deterministic.
+    """
+
+    def estimate(p: Sequence[str]) -> float:
+        s, pred, o = p
+        est = float(pred_counts.get(pred, 0) if not _is_var(pred) else total)
+        for term in (s, o):
+            if not _is_var(term):
+                est /= 10.0
+        return est
+
+    ranked = sorted(
+        range(len(patterns)), key=lambda i: (estimate(patterns[i]), i)
+    )
+    chosen: list[int] = []
+    bound: set[str] = set()
+    remaining = list(ranked)
+    while remaining:
+        nxt = next(
+            (
+                i
+                for i in remaining
+                if bound
+                & {t[1:] for t in patterns[i] if _is_var(t)}
+            ),
+            None,
+        )
+        if nxt is None:
+            if chosen:  # disconnected BGP — keep estimate order, let
+                pass    # match_bgp raise its usual error
+            nxt = remaining[0]
+        chosen.append(nxt)
+        remaining.remove(nxt)
+        bound |= {t[1:] for t in patterns[nxt] if _is_var(t)}
+    return [patterns[i] for i in chosen]
+
+
 def match_bgp(
     triples: DataFrame,
     patterns: Sequence[Sequence[str]],
     optional: Sequence[Sequence[str]] = (),
     not_exists: Sequence[Sequence[str]] = (),
+    optimize: bool = False,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; one column per variable.
 
@@ -102,10 +155,30 @@ def match_bgp(
     first must share at least one variable with those before it (otherwise
     the query is a cartesian product — raise instead of silently building
     one).
+
+    ``optimize=True`` reorders the required patterns by estimated
+    selectivity before joining (:func:`order_patterns`); the statistics
+    are one predicate-count aggregate over the triples — a
+    predicate-vocabulary-sized collect, the RDF-store equivalent of table
+    statistics. Results are order-independent (inner joins commute), so
+    this only changes the plan, never the answer; output columns still
+    follow the *caller's* pattern order.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
     base = triples.select("subj", "pred", "obj")
+    caller_vars = [
+        t[1:]
+        for pattern in list(patterns) + list(optional)
+        for t in pattern
+        if _is_var(t) and t[1:]
+    ]
+    if optimize:
+        stats = base.groupBy("pred").count().collect()
+        pred_counts = {r["pred"]: r["count"] for r in stats}
+        patterns = order_patterns(
+            patterns, pred_counts, sum(pred_counts.values())
+        )
     out = _pattern_scan(base, patterns[0])
     bound = list(out.columns)
     for pattern in patterns[1:]:
@@ -121,8 +194,13 @@ def match_bgp(
         shared = _shared_vars(scan, bound, pattern)
         # other vars in the pattern are existential — anti on shared only
         out = out.join(scan.select(*shared), on=shared, how="left_anti")
-    # joins reorder columns; restore first-appearance order, dedup bindings
-    return out.select(*bound).distinct()
+    # joins (and optimize's reordering) shuffle columns around; restore
+    # the caller's first-appearance order, dedup bindings
+    order = []
+    for v in caller_vars:
+        if v not in order and v in bound:
+            order.append(v)
+    return out.select(*order).distinct()
 
 
 def construct(

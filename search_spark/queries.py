@@ -3120,6 +3120,67 @@ WHERE subj = 'spark' OR pred = 'spark' OR obj = 'spark'
 """
 
 
+def _q_kg_stats(spark, sf_dir):
+    """Triple-store statistics (the RDF equivalent of table stats, what
+    the BGP optimizer's selectivity estimates read): per-predicate triple
+    count and distinct subject/object cardinalities — one
+    partial-aggregated pass."""
+    t = _q_kg_doc_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+_SQL_KG_STATS = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+FROM triples GROUP BY pred
+"""
+
+
+def _q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte): group subjects by the
+    exact set of predicates they carry and count each set — the standard
+    structure summary RDF engines keep for cardinality estimation. Two
+    partial-aggregated shuffles (subj → sorted predicate set, set →
+    count); the set is a sorted-array string so both engines agree on a
+    canonical key."""
+    t = _q_kg_doc_triples(spark, sf_dir)
+    per_subj = t.groupBy("subj").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("pred")), ","
+        ).alias("char_set")
+    )
+    return per_subj.groupBy("char_set").agg(
+        F.count(F.lit(1)).alias("n_subjects")
+    )
+
+
+_SQL_KG_CHAR_SETS = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT char_set, CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), ',') AS char_set
+  FROM triples GROUP BY subj)
+GROUP BY char_set
+"""
+
+
 def _q_kg_shacl_validate(spark, sf_dir):
     """SHACL-lite conformance report: domain, value-pattern, and
     cardinality shapes over the triples — each shape is one anti-join,
@@ -3518,6 +3579,8 @@ QUERIES: dict[str, Q] = {
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),
     "kg_shacl_validate": Q(_q_kg_shacl_validate, _SQL_KG_SHACL_VALIDATE),
+    "kg_stats": Q(_q_kg_stats, _SQL_KG_STATS),
+    "kg_char_sets": Q(_q_kg_char_sets, _SQL_KG_CHAR_SETS),
     "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
     "sequence_packing": Q(_q_sequence_packing, _SQL_SEQUENCE_PACKING),
     "contamination_check": Q(

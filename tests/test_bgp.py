@@ -15,6 +15,7 @@ from search_spark.operators.bgp import (
     describe,
     forward_chain,
     match_bgp,
+    order_patterns,
 )
 from search_spark.operators.graph import bfs_distances
 
@@ -156,6 +157,52 @@ def test_optional_disconnected_raises(triples):
             [("?x", "type", "person")],
             optional=[("?a", "knows", "?b")],
         )
+
+
+def test_order_patterns_selectivity_and_connectivity():
+    counts = {"rare": 10, "common": 10_000}
+    pats = [
+        ("?a", "common", "?b"),
+        ("?b", "rare", "?c"),
+        ("?c", "common", "constant"),
+    ]
+    got = order_patterns(pats, counts, total=10_010)
+    # rare starts; the constant-bound common pattern (est 1000) beats the
+    # unbound one (est 10000); connectivity holds at every step
+    assert got == [
+        ("?b", "rare", "?c"),
+        ("?c", "common", "constant"),
+        ("?a", "common", "?b"),
+    ]
+    # variable predicate estimates at the full triple count
+    got2 = order_patterns(
+        [("?a", "?p", "?b"), ("?a", "rare", "?c")], counts, total=10_010
+    )
+    assert got2[0] == ("?a", "rare", "?c")
+
+
+def test_order_patterns_defers_disconnected():
+    counts = {"p": 5, "q": 50}
+    # q-pattern shares no var with the p-pattern: it must still come
+    # after, preserving the original no-cartesian failure mode
+    got = order_patterns(
+        [("?x", "q", "?y"), ("?a", "p", "?b")], counts, total=55
+    )
+    assert got == [("?a", "p", "?b"), ("?x", "q", "?y")]
+
+
+def test_match_bgp_optimize_same_result_and_columns(triples):
+    pats = [
+        ("?a", "knows", "?b"),
+        ("?b", "knows", "?c"),
+        ("?c", "type", "robot"),
+    ]
+    plain = match_bgp(triples, pats)
+    opt = match_bgp(triples, pats, optimize=True)
+    assert opt.columns == plain.columns == ["a", "b", "c"]
+    assert sorted(map(tuple, opt.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
 
 
 def test_ask(triples):
