@@ -3181,6 +3181,133 @@ GROUP BY char_set
 """
 
 
+def _q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot KG delta at provenance granularity: the
+    (subj, pred, obj, prov) rows added and removed between two corpus
+    versions (derived here from a deterministic doc_id split; the
+    production path diffs two ``SnapshotTable.load(as_of=...)`` reads the
+    same way). Each direction is one hash-partitioned left-anti join on
+    the full row key — the canonical incremental shape, no collect, no
+    cartesian; at scale both sides are bucket-co-partitioned snapshot
+    reads, so the anti-joins shuffle nothing new."""
+    key = ["subj", "pred", "obj", "prov"]
+    t = _q_kg_doc_triples(spark, sf_dir).withColumn(
+        "did", F.split("prov", ":").getItem(0).cast("long")
+    )
+    old = t.filter(F.col("did") % 3 != 0).select(*key).distinct()
+    new = t.filter(F.col("did") % 3 != 1).select(*key).distinct()
+    added = new.join(old, key, "left_anti").withColumn("change", F.lit("added"))
+    removed = old.join(new, key, "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)
+
+
+_SQL_KG_SNAPSHOT_DIFF = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(tpos AS VARCHAR) AS prov,
+         doc_id
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov,
+         doc_id
+  FROM relations),
+old AS (SELECT DISTINCT subj, pred, obj, prov FROM triples
+        WHERE doc_id % 3 <> 0),
+new AS (SELECT DISTINCT subj, pred, obj, prov FROM triples
+        WHERE doc_id % 3 <> 1)
+SELECT subj, pred, obj, prov, 'added' AS change
+FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+UNION ALL
+SELECT subj, pred, obj, prov, 'removed' AS change
+FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+"""
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary report: top-32 tokens by corpus frequency
+    with the cumulative fraction of all token occurrences they cover.
+    The count aggregate is vocabulary-sized (partial map-side combine);
+    the top-k is TakeOrderedAndProject; the cumulative window then runs
+    over only k rows, so the single-partition WindowExec is k-sized by
+    construction, never corpus-sized."""
+    from pyspark.sql import Window
+
+    counts = _tokens(spark, sf_dir).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    top = counts.orderBy(F.desc("n_occurrences"), "tok").limit(32)
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), "tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.withColumn("cum", F.sum("n_occurrences").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n_occurrences",
+            F.round(F.col("cum") / F.col("total"), 4).alias("coverage"),
+        )
+    )
+
+
+_SQL_VOCAB_COVERAGE = f"""
+WITH {_TOKS_SQL},
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM counts),
+top AS (SELECT tok, n_occurrences FROM counts
+        ORDER BY n_occurrences DESC, tok LIMIT 32)
+SELECT tok, n_occurrences,
+       ROUND(CAST(SUM(n_occurrences) OVER (
+                ORDER BY n_occurrences DESC, tok
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT total FROM total), 4) AS coverage
+FROM top
+"""
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's distinct
+    3-gram shingles whose global first occurrence (min doc_id) is this
+    document — the curation signal for "how much of this doc is new
+    text". One shingle-keyed aggregate plus one join back on the shingle
+    key; both shuffle on the shingle, the same shard unit as the dedup
+    family, so the plan survives corpus scale-up unchanged."""
+    d = _shingles(spark, sf_dir).distinct()
+    firsts = d.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        d.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg((F.col("doc_id") == F.col("first_doc")).cast("double")),
+                4,
+            ).alias("novelty"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH {_SHINGLES_SQL},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM d GROUP BY shingle)
+SELECT doc_id,
+       ROUND(AVG(CASE WHEN doc_id = first_doc
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+         AS novelty,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM d JOIN f USING (shingle)
+GROUP BY doc_id
+"""
+
+
 def _q_kg_shacl_validate(spark, sf_dir):
     """SHACL-lite conformance report: domain, value-pattern, and
     cardinality shapes over the triples — each shape is one anti-join,
@@ -3581,6 +3708,9 @@ QUERIES: dict[str, Q] = {
     "kg_shacl_validate": Q(_q_kg_shacl_validate, _SQL_KG_SHACL_VALIDATE),
     "kg_stats": Q(_q_kg_stats, _SQL_KG_STATS),
     "kg_char_sets": Q(_q_kg_char_sets, _SQL_KG_CHAR_SETS),
+    "kg_snapshot_diff": Q(_q_kg_snapshot_diff, _SQL_KG_SNAPSHOT_DIFF),
+    "vocab_coverage": Q(_q_vocab_coverage, _SQL_VOCAB_COVERAGE),
+    "ngram_novelty": Q(_q_ngram_novelty, _SQL_NGRAM_NOVELTY),
     "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
     "sequence_packing": Q(_q_sequence_packing, _SQL_SEQUENCE_PACKING),
     "contamination_check": Q(

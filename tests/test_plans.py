@@ -162,3 +162,40 @@ def test_stratified_sample_single_stratum_shuffle(spark):
     assert n_exchanges == 1, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_snapshot_diff_uses_anti_joins_no_cartesian(spark):
+    # each diff direction is a hash-partitioned left-anti on the triple
+    # key; no cartesian, no UDF — the canonical incremental-delta shape
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_snapshot_diff"].spark(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_topk_before_window(spark):
+    # the global-sort limit (TakeOrderedAndProject) must run before the
+    # cumulative window, so the single-partition WindowExec sees only k
+    # rows, never the vocabulary; count agg keeps a partial (map-side) stage
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["vocab_coverage"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # formatted plans print root-first: Window (consumer) above the
+    # TakeOrderedAndProject (producer) proves the limit feeds the window
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "partial_count" in plan
+
+
+def test_ngram_novelty_shuffles_on_shingle_only(spark):
+    # shingle agg + join-back both hash-partition on the shingle key (the
+    # dedup-family shard unit); no UDF, no cartesian
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["ngram_novelty"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(shingle" in plan
