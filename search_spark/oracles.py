@@ -621,3 +621,57 @@ def warc_cdx_lookup_oracle_sql(n: int, seed: int, doc_mod: int) -> str:
         )
     rows.sort()
     return values_sql(rows, ["url", "ts_epoch", "html_md5"])
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training — expected merges / subword counts, derived from
+# datagen ground-truth paragraph text through the reference BPE algorithm
+# --------------------------------------------------------------------------
+
+
+def bpe_word_counts(n_docs: int, seed: int) -> dict[str, int]:
+    """Ground-truth (word → occurrences) over the extracted English text
+    of ``generate_web_pages(n_docs, seed)`` — extraction byte-parity makes
+    ExpectedDoc.paragraphs the exact extractor output."""
+    counts: dict[str, int] = {}
+    for doc_id in range(n_docs):
+        row, exp = datagen.generate_doc(seed, doc_id)
+        if row["lang"] != "en":
+            continue
+        for _ppos, _section, text in exp.paragraphs:
+            for w in text.split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def bpe_merges_oracle_sql(n_docs: int, seed: int, n_merges: int) -> str:
+    from search_spark.operators.bpe import reference_bpe
+
+    rows = reference_bpe(bpe_word_counts(n_docs, seed), n_merges)
+    inner = values_sql(rows, ["merge_rank", "lhs", "rhs", "pair_count"])
+    return (
+        "SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM ({inner}) v"
+    )
+
+
+def bpe_segments_oracle_sql(
+    n_docs: int, seed: int, n_merges: int, top_k: int
+) -> str:
+    from search_spark.operators.bpe import reference_bpe, reference_segment
+
+    wc = bpe_word_counts(n_docs, seed)
+    merges = [(l, r) for _, l, r, _ in reference_bpe(wc, n_merges)]
+    sub_counts: dict[str, int] = {}
+    for w, c in wc.items():
+        for s in reference_segment(w, merges):
+            sub_counts[s] = sub_counts.get(s, 0) + c
+    rows = sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    inner = values_sql(
+        [(s, c) for s, c in rows], ["subword", "n_occurrences"]
+    )
+    return (
+        "SELECT subword, CAST(n_occurrences AS BIGINT) AS n_occurrences "
+        f"FROM ({inner}) v"
+    )

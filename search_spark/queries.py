@@ -3784,6 +3784,75 @@ QUERIES: dict[str, Q] = {
 }
 
 
+BPE_N_DOCS = 60
+BPE_SEED = 11
+BPE_N_MERGES = 8
+BPE_TOP_K = 20
+
+
+def _bpe_word_table(spark):
+    """Word-count table over the extracted English text of the
+    deterministic BPE corpus (vocabulary-sized after one map-side-combined
+    aggregate; every later BPE pass runs over this, never the corpus)."""
+    from search_spark import datagen
+    from search_spark.extraction.extract import extract_stage
+
+    pages = datagen.generate_web_pages(spark, BPE_N_DOCS, seed=BPE_SEED)
+    paras = extract_stage(pages, english_only=True)
+    words = (
+        paras.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the learner re-scans this table once per merge: materialize the
+    # vocabulary-sized result so the extract UDF runs exactly once
+    return words.localCheckpoint(eager=True)
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): k iterations
+    of corpus-wide pair counting + greedy merge, each iteration one
+    partial-aggregated explode with a 1-row argmax collect; the merge is a
+    zero-UDF regexp expression. Corpus is deterministic (seed), so the
+    oracle re-derives the merges with the single-machine reference
+    algorithm."""
+    from search_spark.operators.bpe import learn_bpe
+
+    words = _bpe_word_table(spark)
+    merges = learn_bpe(words, BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, ["merge_rank", "lhs", "rhs", "pair_count"]
+    ).select(
+        F.col("merge_rank").cast("long"),
+        "lhs",
+        "rhs",
+        F.col("pair_count").cast("long"),
+    )
+
+
+def _q_bpe_segments(spark, sf_dir):
+    """Apply the learned merges to the corpus vocabulary (one k-deep
+    codegen projection — segment_expr) and report the top-20 subwords by
+    weighted occurrences: the sanity report a tokenizer-training job
+    emits."""
+    from search_spark.operators.bpe import learn_bpe, segment_expr
+
+    words = _bpe_word_table(spark)
+    merges = [
+        (l, r) for _, l, r, _ in learn_bpe(words, BPE_N_MERGES)
+    ]
+    return (
+        words.select(
+            "n", F.explode(segment_expr(F.col("word"), merges)).alias("subword")
+        )
+        .groupBy("subword")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "subword")
+        .limit(BPE_TOP_K)
+    )
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -3825,6 +3894,16 @@ def _register_python_derived_oracles() -> None:
         _q_warc_cdx_lookup,
         oracles.warc_cdx_lookup_oracle_sql(
             WARC_INGEST_N, WARC_INGEST_SEED, WARC_CDX_MOD
+        ),
+    )
+    QUERIES["bpe_merges"] = Q(
+        _q_bpe_merges,
+        oracles.bpe_merges_oracle_sql(BPE_N_DOCS, BPE_SEED, BPE_N_MERGES),
+    )
+    QUERIES["bpe_segments"] = Q(
+        _q_bpe_segments,
+        oracles.bpe_segments_oracle_sql(
+            BPE_N_DOCS, BPE_SEED, BPE_N_MERGES, BPE_TOP_K
         ),
     )
 
