@@ -72,3 +72,35 @@ def test_segment_expr_overlap_on_spark(spark):
     }
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
+
+
+def test_cli_tokenizer_subcommand(tmp_path, spark):
+    import os
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "texts.parquet")
+    spark.createDataFrame(
+        [("low low low low low lower lower",),
+         ("newest newest newest widest widest widest newest newest newest",)],
+        ["text"],
+    ).write.parquet(inp)
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "tokenizer", "--input", inp,
+         "--merges", "4", "--segment", "lowest"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l]
+    assert lines[0] == "merge_rank,lhs,rhs,pair_count"
+    got = [tuple(l.split(",")) for l in lines[1:5]]
+    expected = reference_bpe(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4
+    )
+    assert got == [(str(a), b, c, str(d)) for a, b, c, d in expected]
+    seg_line = [l for l in lines if l.startswith("lowest\t")]
+    merges = [(l, r) for _, l, r, _ in expected]
+    assert seg_line == [
+        "lowest\t" + " ".join(reference_segment("lowest", merges))
+    ]

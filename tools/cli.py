@@ -156,6 +156,18 @@ def main() -> int:
     p_val.add_argument("--limit", type=int, default=1000)
     p_val.add_argument("--as-of", type=int, default=None, dest="as_of")
 
+    p_tok = sub.add_parser(
+        "tokenizer",
+        help="train BPE merges on a parquet text table / segment text",
+    )
+    p_tok.add_argument("--input", required=True,
+                       help="parquet with a text column")
+    p_tok.add_argument("--text-col", default="text")
+    p_tok.add_argument("--merges", type=int, default=16)
+    p_tok.add_argument("--segment", action="append", default=[],
+                       help="after training, print the segmentation of "
+                            "this text (repeatable)")
+
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
                           help="parquet with an embedding column")
@@ -374,6 +386,40 @@ def main() -> int:
         ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows "
               f"to {args.output}")
+    elif args.cmd == "tokenizer":
+        from pyspark.sql import functions as F
+
+        from search_spark.operators.bpe import learn_bpe, segment_expr
+
+        table = spark.read.parquet(args.input)
+        words = (
+            table.select(
+                F.explode(F.split(F.col(args.text_col), " ")).alias("word")
+            )
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        merges = learn_bpe(words, args.merges)
+        print("merge_rank,lhs,rhs,pair_count")
+        for rank, lhs, rhs, cnt in merges:
+            print(f"{rank},{lhs},{rhs},{cnt}")
+        if args.segment:
+            pairs = [(l, r) for _, l, r, _ in merges]
+            toks = spark.createDataFrame(
+                [(t,) for t in args.segment], ["text"]
+            ).select(
+                "text",
+                F.flatten(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: segment_expr(w, pairs),
+                    )
+                ).alias("subwords"),
+            )
+            for r in toks.collect():
+                print(f"{r['text']}\t{' '.join(r['subwords'])}")
     elif args.cmd == "search":
         table = spark.read.parquet(args.input)
         df = surfaces.search_sentences(
