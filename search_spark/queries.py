@@ -3308,6 +3308,40 @@ GROUP BY doc_id
 """
 
 
+def _q_length_deciles(spark, sf_dir):
+    """Corpus profiling: per-source document-length deciles. Exact
+    ``F.percentile`` keeps the oracle hash-exact (DuckDB quantile_cont is
+    the same interpolated definition); the group cardinality is
+    source-vocabulary-sized so the sort-based aggregate buffer is bounded.
+    At open-web scale swap in ``F.approx_percentile`` (t-digest sketch,
+    mergeable map-side) — a one-line change the oracle cannot follow."""
+    qs = [i / 10.0 for i in range(1, 10)]
+    agg = _docs(spark, sf_dir).groupBy("source").agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(q) for q in qs])
+        ).alias("p")
+    )
+    return agg.select(
+        "source", F.posexplode("p").alias("idx", "v")
+    ).select(
+        "source",
+        (F.col("idx") + 1).cast("long").alias("decile"),
+        F.round("v", 4).alias("n_chars_quantile"),
+    )
+
+
+_SQL_LENGTH_DECILES = """
+WITH g AS (
+  SELECT source,
+         quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents GROUP BY source)
+SELECT source, CAST(d AS BIGINT) AS decile,
+       ROUND(CAST(qs[d] AS DOUBLE), 4) AS n_chars_quantile
+FROM g, generate_series(1, 9) AS t(d)
+"""
+
+
 def _q_kg_shacl_validate(spark, sf_dir):
     """SHACL-lite conformance report: domain, value-pattern, and
     cardinality shapes over the triples — each shape is one anti-join,
@@ -3711,6 +3745,7 @@ QUERIES: dict[str, Q] = {
     "kg_snapshot_diff": Q(_q_kg_snapshot_diff, _SQL_KG_SNAPSHOT_DIFF),
     "vocab_coverage": Q(_q_vocab_coverage, _SQL_VOCAB_COVERAGE),
     "ngram_novelty": Q(_q_ngram_novelty, _SQL_NGRAM_NOVELTY),
+    "length_deciles": Q(_q_length_deciles, _SQL_LENGTH_DECILES),
     "domain_stats": Q(_q_domain_stats, _SQL_DOMAIN_STATS),
     "sequence_packing": Q(_q_sequence_packing, _SQL_SEQUENCE_PACKING),
     "contamination_check": Q(
