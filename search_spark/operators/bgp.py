@@ -115,8 +115,8 @@ def order_patterns(
             None,
         )
         if nxt is None:
-            if chosen:  # disconnected BGP — keep estimate order, let
-                pass    # match_bgp raise its usual error
+            # disconnected BGP — keep estimate order and let match_bgp
+            # raise its usual no-cartesian error
             nxt = remaining[0]
         chosen.append(nxt)
         remaining.remove(nxt)
