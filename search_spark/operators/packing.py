@@ -56,7 +56,12 @@ def global_cumsum(
         F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
     ).first()
     if bounds["mn"] is None:
-        return df.withColumn(result_col, F.lit(None).cast("double"))
+        # keep the schema identical to the non-empty path: NULL typed as
+        # what SUM(value_col) would produce (long for integral inputs)
+        sum_type = (
+            df.select(F.sum(value_col).alias("s")).schema["s"].dataType
+        )
+        return df.withColumn(result_col, F.lit(None).cast(sum_type))
     span = int(bounds["mx"]) - int(bounds["mn"]) + 1
     width = max(1, -(-span // n_parts))
     block = F.floor(

@@ -49,3 +49,11 @@ def test_pack_sequences_spanning(spark):
     assert out[2] == (0, 60, 2)     # spans [60, 120) — crosses into window 1
     assert out[3] == (1, 20, 2)     # spans [120, 220)
     assert out[4] == (2, 20, 1)     # fits in window 2
+
+
+def test_global_cumsum_empty_input_keeps_sum_dtype(spark):
+    df = spark.createDataFrame([], "k long, v long").filter("k > 0")
+    out = global_cumsum(df, "k", "v")
+    assert out.count() == 0
+    # NULL-typed as SUM(v) would be: long, matching the non-empty path
+    assert dict(out.dtypes)["cumsum"] == "bigint"
