@@ -340,6 +340,95 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame, n_iter: int = 4, checkpoint: bool = True
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA).
+
+    Undirected simple graph induced by ``(src, dst)``: every vertex
+    starts labeled with itself; each round it adopts the label held by
+    the most of its neighbors, ties broken by the smallest label. A
+    fixed iteration count plus the deterministic tie-break makes the
+    result exactly reproducible (and expressible as an unrolled SQL
+    oracle) — the usual LPA caveat of update-order dependence only
+    applies to the *asynchronous* variant.
+
+    Per-round plan: adjacency ⋈ labels on the neighbor key, count per
+    (vertex, label) with map-side partial aggregation (absorbing hub
+    skew — a head entity's million neighbor rows combine per label
+    before the shuffle), then a single ``min(struct(-count, label))``
+    aggregate picks the winner without a window sort. State is one
+    (entity, label) row per vertex — vocabulary-sized, like PageRank's
+    rank vector — so ``joins.maybe_broadcast`` keeps the adjacency
+    table from reshuffling whenever the label vector fits the broadcast
+    threshold; lineage truncates per round with ``localCheckpoint``.
+
+    Returns ``(entity, community)`` for every vertex of the edge set;
+    vertices with no non-self neighbor keep their own label.
+    """
+    from search_spark.joins import maybe_broadcast
+
+    adj = (
+        edges.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("entity"), F.col("src").alias("nbr")
+            )
+        )
+        .filter(F.col("entity") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # also materializes the persist
+    labels = nodes.withColumn("label", F.col("entity"))
+    for _ in range(n_iter):
+        votes = (
+            adj.join(
+                maybe_broadcast(
+                    labels.select(
+                        F.col("entity").alias("nbr"), "label"
+                    ),
+                    n_nodes,
+                ),
+                on="nbr",
+            )
+            .groupBy("entity", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("entity").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("b")
+        )
+        labels = (
+            nodes.join(
+                maybe_broadcast(
+                    best.select("entity", F.col("b.label").alias("new")),
+                    n_nodes,
+                ),
+                on="entity",
+                how="left",
+            )
+            .select(
+                "entity",
+                F.coalesce(F.col("new"), F.col("entity")).alias("label"),
+            )
+        )
+        # per-round lineage truncation; ``checkpoint=False`` keeps the
+        # full (linear-depth) plan inspectable for plan audits
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    if checkpoint:
+        nodes.unpersist()
+    return labels.select("entity", F.col("label").alias("community"))
+
+
 def two_hop(edges: DataFrame) -> DataFrame:
     """Distinct-edge two-hop reachability with path counts.
 

@@ -3024,6 +3024,57 @@ GROUP BY a.src, b.dst
 """
 
 
+_LPA_ITER = 4
+
+
+def _q_kg_communities(spark, sf_dir):
+    """Community detection: synchronous label propagation over the
+    undirected co-occurrence graph (4 rounds, smallest-label tie-break —
+    fully deterministic, so the unrolled SQL oracle reproduces it). Each
+    round is one adjacency⋈labels join plus a min(struct) aggregate; the
+    O(vocabulary) label vector is the only iteration state."""
+    from search_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _kg_edge_instances(spark, sf_dir), n_iter=_LPA_ITER
+    )
+
+
+def _lpa_oracle_sql(n_iter: int = _LPA_ITER) -> str:
+    """Unrolled synchronous-LPA CTE chain: per round, count neighbor
+    labels per vertex and keep the (max count, min label) winner;
+    vertices with no non-self neighbor keep their own label."""
+    parts = [
+        """
+adj AS MATERIALIZED (
+  SELECT src AS entity, dst AS nbr FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst),
+lpnodes AS MATERIALIZED (
+  SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+lp0 AS MATERIALIZED (SELECT entity, entity AS label FROM lpnodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+lp{k} AS MATERIALIZED (
+  SELECT n.entity, COALESCE(b.label, n.entity) AS label
+  FROM lpnodes n LEFT JOIN (
+    SELECT entity, label FROM (
+      SELECT a.entity, l.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.entity
+               ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM adj a JOIN lp{k - 1} l ON l.entity = a.nbr
+      GROUP BY a.entity, l.label
+    ) WHERE rn = 1
+  ) b ON b.entity = n.entity)""")
+    body = ",".join(parts)
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {body}\n"
+        f"SELECT entity, label AS community FROM lp{n_iter}"
+    )
+
+
 def _q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic graph pattern over the materialized triples:
     ``?a DIFF ?b . ?c DIFF ?b . ?b has_type ?bt`` (operator pairs sharing
@@ -3735,6 +3786,7 @@ QUERIES: dict[str, Q] = {
     ),
     "kg_triangles": Q(_q_kg_triangles, _SQL_KG_TRIANGLES),
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
+    "kg_communities": Q(_q_kg_communities, _lpa_oracle_sql()),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

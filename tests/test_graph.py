@@ -248,3 +248,100 @@ def test_graph_query_plans_are_jvm_only(spark):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
         assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_label_propagation_plan_is_jvm_only(spark):
+    """The per-round LPA plan (checkpointing disabled so lineage stays
+    inspectable) must be pure JVM join-aggregate — no Python eval, no
+    cartesian, partial aggregation present for the vote counts."""
+    from search_spark.operators.graph import label_propagation
+    from search_spark.queries import _kg_edge_instances
+    from tests.test_plans import plan_of
+
+    out = label_propagation(
+        _kg_edge_instances(spark, "/root/testdata/sf0.001"),
+        n_iter=2,
+        checkpoint=False,
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def _python_lpa(pairs, n_iter):
+    """Independent synchronous-LPA ground truth (dict-of-sets)."""
+    adj = {}
+    nodes = set()
+    for u, v in pairs:
+        nodes.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for n in nodes:
+            nbrs = adj.get(n)
+            if not nbrs:
+                nxt[n] = labels[n]
+                continue
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            # tie-break: max count, then MIN label
+            top = max(counts.values())
+            nxt[n] = min(l for l, c in counts.items() if c == top)
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from search_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA should settle each
+    # triangle on its own minimum label
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+    ]
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(_edges_df(spark, pairs), n_iter=4).collect()
+    }
+    assert got == _python_lpa(pairs, 4)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["y"] == got["z"]
+
+
+def test_label_propagation_isolated_self_loop_keeps_own_label(spark):
+    from search_spark.operators.graph import label_propagation
+
+    pairs = [("s", "s"), ("a", "b")]
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(_edges_df(spark, pairs), n_iter=3).collect()
+    }
+    # the self-loop-only vertex keeps its own label; the a-b pair
+    # oscillates under synchronous updates (odd round: swapped labels) —
+    # exactly what the independent ground truth computes
+    assert got["s"] == "s"
+    assert got == _python_lpa(pairs, 3)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_label_propagation_random_graphs_vs_python(spark, seed):
+    from search_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(seed)
+    names = [f"n{i:02d}" for i in range(18)]
+    pairs = [
+        (names[int(rng.integers(18))], names[int(rng.integers(18))])
+        for _ in range(40)
+    ]
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(_edges_df(spark, pairs), n_iter=4).collect()
+    }
+    assert got == _python_lpa(pairs, 4)
