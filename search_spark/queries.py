@@ -3775,6 +3775,118 @@ WHERE rn <= {_STRAT_K}
 """
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """As-of join: each click joined to the same user's latest prior (or
+    simultaneous) purchase — the temporal-attribution primitive Spark has
+    no built-in for. Union-sort-window formulation: one hash shuffle on
+    user_id, in-partition sort, running last() — never a nested-loop
+    join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from search_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.round(F.col("value_asof"), 6).alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_JOIN_EVENTS = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts,
+       ROUND(p.value, 6) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+_RJ_WINDOW_MIN = 30
+
+
+def _q_range_join_incidents(spark, sf_dir):
+    """Interval-containment join without a nested loop: every 'error'
+    event opens a 30-minute incident window; count the events landing in
+    each window. Intervals explode into the hour buckets they overlap,
+    points map to their bucket, and the join becomes an equi-join on the
+    bucket key with an exact containment filter — shuffle volume is
+    |points| + Σ interval spans, never |intervals| × |points|."""
+    from search_spark.operators.temporal import range_join_bucketed
+
+    ev = _events(spark, sf_dir)
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {_RJ_WINDOW_MIN} MINUTE")).alias(
+            "end_ts"
+        ),
+    )
+    pairs = range_join_bucketed(
+        ev.select(F.col("ts").alias("ev_ts")),
+        incidents,
+        point_ts="ev_ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_seconds=3600,
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events_in_window")
+    )
+
+
+_SQL_RANGE_JOIN_INCIDENTS = f"""
+WITH incidents AS (
+  SELECT event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL {_RJ_WINDOW_MIN} MINUTE AS end_ts
+  FROM events WHERE event_type = 'error')
+SELECT i.incident_id, COUNT(*) AS n_events_in_window
+FROM incidents i JOIN events e
+  ON e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY i.incident_id
+"""
+
+
+def _q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly, daily, and
+    per-type totals in ONE pass over the fact table (GROUPING SETS →
+    one scan + one Expand + one aggregation), instead of one job per
+    granularity — at 10^12 rows the rescans are the cost."""
+    from search_spark.operators.temporal import time_rollup
+
+    return time_rollup(_events(spark, sf_dir))
+
+
+_SQL_TIME_ROLLUP = """
+WITH x AS (
+  SELECT event_type,
+         -- DuckDB's date_trunc('day') yields DATE; Spark yields TIMESTAMP
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_trunc('hour', ts) AS hour,
+         value
+  FROM events)
+SELECT event_type, day, hour,
+       CAST(GROUPING(event_type) * 4 + GROUPING(day) * 2
+            + GROUPING(hour) AS BIGINT) AS lvl,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM x
+GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day),
+                        (event_type))
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -3813,6 +3925,11 @@ QUERIES: dict[str, Q] = {
     "group_concat_events": Q(_q_group_concat_events, _SQL_GROUP_CONCAT_EVENTS),
     "window_positions": Q(_q_window_positions, _SQL_WINDOW_POSITIONS),
     "sessionize_events": Q(_q_sessionize_events, _SQL_SESSIONIZE_EVENTS),
+    "asof_join_events": Q(_q_asof_join_events, _SQL_ASOF_JOIN_EVENTS),
+    "range_join_incidents": Q(
+        _q_range_join_incidents, _SQL_RANGE_JOIN_INCIDENTS
+    ),
+    "time_rollup": Q(_q_time_rollup, _SQL_TIME_ROLLUP),
     "topk_similar": Q(_q_topk_similar, _SQL_TOPK_SIMILAR),
     "topk_groups": Q(_q_topk_groups, _SQL_TOPK_GROUPS),
     "dedup_exact": Q(_q_dedup_exact, _SQL_DEDUP_EXACT),
