@@ -3887,6 +3887,125 @@ GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day),
 """
 
 
+def _q_sketch_distinct(spark, sf_dir):
+    """Distinct-token cardinality per source WITHOUT COUNT(DISTINCT):
+    R=32 order-statistics minima (md5-derived 48-bit hashes) — plain MIN
+    aggregates that partial-combine map-side with O(R) state per group,
+    where an exact distinct would shuffle every (source, term) pair. All
+    integer arithmetic, so the DuckDB oracle is bit-identical."""
+    from search_spark.operators.sketches import distinct_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)"
+            )
+        ).alias("term"),
+    )
+    return distinct_sketch(toks, "source", "term")
+
+
+def _sketch_distinct_oracle() -> str:
+    from search_spark.operators.sketches import distinct_sketch_oracle_sql
+
+    body = distinct_sketch_oracle_sql("stoks", "source", "term")
+    return f"""
+WITH stoks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+  FROM documents),
+{body}
+"""
+
+
+BM25_QUERY_TERMS = ["stream", "hash", "join", "window"]
+BM25_TOPK = 10
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-k — the standard lexical first-stage ranker beside
+    the engine's embedding search. Query-term filter lands BEFORE the
+    (doc, term) shuffle, so the scored relation is |matching tokens|;
+    per-doc term components fold in sorted-term order for bit-exact
+    float parity with the oracle."""
+    from search_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        BM25_QUERY_TERMS,
+        topk=BM25_TOPK,
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    from search_spark.operators.ranking import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COALESCE(SUM(dl), 0) FROM dl)
+           / (SELECT COUNT(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+comp AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * {k1 + 1.0})
+           / (t.tf + {k1} * ({1.0 - b} + {b} * d.dl / s.avgdl)) AS comp
+  FROM tf t
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(comp ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM comp GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+INVIDX_MIN_DF = 5
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Inverted posting lists (term → df, cf, sorted doc ids) — the
+    structure web search builds from this corpus shape. The posting cap
+    is applied before the collect (row_number window), so hot terms
+    never materialize unbounded arrays; restricted to df ≥ 5 to keep the
+    result table focused on real vocabulary."""
+    from search_spark.operators.ranking import inverted_postings
+
+    idx = inverted_postings(_docs(spark, sf_dir).select("doc_id", "text"))
+    return idx.filter(F.col("df") >= INVIDX_MIN_DF)
+
+
+_SQL_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term,
+       COUNT(*) AS df,
+       SUM(tf) AS cf,
+       list(doc_id ORDER BY doc_id) AS postings,
+       COUNT(*) > 10000 AS truncated
+FROM tf GROUP BY term HAVING COUNT(*) >= {INVIDX_MIN_DF}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -3953,6 +4072,9 @@ QUERIES: dict[str, Q] = {
     "iob_spans": Q(_q_iob_spans, _SQL_IOB_SPANS),
     "ner_errors": Q(_q_ner_errors, _SQL_NER_ERRORS),
     "tfidf_search": Q(_q_tfidf_search, _SQL_TFIDF_SEARCH),
+    "bm25_search": Q(_q_bm25_search, _bm25_oracle_sql()),
+    "inverted_index": Q(_q_inverted_index, _SQL_INVERTED_INDEX),
+    "sketch_distinct": Q(_q_sketch_distinct, _sketch_distinct_oracle()),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

@@ -1,0 +1,147 @@
+"""BM25 / inverted postings (operators/ranking.py) and the
+order-statistics distinct sketch (operators/sketches.py).
+
+Ground truth: an independent pure-Python BM25, hand-counted postings,
+and exact distinct counts for the sketch's accuracy envelope.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark.operators.ranking import bm25_topk, inverted_postings
+from search_spark.operators.sketches import R_DEFAULT, distinct_sketch
+
+DOCS = [
+    (0, "stream processing with hash join and window functions"),
+    (1, "hash join hash join hash join"),
+    (2, "window window window stream"),
+    (3, "completely unrelated text about gardening"),
+    (4, ""),  # empty doc: counts toward N, length 0
+]
+
+
+def _python_bm25(docs, query, k1=1.2, b=0.75):
+    import re
+
+    toks = {d: re.findall(r"[a-z0-9_]{2,}", t.lower()) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for q in sorted(set(query)):
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if q in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    query = ["stream", "hash", "join", "window"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, query, topk=10).collect()
+    }
+    want = _python_bm25(DOCS, query)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(round(want[d], 6), abs=1e-6)
+    # doc 3 matches nothing, doc 4 is empty — excluded
+    assert 3 not in got and 4 not in got
+
+
+def test_bm25_rewards_rare_terms(spark):
+    # 'gardening' appears in one doc; a query for it must rank doc 3 first
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = bm25_topk(df, ["gardening", "stream"], topk=10).collect()
+    assert rows[0]["doc_id"] == 3
+
+
+def test_inverted_postings_counts_and_cap(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = {r["term"]: r for r in inverted_postings(df).collect()}
+    assert idx["hash"]["df"] == 2
+    assert idx["hash"]["cf"] == 4  # 1 + 3 occurrences
+    assert idx["hash"]["postings"] == [0, 1]
+    assert not idx["hash"]["truncated"]
+
+    capped = {
+        r["term"]: r
+        for r in inverted_postings(df, max_postings=1).collect()
+    }
+    assert capped["hash"]["df"] == 2  # exact counts survive the cap
+    assert capped["hash"]["postings"] == [0]
+    assert capped["hash"]["truncated"]
+
+
+def test_distinct_sketch_accuracy_and_exactness_contract(spark):
+    # 3 groups with very different cardinalities; estimator stderr is
+    # ~1/sqrt(R-2) ≈ 18% at R=32 — assert a generous 35% envelope
+    rows = []
+    for g, n in [("a", 50), ("b", 500), ("c", 2000)]:
+        for i in range(n):
+            rows.append((g, f"val_{g}_{i}"))
+            rows.append((g, f"val_{g}_{i}"))  # duplicates must not matter
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in distinct_sketch(df, "grp", "v").collect()
+    }
+    for g, n in [("a", 50), ("b", 500), ("c", 2000)]:
+        assert abs(got[g] - n) / n < 0.35, (g, got[g], n)
+
+
+def test_distinct_sketch_is_mergeable(spark):
+    """Sharding the input and combining per-shard minima (elementwise
+    MIN) must reproduce the whole-input sketch — the property that makes
+    the estimator safe to partial-aggregate at scale."""
+    rows = [("g", f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    whole = distinct_sketch(df, "grp", "v").collect()[0]
+
+    shard1 = spark.createDataFrame(rows[:137], ["grp", "v"])
+    shard2 = spark.createDataFrame(rows[137:], ["grp", "v"])
+    from search_spark.operators.sketches import _hash48
+
+    def mins(sdf):
+        return (
+            sdf.groupBy("grp")
+            .agg(
+                *[
+                    F.min(_hash48(F.col("v"), i)).alias(f"m{i}")
+                    for i in range(R_DEFAULT)
+                ]
+            )
+            .collect()[0]
+        )
+
+    m1, m2 = mins(shard1), mins(shard2)
+    merged_sum = sum(
+        min(m1[f"m{i}"], m2[f"m{i}"]) for i in range(R_DEFAULT)
+    )
+    assert merged_sum == whole["sum_min"]
+
+
+def test_ranking_query_plans(spark):
+    from search_spark.queries import QUERIES
+    from tests.test_plans import plan_of
+
+    for name in ["bm25_search", "inverted_index", "sketch_distinct"]:
+        plan = plan_of(QUERIES[name].spark(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # the sketch is plain partial-aggregating MINs — one exchange, no join
+    plan = plan_of(
+        QUERIES["sketch_distinct"].spark(spark, "/root/testdata/sf0.001")
+    )
+    assert "Join" not in plan
