@@ -66,6 +66,113 @@ def distinct_sketch(
     )
 
 
+def sketch_overlap(
+    df: DataFrame, group: str, col: str, r: int = R_DEFAULT
+) -> DataFrame:
+    """Pairwise overlap estimates between groups, from sketches alone.
+
+    The union sketch of two groups is the elementwise MIN of their
+    per-hash minima (the mergeability property), so
+    ``|A ∪ B|`` estimates without touching the raw data again and
+    ``|A ∩ B| ≈ max(0, n̂_A + n̂_B − n̂_{A∪B})`` by inclusion–exclusion.
+    The pair join runs over the *sketch table* — one row of R bigints
+    per group — which is why the quadratic pair blow-up is affordable:
+    at 10^12 rows the raw pairwise intersection is unthinkable, the
+    sketch algebra is G²·R integer ops.
+
+    Returns ``(<group>_a, <group>_b, est_a, est_b, est_union,
+    est_overlap)`` for every unordered pair (a < b), all BIGINT.
+    """
+    sk = df.groupBy(group).agg(
+        *[F.min(_hash48(F.col(col), i)).alias(f"m{i}") for i in range(r)]
+    )
+    a = sk.select(
+        F.col(group).alias("ga"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(r)],
+    )
+    b = sk.select(
+        F.col(group).alias("gb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(r)],
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+
+    def _sum(prefix):
+        total = None
+        for i in range(r):
+            c = F.col(f"{prefix}{i}")
+            total = c if total is None else total + c
+        return total
+
+    def _sum_least():
+        total = None
+        for i in range(r):
+            c = F.least(F.col(f"a{i}"), F.col(f"b{i}"))
+            total = c if total is None else total + c
+        return total
+
+    scale = (r - 1) * (1 << HASH_BITS)
+    with_sums = pairs.select(
+        F.col("ga").alias(f"{group}_a"),
+        F.col("gb").alias(f"{group}_b"),
+        _sum("a").alias("sa"),
+        _sum("b").alias("sb"),
+        _sum_least().alias("su"),
+    )
+    return with_sums.select(
+        f"{group}_a",
+        f"{group}_b",
+        F.expr(f"CAST({scale} AS BIGINT) div sa").alias("est_a"),
+        F.expr(f"CAST({scale} AS BIGINT) div sb").alias("est_b"),
+        F.expr(f"CAST({scale} AS BIGINT) div su").alias("est_union"),
+    ).select(
+        f"{group}_a",
+        f"{group}_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ).alias("est_overlap"),
+    )
+
+
+def sketch_overlap_oracle_sql(
+    source_cte: str, group: str, col: str, r: int = R_DEFAULT
+) -> str:
+    """DuckDB twin of :func:`sketch_overlap` over CTE ``source_cte``."""
+
+    def hash_expr(i: int) -> str:
+        return (
+            "list_reduce(list_transform(string_split_regex("
+            f"substr(md5({col} || '#{i}'), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(acc, x) -> acc * 16 + x)"
+        )
+
+    mins = ", ".join(f"MIN({hash_expr(i)}) AS m{i}" for i in range(r))
+    sum_a = " + ".join(f"a.m{i}" for i in range(r))
+    sum_b = " + ".join(f"b.m{i}" for i in range(r))
+    sum_u = " + ".join(f"LEAST(a.m{i}, b.m{i})" for i in range(r))
+    scale = (r - 1) * (1 << HASH_BITS)
+    return f"""
+sk AS (SELECT {group}, {mins} FROM {source_cte} GROUP BY {group}),
+pr AS (
+  SELECT a.{group} AS {group}_a, b.{group} AS {group}_b,
+         ({sum_a}) AS sa, ({sum_b}) AS sb, ({sum_u}) AS su
+  FROM sk a JOIN sk b ON a.{group} < b.{group}),
+est AS (
+  SELECT {group}_a, {group}_b,
+         CAST({scale} AS BIGINT) // sa AS est_a,
+         CAST({scale} AS BIGINT) // sb AS est_b,
+         CAST({scale} AS BIGINT) // su AS est_union
+  FROM pr)
+SELECT {group}_a, {group}_b, est_a, est_b, est_union,
+       GREATEST(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_overlap
+FROM est
+"""
+
+
 def distinct_sketch_oracle_sql(
     source_cte: str, group: str, col: str, r: int = R_DEFAULT
 ) -> str:

@@ -3919,6 +3919,38 @@ WITH stoks AS (
 """
 
 
+def _q_sketch_overlap(spark, sf_dir):
+    """Vocabulary overlap between every source pair from sketches alone:
+    the union sketch is the elementwise MIN of the two groups' minima,
+    |A∩B| follows by inclusion–exclusion — G²·R integer ops on a
+    one-row-per-group sketch table instead of a pairwise intersection
+    over the raw corpus."""
+    from search_spark.operators.sketches import sketch_overlap
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)"
+            )
+        ).alias("term"),
+    )
+    return sketch_overlap(toks, "source", "term")
+
+
+def _sketch_overlap_oracle() -> str:
+    from search_spark.operators.sketches import sketch_overlap_oracle_sql
+
+    body = sketch_overlap_oracle_sql("stoks", "source", "term")
+    return f"""
+WITH stoks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+  FROM documents),
+{body}
+"""
+
+
 BM25_QUERY_TERMS = ["stream", "hash", "join", "window"]
 BM25_TOPK = 10
 
@@ -4006,6 +4038,127 @@ FROM tf GROUP BY term HAVING COUNT(*) >= {INVIDX_MIN_DF}
 """
 
 
+_FUNNEL_DEADLINE_H = 24
+
+
+def _q_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analytics: per user, first signup, first click
+    within 24h of it, first purchase within 24h of that; report how many
+    users reach each stage. One hash shuffle on user_id; the
+    stage-dependent minima are chained window aggregates over the same
+    partitioning (Spark reuses the sort — no second shuffle)."""
+    from pyspark.sql import Window
+
+    deadline = F.expr(f"INTERVAL {_FUNNEL_DEADLINE_H} HOUR")
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    s = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    staged = ev.withColumn("s_ts", s)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p)
+    per_user = staged.select("user_id", "s_ts", "c_ts", "p_ts").distinct()
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), F.lit(3))
+        .when(F.col("c_ts").isNotNull(), F.lit(2))
+        .when(F.col("s_ts").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        per_user.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_SQL_FUNNEL_CONVERSION = f"""
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s.s_ts
+                  AND e.ts <= s.s_ts + INTERVAL {_FUNNEL_DEADLINE_H} HOUR
+                  THEN e.ts END) AS c_ts
+  FROM events e JOIN s USING (user_id) GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.c_ts
+                  AND e.ts <= c.c_ts + INTERVAL {_FUNNEL_DEADLINE_H} HOUR
+                  THEN e.ts END) AS p_ts
+  FROM events e JOIN c USING (user_id) GROUP BY e.user_id),
+u AS (
+  SELECT s.user_id, s.s_ts, c.c_ts, p.p_ts
+  FROM s JOIN c USING (user_id) JOIN p USING (user_id))
+SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+            WHEN c_ts IS NOT NULL THEN 2
+            WHEN s_ts IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       COUNT(*) AS n_users
+FROM u GROUP BY 1
+"""
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted as retained on each later active day (day offset). First-day
+    table is one agg keyed by user; the join back is on the same key —
+    both sides hash-partition on user_id, the small cohort dim
+    broadcast-eligible under AQE."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .join(first, on="user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT f.cohort_day,
+         date_diff('day', f.cohort_day,
+                   CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset,
+         e.user_id
+  FROM events e JOIN first f USING (user_id))
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM act GROUP BY cohort_day, day_offset
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -4049,6 +4202,8 @@ QUERIES: dict[str, Q] = {
         _q_range_join_incidents, _SQL_RANGE_JOIN_INCIDENTS
     ),
     "time_rollup": Q(_q_time_rollup, _SQL_TIME_ROLLUP),
+    "funnel_conversion": Q(_q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": Q(_q_retention_cohorts, _SQL_RETENTION_COHORTS),
     "topk_similar": Q(_q_topk_similar, _SQL_TOPK_SIMILAR),
     "topk_groups": Q(_q_topk_groups, _SQL_TOPK_GROUPS),
     "dedup_exact": Q(_q_dedup_exact, _SQL_DEDUP_EXACT),
@@ -4075,6 +4230,7 @@ QUERIES: dict[str, Q] = {
     "bm25_search": Q(_q_bm25_search, _bm25_oracle_sql()),
     "inverted_index": Q(_q_inverted_index, _SQL_INVERTED_INDEX),
     "sketch_distinct": Q(_q_sketch_distinct, _sketch_distinct_oracle()),
+    "sketch_overlap": Q(_q_sketch_overlap, _sketch_overlap_oracle()),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

@@ -145,3 +145,34 @@ def test_ranking_query_plans(spark):
         QUERIES["sketch_distinct"].spark(spark, "/root/testdata/sf0.001")
     )
     assert "Join" not in plan
+
+
+def test_sketch_overlap_known_intersection(spark):
+    # A = 0..999, B = 500..1499: |A|=|B|=1000, |A∪B|=1500, |A∩B|=500
+    rows = [("A", f"v{i}") for i in range(1000)] + [
+        ("B", f"v{i}") for i in range(500, 1500)
+    ]
+    from search_spark.operators.sketches import sketch_overlap
+
+    r = sketch_overlap(
+        spark.createDataFrame(rows, ["grp", "v"]), "grp", "v"
+    ).collect()[0]
+    assert r["grp_a"] == "A" and r["grp_b"] == "B"
+    assert abs(r["est_a"] - 1000) / 1000 < 0.35
+    assert abs(r["est_union"] - 1500) / 1500 < 0.35
+    # intersection inherits both errors — generous envelope, but it must
+    # clearly separate "half overlap" from "none" and "full"
+    assert 100 < r["est_overlap"] < 900
+
+
+def test_sketch_overlap_disjoint_groups(spark):
+    rows = [("A", f"x{i}") for i in range(800)] + [
+        ("B", f"y{i}") for i in range(800)
+    ]
+    from search_spark.operators.sketches import sketch_overlap
+
+    r = sketch_overlap(
+        spark.createDataFrame(rows, ["grp", "v"]), "grp", "v"
+    ).collect()[0]
+    # disjoint: union ≈ 1600, overlap estimate near 0 (clamped ≥ 0)
+    assert r["est_overlap"] < 0.25 * 800

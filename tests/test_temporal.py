@@ -179,3 +179,61 @@ def test_temporal_query_plans_have_no_nested_loop(spark):
     # the rollup is one Expand + one aggregation, not one job per level
     plan = plan_of(QUERIES["time_rollup"].spark(spark, "/root/testdata/sf0.001"))
     assert "Expand" in plan
+
+
+def test_funnel_conversion_stages(spark):
+    from search_spark.queries import QUERIES
+    import pyspark.sql.functions as SF
+
+    # build a micro events table shaped like the real one and monkey-run
+    # the query logic against it via a temp parquet dir
+    import tempfile, os
+    ev = spark.createDataFrame(
+        [
+            # u1: signup -> click(+1h) -> purchase(+2h): stage 3
+            (0, _ts("2024-01-01 10:00:00"), 1, "signup", 1.0, "{}"),
+            (1, _ts("2024-01-01 11:00:00"), 1, "click", 1.0, "{}"),
+            (2, _ts("2024-01-01 13:00:00"), 1, "purchase", 1.0, "{}"),
+            # u2: signup -> click next day +25h (misses deadline): stage 1
+            (3, _ts("2024-01-01 10:00:00"), 2, "signup", 1.0, "{}"),
+            (4, _ts("2024-01-02 11:30:00"), 2, "click", 1.0, "{}"),
+            # u3: click before signup only: stage 1 (order matters)
+            (5, _ts("2024-01-01 09:00:00"), 3, "click", 1.0, "{}"),
+            (6, _ts("2024-01-01 10:00:00"), 3, "signup", 1.0, "{}"),
+            # u4: no signup at all: stage 0
+            (7, _ts("2024-01-01 10:00:00"), 4, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["funnel_conversion"].spark(spark, d).collect()
+    }
+    assert got == {0: 1, 1: 2, 3: 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from search_spark.queries import QUERIES
+    import tempfile, os
+
+    ev = spark.createDataFrame(
+        [
+            # u1 first active Jan 1, returns Jan 3
+            (0, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+            (1, _ts("2024-01-03 09:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-03 22:00:00"), 1, "click", 1.0, "{}"),
+            # u2 first active Jan 1 only
+            (3, _ts("2024-01-01 23:00:00"), 2, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in QUERIES["retention_cohorts"].spark(spark, d).collect()
+    }
+    day1 = _ts("2024-01-01 00:00:00")
+    assert got == {(day1, 0): 2, (day1, 2): 1}
