@@ -4159,6 +4159,55 @@ FROM act GROUP BY cohort_day, day_offset
 """
 
 
+_ZORDER_SHIFT = 13
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering statistics: interleave user_id and
+    hour-of-month bits, bucket rows by the curve's high bits (the file
+    boundary a Z-ordered write would produce), and report each bucket's
+    min/max envelope on BOTH dimensions — the per-file statistics that
+    let a scan skip files for predicates on either column. Pure JVM bit
+    arithmetic, bit-identical to the SQL oracle."""
+    from search_spark.operators.layout import zorder_key
+
+    ev = _events(spark, sf_dir)
+    hidx = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")
+    z = zorder_key([F.col("user_id"), hidx])
+    return (
+        ev.select(
+            F.col("user_id"),
+            hidx.alias("hidx"),
+            F.shiftright(z, _ZORDER_SHIFT).alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("hidx").alias("min_hidx"),
+            F.max("hidx").alias("max_hidx"),
+        )
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from search_spark.operators.layout import zorder_key_sql
+
+    hidx = "(date_part('day', ts) - 1) * 24 + date_part('hour', ts)"
+    z = zorder_key_sql(["user_id", "hidx"])
+    return f"""
+WITH x AS (
+  SELECT user_id, CAST({hidx} AS BIGINT) AS hidx FROM events),
+zc AS (SELECT user_id, hidx, ({z}) AS z FROM x)
+SELECT (z >> {_ZORDER_SHIFT}) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(hidx) AS min_hidx, MAX(hidx) AS max_hidx
+FROM zc GROUP BY (z >> {_ZORDER_SHIFT})
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
@@ -4231,6 +4280,7 @@ QUERIES: dict[str, Q] = {
     "inverted_index": Q(_q_inverted_index, _SQL_INVERTED_INDEX),
     "sketch_distinct": Q(_q_sketch_distinct, _sketch_distinct_oracle()),
     "sketch_overlap": Q(_q_sketch_overlap, _sketch_overlap_oracle()),
+    "zorder_layout": Q(_q_zorder_layout, _zorder_oracle_sql()),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
