@@ -173,6 +173,128 @@ FROM est
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a column's value frequencies.
+
+    ``depth`` independent hash rows of ``width`` counters: every value
+    increments counter ``(d, h_d(v) mod width)``; a point query reads
+    its ``depth`` counters and takes the MIN (overestimates only, never
+    under). The build is one explode (×depth) + one partial-aggregating
+    count — O(depth·width) final state regardless of input size, the
+    frequency-sketch complement to :func:`distinct_sketch`'s cardinality
+    estimator. Returns ``(d, bucket, cnt)``.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_hash48(F.col(col), 1000 + d) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    )
+    return (
+        rows.select("s.d", "s.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    terms: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for a fixed term list from a CMS table: the
+    (term, d, bucket) probe set is a literal (|terms|·depth rows) that
+    broadcast-joins the sketch; estimate = MIN over depth rows (absent
+    bucket → 0). Returns ``(term, est_count)``."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(t, d) for t in terms for d in range(depth)], ["term", "d"]
+    )
+    # same hash as count_min_sketch, but the salt is the d COLUMN (the
+    # _hash48 helper takes a literal salt), so spell the md5 out
+    probes = probes.withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("term"),
+                        F.concat(F.lit("#"), (F.col("d") + 1000)),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width,
+    )
+    # the sketch is the broadcast side: its final size is depth·width
+    # rows no matter how big the input was — that bound is the point
+    return (
+        probes.join(F.broadcast(sketch), on=["d", "bucket"], how="left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+        )
+    )
+
+
+def cms_oracle_sql(
+    source_cte: str,
+    col: str,
+    terms: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of build + point estimates for a fixed term list."""
+
+    def hash_expr(expr: str, salt_expr: str) -> str:
+        return (
+            "list_reduce(list_transform(string_split_regex("
+            f"substr(md5({expr} || '#' || {salt_expr}), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(acc, x) -> acc * 16 + x)"
+        )
+
+    vals = ", ".join(f"('{t}')" for t in terms)
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+depths AS (SELECT * FROM (VALUES {ds}) AS t(d)),
+cms AS (
+  SELECT d, {hash_expr(col, "CAST(d + 1000 AS VARCHAR)")} % {width} AS bucket,
+         COUNT(*) AS cnt
+  FROM {source_cte} CROSS JOIN depths GROUP BY 1, 2),
+probes AS (
+  SELECT term, d,
+         {hash_expr("term", "CAST(d + 1000 AS VARCHAR)")} % {width} AS bucket
+  FROM (VALUES {vals}) AS t(term) CROSS JOIN depths)
+SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS est_count
+FROM probes p LEFT JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.term
+"""
+
+
 def distinct_sketch_oracle_sql(
     source_cte: str, group: str, col: str, r: int = R_DEFAULT
 ) -> str:

@@ -4159,6 +4159,43 @@ FROM act GROUP BY cohort_day, day_offset
 """
 
 
+CMS_PROBE_TERMS = ["data", "stream", "hash", "query", "zzz_absent_term"]
+
+
+def _q_cms_term_counts(spark, sf_dir):
+    """Frequency estimation by count-min sketch: the O(depth·width)
+    counter table replaces an exact per-term count at corpus scale
+    (mergeable partial-aggregating counts; point estimate = MIN over the
+    depth rows, overestimate-only). Probes a fixed term list incl. an
+    absent term."""
+    from search_spark.operators.sketches import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9_]{2,}', 0)"
+            )
+        ).alias("term")
+    )
+    cms = count_min_sketch(toks, "term")
+    return cms_point_estimates(cms, CMS_PROBE_TERMS)
+
+
+def _cms_oracle() -> str:
+    from search_spark.operators.sketches import cms_oracle_sql
+
+    body = cms_oracle_sql("dtoks", "term", CMS_PROBE_TERMS)
+    return f"""
+WITH dtoks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+  FROM documents),
+{body}
+"""
+
+
 _ZORDER_SHIFT = 13
 
 
@@ -4281,6 +4318,7 @@ QUERIES: dict[str, Q] = {
     "sketch_distinct": Q(_q_sketch_distinct, _sketch_distinct_oracle()),
     "sketch_overlap": Q(_q_sketch_overlap, _sketch_overlap_oracle()),
     "zorder_layout": Q(_q_zorder_layout, _zorder_oracle_sql()),
+    "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

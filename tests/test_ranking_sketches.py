@@ -176,3 +176,43 @@ def test_sketch_overlap_disjoint_groups(spark):
     ).collect()[0]
     # disjoint: union ≈ 1600, overlap estimate near 0 (clamped ≥ 0)
     assert r["est_overlap"] < 0.25 * 800
+
+
+def test_count_min_sketch_overestimates_only_and_is_tight(spark):
+    from search_spark.operators.sketches import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+
+    vals = (
+        ["alpha"] * 40 + ["beta"] * 15 + ["gamma"] * 3 + ["delta"] * 1
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    cms = count_min_sketch(df, "v")
+    got = {
+        r["term"]: r["est_count"]
+        for r in cms_point_estimates(
+            cms, ["alpha", "beta", "gamma", "delta", "absent"]
+        ).collect()
+    }
+    exact = {"alpha": 40, "beta": 15, "gamma": 3, "delta": 1, "absent": 0}
+    for t, n in exact.items():
+        assert got[t] >= n  # CMS never underestimates
+        # 4 distinct values in 1024 buckets: collisions are essentially
+        # impossible, so the estimate is exact here
+        assert got[t] <= n + 59  # total mass bound even under collision
+    assert got["alpha"] == 40
+
+
+def test_count_min_sketch_state_is_bounded(spark):
+    from search_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i % 500}",) for i in range(5000)], ["v"]
+    )
+    n = count_min_sketch(df, "v").count()
+    assert n <= CMS_DEPTH * CMS_WIDTH
