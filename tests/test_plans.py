@@ -199,3 +199,18 @@ def test_ngram_novelty_shuffles_on_shingle_only(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning(shingle" in plan
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark):
+    """Registry-wide guarantee behind the README claim: no query plans a
+    CartesianProduct at sf0.001. (Broadcast nested-loop joins of 1-row /
+    sketch-sized sides are legitimate and not flagged here.)"""
+    from search_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, q in QUERIES.items():
+        plan = plan_of(q.spark(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
