@@ -291,7 +291,11 @@ class SnapshotTable:
             )
         return out
 
-    def compact(self, min_files_per_bucket: int = 2) -> dict:
+    def compact(
+        self,
+        min_files_per_bucket: int = 2,
+        zorder_by: list[str] | None = None,
+    ) -> dict:
         """Small-file compaction — the Iceberg ``rewrite_data_files``
         analogue. Streaming/micro-batch appends leave each snapshot's
         bucket directories littered with per-task files; at 100-TB scale
@@ -306,6 +310,12 @@ class SnapshotTable:
         the file layout changes; lineage gains a ``compactions`` audit
         entry. Returns ``{"snapshots_compacted", "files_before",
         "files_after"}``.
+
+        ``zorder_by`` additionally clusters each rewritten file by the
+        Z-order (Morton) curve over the named columns (strings are
+        hashed to 16-bit keys first) — the ``OPTIMIZE ZORDER BY``
+        analogue: per-file min/max statistics then bound EVERY listed
+        column, so predicate file-skipping works on all of them.
         """
         snapshots_compacted = 0
         files_before = files_after = 0
@@ -325,9 +335,22 @@ class SnapshotTable:
             tmp = f"{self.root}/data/.snapshot={k}.compact"
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
+            out = df.repartition("bucket")
+            if zorder_by:
+                from search_spark.operators.layout import zorder_key
+
+                zk = zorder_key(
+                    [
+                        F.xxhash64(F.col(c)).bitwiseAND(F.lit(0xFFFF))
+                        for c in zorder_by
+                    ]
+                )
+                # lead with the partition column: the partitioned writer
+                # requires rows ordered by it and would otherwise insert
+                # its own bucket-only sort, destroying the Z order
+                out = out.sortWithinPartitions(F.col("bucket"), zk)
             (
-                df.repartition("bucket")
-                .write.partitionBy("bucket")
+                out.write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(tmp)
             )
@@ -344,6 +367,7 @@ class SnapshotTable:
                 {
                     "files_before": len(before),
                     "files_after": len(after),
+                    "zorder_by": list(zorder_by) if zorder_by else None,
                     "at": time.time(),
                 }
             )

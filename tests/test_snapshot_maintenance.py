@@ -90,3 +90,45 @@ def test_compaction_is_idempotent(table):
     second = table.compact(min_files_per_bucket=1)
     assert second["snapshots_compacted"] == 0
     assert second["files_before"] == second["files_after"]
+
+
+def test_compaction_with_zorder_clusters_files(table, spark):
+    """zorder_by compaction preserves content and leaves each rewritten
+    file sorted by the Morton key of the named columns — the per-file
+    min/max envelope property file-skipping relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.layout import zorder_key
+
+    before_all = _rows(table.load())
+    stats = table.compact(min_files_per_bucket=1, zorder_by=["subj", "obj"])
+    assert stats["snapshots_compacted"] == 2
+    assert _rows(table.load()) == before_all
+
+    zk = zorder_key(
+        [
+            F.xxhash64(F.col(c)).bitwiseAND(F.lit(0xFFFF))
+            for c in ["subj", "obj"]
+        ]
+    )
+    checked = 0
+    for k in table.snapshots():
+        path = f"{table.root}/data/snapshot={k}"
+        for f in table._data_files(path):
+            zs = [
+                r["z"]
+                for r in spark.read.parquet(os.path.join(path, f))
+                .select(zk.alias("z"))
+                .collect()
+            ]
+            assert zs == sorted(zs)
+            checked += 1
+    assert checked > 0
+    audit = [
+        e
+        for lin in table.lineage()
+        for e in lin.get("compactions", [])
+    ]
+    assert all(a["zorder_by"] == ["subj", "obj"] for a in audit)
