@@ -102,6 +102,12 @@ def main() -> int:
     p_compact.add_argument("--snapshot", required=True,
                            help="snapshot table root")
     p_compact.add_argument("--min-files-per-bucket", type=int, default=2)
+    p_compact.add_argument(
+        "--zorder-by",
+        default=None,
+        help="comma-separated columns to Z-order-cluster each rewritten "
+             "file by (OPTIMIZE ZORDER analogue)",
+    )
 
     p_export = sub.add_parser(
         "export",
@@ -240,7 +246,10 @@ def main() -> int:
         from search_spark.io.snapshots import SnapshotTable
 
         stats = SnapshotTable(spark, args.snapshot).compact(
-            min_files_per_bucket=args.min_files_per_bucket
+            min_files_per_bucket=args.min_files_per_bucket,
+            zorder_by=(
+                args.zorder_by.split(",") if args.zorder_by else None
+            ),
         )
         print(json.dumps(stats))
     elif args.cmd == "graph":
