@@ -1,23 +1,29 @@
-"""Cardinality sketches: distinct counting without COUNT(DISTINCT).
+"""Cardinality and frequency sketches: distinct counts, group overlap,
+point frequencies, and join sizes without exact aggregation.
 
 At 10^12 rows, ``COUNT(DISTINCT col)`` per group shuffles every distinct
-(group, value) pair — the sketch alternative keeps O(R) state per group
-and partial-aggregates map-side like any plain ``min``. This module
-implements the order-statistics estimator (the KMV/bottom-k family in
-its stochastic-averaging form, cf. Lumbroso 2010; HyperLogLog is the
-same idea with log-size registers):
+(group, value) pair and a join-size probe executes the join — the sketch
+alternatives keep O(R) or O(depth·width) state and partial-aggregate
+map-side like any plain ``MIN``/``COUNT``. Two families live here:
 
-* hash every value with R independent hashes ``md5(value ∥ r)``;
-* per group, keep ``m_r = min_r`` for each of the R hashes — R plain
-  ``MIN`` aggregates, fully combinable;
-* the minimum of n uniform(0,1) draws is ≈ 1/n, so the MLE over R
-  independent minima is ``n̂ = (R-1) / Σ_r m_r`` (relative error
-  ≈ 1/√(R-2)).
+* **order-statistics cardinality** (the KMV/bottom-k family in its
+  stochastic-averaging form, cf. Lumbroso 2010; HyperLogLog is the same
+  idea with log-size registers): per group keep ``m_i = MIN(g_i(v))``
+  for R hashes; the minimum of n uniform draws is ≈ 1/n, so the MLE
+  over R independent minima is ``n̂ = (R-1)/Σ m_i`` (relative error
+  ≈ 1/√(R-2)). Elementwise-MIN merges sketches, which also gives union
+  (and by inclusion–exclusion, intersection) estimates.
+* **count-min frequencies**: depth hash rows × width counters; point
+  estimates and join-size inner products take MIN over rows
+  (overestimate-only).
 
-Everything stays exact-integer for oracle parity: hashes are the first
-12 hex chars of md5 (48 bits), the estimate is computed with integer
-division ``(R-1)·2^48 div Σ m_r`` — bit-identical in Spark and DuckDB,
-no floating point anywhere.
+Hashing is **one md5 per row** with the R per-sketch hashes derived by
+Kirsch–Mitzenmacher double hashing: the 128-bit digest splits into two
+48-bit halves ``(h1, h2)`` and ``g_i = (h1 + i·h2) mod 2^48`` — the
+standard constant-hash-count construction for Bloom/CMS/KMV families,
+~R× cheaper than salting R real hashes. Everything stays exact-integer
+(estimates via integer division), so the DuckDB oracles are
+bit-identical: no floating point anywhere.
 """
 
 from __future__ import annotations
@@ -25,15 +31,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HASH_BITS = 48  # 12 hex chars of md5
+HASH_BITS = 48  # 12 hex chars per md5 half
+HASH_MOD = 1 << HASH_BITS
 R_DEFAULT = 32
 
 
-def _hash48(col, salt: int):
-    """First 48 bits of md5(value ∥ salt) as a bigint in [0, 2^48)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(col, F.lit(f"#{salt}"))), 1, 12), 16, 10
-    ).cast("bigint")
+def _hash_halves(col):
+    """(h1, h2): two independent 48-bit halves of one md5(value)."""
+    hexs = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(hexs, 1, 12), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(hexs, 13, 12), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _g(h1, h2, i: int):
+    """i-th derived hash in [0, 2^48): (h1 + i·h2) mod 2^48."""
+    if i == 0:
+        return h1
+    return (h1 + F.lit(i) * h2) % F.lit(HASH_MOD)
+
+
+# ---------------------------------------------------------------- SQL twins
+
+_FOLD = (
+    "list_reduce(list_transform(string_split_regex({hex}, ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+def _halves_sql(expr: str) -> tuple[str, str]:
+    """DuckDB h1/h2 expressions (digit-fold; DuckDB has no base-16
+    conv)."""
+    h1 = _FOLD.format(hex=f"substr(md5({expr}), 1, 12)")
+    h2 = _FOLD.format(hex=f"substr(md5({expr}), 13, 12)")
+    return h1, h2
+
+
+def _g_sql(i: int) -> str:
+    if i == 0:
+        return "h1"
+    return f"(h1 + {i} * h2) % {HASH_MOD}"
 
 
 def distinct_sketch(
@@ -44,17 +82,20 @@ def distinct_sketch(
     Returns ``(group, sum_min, est_distinct)`` — ``sum_min`` is the raw
     sketch (Σ of the r per-hash minima; mergeable across shards by
     taking mins before summing), ``est_distinct`` the integer MLE
-    ``(r-1)·2^48 div sum_min``. One shuffle, map-side combinable.
+    ``(r-1)·2^48 div sum_min``. One shuffle, map-side combinable; one
+    md5 per input row.
     """
+    h1, h2 = _hash_halves(F.col(col))
+    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
+    # single-string expressions: one py4j/parse round-trip per column
+    # instead of ~5 per derived hash (measured ~1s of driver-side plan
+    # construction at r=32 with the Column-algebra formulation)
     mins = [
-        F.min(_hash48(F.col(col), i)).alias(f"m{i}") for i in range(r)
+        F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)
     ]
-    agg = df.groupBy(group).agg(*mins)
-    total = None
-    for i in range(r):
-        c = F.col(f"m{i}")
-        total = c if total is None else total + c
-    scale = (r - 1) * (1 << HASH_BITS)
+    agg = hashed.groupBy(group).agg(*mins)
+    total = F.expr(" + ".join(f"m{i}" for i in range(r)))
+    scale = (r - 1) * HASH_MOD
     return agg.select(F.col(group), total.alias("sum_min")).select(
         group,
         "sum_min",
@@ -64,6 +105,25 @@ def distinct_sketch(
             "est_distinct"
         ),
     )
+
+
+def distinct_sketch_oracle_sql(
+    source_cte: str, group: str, col: str, r: int = R_DEFAULT
+) -> str:
+    """DuckDB twin of :func:`distinct_sketch` over a CTE named
+    ``source_cte`` with columns ``group`` and ``col``."""
+    h1, h2 = _halves_sql(col)
+    mins = ", ".join(f"MIN({_g_sql(i)}) AS m{i}" for i in range(r))
+    total = " + ".join(f"m{i}" for i in range(r))
+    scale = (r - 1) * HASH_MOD
+    return f"""
+skh AS (SELECT {group}, {h1} AS h1, {h2} AS h2 FROM {source_cte}),
+sk AS (SELECT {group}, {mins} FROM skh GROUP BY {group}),
+sk2 AS (SELECT {group}, ({total}) AS sum_min FROM sk)
+SELECT {group}, sum_min,
+       CAST({scale} AS BIGINT) // sum_min AS est_distinct
+FROM sk2
+"""
 
 
 def sketch_overlap(
@@ -83,8 +143,10 @@ def sketch_overlap(
     Returns ``(<group>_a, <group>_b, est_a, est_b, est_union,
     est_overlap)`` for every unordered pair (a < b), all BIGINT.
     """
-    sk = df.groupBy(group).agg(
-        *[F.min(_hash48(F.col(col), i)).alias(f"m{i}") for i in range(r)]
+    h1, h2 = _hash_halves(F.col(col))
+    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
+    sk = hashed.groupBy(group).agg(
+        *[F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)]
     )
     a = sk.select(
         F.col(group).alias("ga"),
@@ -96,27 +158,16 @@ def sketch_overlap(
     )
     pairs = a.join(b, F.col("ga") < F.col("gb"))
 
-    def _sum(prefix):
-        total = None
-        for i in range(r):
-            c = F.col(f"{prefix}{i}")
-            total = c if total is None else total + c
-        return total
-
-    def _sum_least():
-        total = None
-        for i in range(r):
-            c = F.least(F.col(f"a{i}"), F.col(f"b{i}"))
-            total = c if total is None else total + c
-        return total
-
-    scale = (r - 1) * (1 << HASH_BITS)
+    sum_a = " + ".join(f"a{i}" for i in range(r))
+    sum_b = " + ".join(f"b{i}" for i in range(r))
+    sum_u = " + ".join(f"least(a{i}, b{i})" for i in range(r))
+    scale = (r - 1) * HASH_MOD
     with_sums = pairs.select(
         F.col("ga").alias(f"{group}_a"),
         F.col("gb").alias(f"{group}_b"),
-        _sum("a").alias("sa"),
-        _sum("b").alias("sb"),
-        _sum_least().alias("su"),
+        F.expr(sum_a).alias("sa"),
+        F.expr(sum_b).alias("sb"),
+        F.expr(sum_u).alias("su"),
     )
     return with_sums.select(
         f"{group}_a",
@@ -141,22 +192,15 @@ def sketch_overlap_oracle_sql(
     source_cte: str, group: str, col: str, r: int = R_DEFAULT
 ) -> str:
     """DuckDB twin of :func:`sketch_overlap` over CTE ``source_cte``."""
-
-    def hash_expr(i: int) -> str:
-        return (
-            "list_reduce(list_transform(string_split_regex("
-            f"substr(md5({col} || '#{i}'), 1, 12), ''), "
-            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
-            "(acc, x) -> acc * 16 + x)"
-        )
-
-    mins = ", ".join(f"MIN({hash_expr(i)}) AS m{i}" for i in range(r))
+    h1, h2 = _halves_sql(col)
+    mins = ", ".join(f"MIN({_g_sql(i)}) AS m{i}" for i in range(r))
     sum_a = " + ".join(f"a.m{i}" for i in range(r))
     sum_b = " + ".join(f"b.m{i}" for i in range(r))
     sum_u = " + ".join(f"LEAST(a.m{i}, b.m{i})" for i in range(r))
-    scale = (r - 1) * (1 << HASH_BITS)
+    scale = (r - 1) * HASH_MOD
     return f"""
-sk AS (SELECT {group}, {mins} FROM {source_cte} GROUP BY {group}),
+skh AS (SELECT {group}, {h1} AS h1, {h2} AS h2 FROM {source_cte}),
+sk AS (SELECT {group}, {mins} FROM skh GROUP BY {group}),
 pr AS (
   SELECT a.{group} AS {group}_a, b.{group} AS {group}_b,
          ({sum_a}) AS sa, ({sum_b}) AS sb, ({sum_u}) AS su
@@ -186,22 +230,24 @@ def count_min_sketch(
     """Count-min sketch of a column's value frequencies.
 
     ``depth`` independent hash rows of ``width`` counters: every value
-    increments counter ``(d, h_d(v) mod width)``; a point query reads
+    increments counter ``(d, g_d(v) mod width)``; a point query reads
     its ``depth`` counters and takes the MIN (overestimates only, never
-    under). The build is one explode (×depth) + one partial-aggregating
-    count — O(depth·width) final state regardless of input size, the
-    frequency-sketch complement to :func:`distinct_sketch`'s cardinality
-    estimator. Returns ``(d, bucket, cnt)``.
+    under). The build is one md5 per row + one explode (×depth) + one
+    partial-aggregating count — O(depth·width) final state regardless
+    of input size, the frequency-sketch complement to
+    :func:`distinct_sketch`'s cardinality estimator.
+    Returns ``(d, bucket, cnt)``.
     """
-    rows = df.select(
+    h1, h2 = _hash_halves(F.col(col))
+    rows = df.select(h1.alias("h1"), h2.alias("h2")).select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        (_hash48(F.col(col), 1000 + d) % width).alias(
-                            "bucket"
-                        ),
+                        (
+                            _g(F.col("h1"), F.col("h2"), d) % width
+                        ).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -223,31 +269,16 @@ def cms_point_estimates(
 ) -> DataFrame:
     """Frequency estimates for a fixed term list from a CMS table: the
     (term, d, bucket) probe set is a literal (|terms|·depth rows) that
-    broadcast-joins the sketch; estimate = MIN over depth rows (absent
+    joins the broadcast sketch; estimate = MIN over depth rows (absent
     bucket → 0). Returns ``(term, est_count)``."""
     spark = sketch.sparkSession
     probes = spark.createDataFrame(
         [(t, d) for t in terms for d in range(depth)], ["term", "d"]
     )
-    # same hash as count_min_sketch, but the salt is the d COLUMN (the
-    # _hash48 helper takes a literal salt), so spell the md5 out
+    h1, h2 = _hash_halves(F.col("term"))
     probes = probes.withColumn(
         "bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("term"),
-                        F.concat(F.lit("#"), (F.col("d") + 1000)),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % width,
+        (h1 + F.col("d") * h2) % F.lit(HASH_MOD) % width,
     )
     # the sketch is the broadcast side: its final size is depth·width
     # rows no matter how big the input was — that bound is the point
@@ -268,26 +299,20 @@ def cms_oracle_sql(
     width: int = CMS_WIDTH,
 ) -> str:
     """DuckDB twin of build + point estimates for a fixed term list."""
-
-    def hash_expr(expr: str, salt_expr: str) -> str:
-        return (
-            "list_reduce(list_transform(string_split_regex("
-            f"substr(md5({expr} || '#' || {salt_expr}), 1, 12), ''), "
-            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
-            "(acc, x) -> acc * 16 + x)"
-        )
-
+    h1, h2 = _halves_sql(col)
+    ph1, ph2 = _halves_sql("term")
     vals = ", ".join(f"('{t}')" for t in terms)
     ds = ", ".join(f"({d})" for d in range(depth))
     return f"""
 depths AS (SELECT * FROM (VALUES {ds}) AS t(d)),
+cmsh AS (SELECT {h1} AS h1, {h2} AS h2 FROM {source_cte}),
 cms AS (
-  SELECT d, {hash_expr(col, "CAST(d + 1000 AS VARCHAR)")} % {width} AS bucket,
+  SELECT d, ((h1 + d * h2) % {HASH_MOD}) % {width} AS bucket,
          COUNT(*) AS cnt
-  FROM {source_cte} CROSS JOIN depths GROUP BY 1, 2),
+  FROM cmsh CROSS JOIN depths GROUP BY 1, 2),
 probes AS (
   SELECT term, d,
-         {hash_expr("term", "CAST(d + 1000 AS VARCHAR)")} % {width} AS bucket
+         (({ph1} + d * {ph2}) % {HASH_MOD}) % {width} AS bucket
   FROM (VALUES {vals}) AS t(term) CROSS JOIN depths)
 SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS est_count
 FROM probes p LEFT JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
@@ -295,28 +320,74 @@ GROUP BY p.term
 """
 
 
-def distinct_sketch_oracle_sql(
-    source_cte: str, group: str, col: str, r: int = R_DEFAULT
-) -> str:
-    """DuckDB twin of :func:`distinct_sketch` over a CTE named
-    ``source_cte`` with columns ``group`` and ``col``; hex→int is a
-    digit fold (DuckDB has no base-16 conv)."""
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches.
 
-    def hash_expr(i: int) -> str:
-        return (
-            "list_reduce(list_transform(string_split_regex("
-            f"substr(md5({col} || '#{i}'), 1, 12), ''), "
-            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
-            "(acc, x) -> acc * 16 + x)"
+    ``|L ⋈ R| = Σ_v f_L(v)·f_R(v)`` — estimated per hash row as the
+    bucket-wise inner product of the two sketches, taking the MIN over
+    the ``depth`` rows (collisions only ever inflate a row's estimate).
+    The classic AQE/planner statistic: both sides reduce to
+    O(depth·width) counters with one partial-aggregating pass each, and
+    the estimate itself is a ``depth·width``-row join — no shuffle of
+    the actual tables, no execution of the join being sized. Exact
+    integer arithmetic end to end. Returns one row ``(est_join_rows)``.
+    """
+    l_cms = count_min_sketch(
+        left.select(F.col(left_key).cast("string").alias("k")),
+        "k",
+        depth,
+        width,
+    )
+    r_cms = count_min_sketch(
+        right.select(F.col(right_key).cast("string").alias("k")),
+        "k",
+        depth,
+        width,
+    )
+    per_row = (
+        l_cms.join(
+            r_cms.withColumnRenamed("cnt", "rcnt"), on=["d", "bucket"]
         )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("rcnt")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").alias("est_join_rows"))
 
-    mins = ", ".join(f"MIN({hash_expr(i)}) AS m{i}" for i in range(r))
-    total = " + ".join(f"m{i}" for i in range(r))
-    scale = (r - 1) * (1 << HASH_BITS)
+
+def cms_join_size_oracle_sql(
+    left_cte: str,
+    right_cte: str,
+    left_key: str,
+    right_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_join_size` (keys cast to VARCHAR)."""
+    lh1, lh2 = _halves_sql(f"CAST({left_key} AS VARCHAR)")
+    rh1, rh2 = _halves_sql(f"CAST({right_key} AS VARCHAR)")
+    ds = ", ".join(f"({d})" for d in range(depth))
     return f"""
-sk AS (SELECT {group}, {mins} FROM {source_cte} GROUP BY {group}),
-sk2 AS (SELECT {group}, ({total}) AS sum_min FROM sk)
-SELECT {group}, sum_min,
-       CAST({scale} AS BIGINT) // sum_min AS est_distinct
-FROM sk2
+jdepths AS (SELECT * FROM (VALUES {ds}) AS t(d)),
+lh AS (SELECT {lh1} AS h1, {lh2} AS h2 FROM {left_cte}),
+rh AS (SELECT {rh1} AS h1, {rh2} AS h2 FROM {right_cte}),
+lcms AS (
+  SELECT d, ((h1 + d * h2) % {HASH_MOD}) % {width} AS bucket,
+         COUNT(*) AS cnt
+  FROM lh CROSS JOIN jdepths GROUP BY 1, 2),
+rcms AS (
+  SELECT d, ((h1 + d * h2) % {HASH_MOD}) % {width} AS bucket,
+         COUNT(*) AS rcnt
+  FROM rh CROSS JOIN jdepths GROUP BY 1, 2),
+dots AS (
+  SELECT l.d, SUM(l.cnt * r.rcnt) AS dot
+  FROM lcms l JOIN rcms r ON l.d = r.d AND l.bucket = r.bucket
+  GROUP BY l.d)
+SELECT MIN(dot) AS est_join_rows FROM dots
 """

@@ -4196,6 +4196,28 @@ WITH dtoks AS (
 """
 
 
+def _q_join_size_estimate(spark, sf_dir):
+    """Join cardinality estimation WITHOUT executing the join: bucket-
+    wise inner product of the two sides' count-min sketches, MIN over
+    hash rows — the AQE/planner statistic. Each side reduces to a
+    depth×width counter table in one partial-aggregating pass; the
+    estimate is a sketch-sized join."""
+    from search_spark.operators.sketches import cms_join_size
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cms_join_size(orders, lineitem, "o_orderkey", "l_orderkey")
+
+
+def _join_size_oracle() -> str:
+    from search_spark.operators.sketches import cms_join_size_oracle_sql
+
+    body = cms_join_size_oracle_sql(
+        "orders", "lineitem", "o_orderkey", "l_orderkey"
+    )
+    return f"WITH {body}"
+
+
 _ZORDER_SHIFT = 13
 
 
@@ -4319,6 +4341,7 @@ QUERIES: dict[str, Q] = {
     "sketch_overlap": Q(_q_sketch_overlap, _sketch_overlap_oracle()),
     "zorder_layout": Q(_q_zorder_layout, _zorder_oracle_sql()),
     "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
+    "join_size_estimate": Q(_q_join_size_estimate, _join_size_oracle()),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

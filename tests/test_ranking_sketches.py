@@ -111,14 +111,16 @@ def test_distinct_sketch_is_mergeable(spark):
 
     shard1 = spark.createDataFrame(rows[:137], ["grp", "v"])
     shard2 = spark.createDataFrame(rows[137:], ["grp", "v"])
-    from search_spark.operators.sketches import _hash48
+    from search_spark.operators.sketches import _g, _hash_halves
 
     def mins(sdf):
+        h1, h2 = _hash_halves(F.col("v"))
+        hashed = sdf.select("grp", h1.alias("h1"), h2.alias("h2"))
         return (
-            sdf.groupBy("grp")
+            hashed.groupBy("grp")
             .agg(
                 *[
-                    F.min(_hash48(F.col("v"), i)).alias(f"m{i}")
+                    F.min(_g(F.col("h1"), F.col("h2"), i)).alias(f"m{i}")
                     for i in range(R_DEFAULT)
                 ]
             )
@@ -216,3 +218,21 @@ def test_count_min_sketch_state_is_bounded(spark):
     )
     n = count_min_sketch(df, "v").count()
     assert n <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_cms_join_size_estimates_and_never_underestimates(spark):
+    from search_spark.operators.sketches import cms_join_size
+
+    # skewed fact side: key 0 appears 50x, keys 1..19 appear 3x each
+    left = spark.createDataFrame([(k,) for k in range(20)], ["k"])
+    right = spark.createDataFrame(
+        [(0,) for _ in range(50)] + [(k,) for k in range(1, 20) for _ in range(3)],
+        ["k"],
+    )
+    true_size = 50 + 19 * 3  # dim side is unique per key
+    est = cms_join_size(left, right, "k", "k").collect()[0][
+        "est_join_rows"
+    ]
+    assert est >= true_size  # inner products only inflate
+    # 20 keys in 1024 buckets: collisions are negligible → exact here
+    assert est <= true_size + 60
