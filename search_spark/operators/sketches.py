@@ -320,6 +320,62 @@ GROUP BY p.term
 """
 
 
+BLOOM_BITS_LOG2 = 20  # 2^20-bit filter
+BLOOM_HASHES = 3
+
+
+def bloom_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    hashes: int = BLOOM_HASHES,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Semi-join with a Bloom-style membership pre-filter.
+
+    The exact semi-join's shuffle carries every ``big`` row; at
+    10^12 rows, rows that cannot possibly match are the bulk of it.
+    This builds the small side's Bloom filter as a *distinct bit-index
+    table* (≤ |small|·hashes rows, bounded by 2^bits_log2), broadcast
+    left-semi-joins the big side against it per hash (k membership
+    probes = k semi-joins on the bit index — conjunctive, so survivors
+    set ALL k bits), then finishes with the exact semi-join on the
+    survivors only. False positives are removed by the exact step;
+    false negatives cannot happen — the result is EXACTLY the plain
+    semi-join (the oracle), only the shuffle volume changes.
+
+    Mirrors Spark's own runtime-filter optimization
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) as an explicit,
+    engine-portable operator. ``exact_verify=False`` returns the
+    pre-filter survivors (false positives included) — for inspecting
+    the pruning rate, never for results.
+    """
+    mask = (1 << bits_log2) - 1
+    h1s, h2s = _hash_halves(F.col(small_key))
+    h1b, h2b = _hash_halves(F.col(big_key))
+    filtered = big
+    for i in range(hashes):
+        bits = (
+            small.select(
+                ((_g(h1s, h2s, i)) % F.lit(mask + 1)).alias("__bit")
+            ).distinct()
+        )
+        filtered = filtered.join(
+            F.broadcast(bits),
+            (_g(h1b, h2b, i) % F.lit(mask + 1)) == F.col("__bit"),
+            "left_semi",
+        )
+    if not exact_verify:
+        return filtered
+    return filtered.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        on=big_key,
+        how="left_semi",
+    )
+
+
 def cms_join_size(
     left: DataFrame,
     right: DataFrame,

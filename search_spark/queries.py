@@ -4218,6 +4218,39 @@ def _join_size_oracle() -> str:
     return f"WITH {body}"
 
 
+def _q_bloom_semi_join(spark, sf_dir):
+    """Semi-join with an explicit Bloom-style runtime pre-filter: the
+    urgent-orders key set becomes a broadcast bit-index table; lineitem
+    rows failing any of the 3 membership probes never reach the exact
+    semi-join shuffle. Result is EXACTLY the plain semi-join — the
+    approximation changes only shuffle volume, so the oracle is the
+    unfiltered semi-join itself."""
+    from search_spark.operators.sketches import bloom_prefilter_semi_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    survivors = bloom_prefilter_semi_join(
+        lineitem, orders, "l_orderkey", "o_orderkey"
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+_SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 _ZORDER_SHIFT = 13
 
 
@@ -4342,6 +4375,7 @@ QUERIES: dict[str, Q] = {
     "zorder_layout": Q(_q_zorder_layout, _zorder_oracle_sql()),
     "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
     "join_size_estimate": Q(_q_join_size_estimate, _join_size_oracle()),
+    "bloom_semi_join": Q(_q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

@@ -236,3 +236,30 @@ def test_cms_join_size_estimates_and_never_underestimates(spark):
     assert est >= true_size  # inner products only inflate
     # 20 keys in 1024 buckets: collisions are negligible → exact here
     assert est <= true_size + 60
+
+
+def test_bloom_prefilter_semi_join_is_exact_and_prunes(spark):
+    from search_spark.operators.sketches import bloom_prefilter_semi_join
+
+    big = spark.createDataFrame(
+        [(k, f"row{k}") for k in range(2000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(k,) for k in range(0, 2000, 97)], ["k"])
+    got = sorted(
+        r["k"]
+        for r in bloom_prefilter_semi_join(big, small, "k", "k").collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in big.join(
+            small.withColumnRenamed("k", "k2"),
+            big["k"] == F.col("k2"),
+            "left_semi",
+        ).collect()
+    )
+    assert got == want  # exactly the plain semi-join
+    # the pre-filter alone must prune hard: ≤ a few % false positives
+    survivors = bloom_prefilter_semi_join(
+        big, small, "k", "k", exact_verify=False
+    ).count()
+    assert len(want) <= survivors <= len(want) + 50
