@@ -4251,6 +4251,115 @@ GROUP BY l_returnflag
 """
 
 
+_Q3_CUTOFF = "1998-03-15"
+
+
+def _q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): three-way join filtered on
+    both sides of the date cutoff, revenue aggregate per order, top 10.
+    The segment filter prunes customer before the join (broadcast-sized
+    dim), lineitem's date filter is pushed to the scan, and the top-k is
+    a TakeOrdered, not a full sort."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    return (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_SQL_TPCH_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_tpch_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): five-way snowflake join
+    where supplier and customer must share a nation, revenue per nation.
+    The nation⋈region dim chain is broadcast; the only big shuffles are
+    lineitem⋈orders and the customer co-location check."""
+    sf = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    dims = (
+        sf("nation")
+        .join(
+            F.broadcast(
+                sf("region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supplier = sf("supplier").join(
+        F.broadcast(dims),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    joined = (
+        sf("lineitem")
+        .join(sf("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            sf("customer"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+
+
+_SQL_TPCH_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 _ZORDER_SHIFT = 13
 
 
@@ -4376,6 +4485,12 @@ QUERIES: dict[str, Q] = {
     "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
     "join_size_estimate": Q(_q_join_size_estimate, _join_size_oracle()),
     "bloom_semi_join": Q(_q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
+    "tpch_shipping_priority": Q(
+        _q_tpch_shipping_priority, _SQL_TPCH_SHIPPING_PRIORITY
+    ),
+    "tpch_local_supplier_volume": Q(
+        _q_tpch_local_supplier_volume, _SQL_TPCH_LOCAL_SUPPLIER_VOLUME
+    ),
     "window_rank_topk": Q(_q_window_rank_topk, _SQL_WINDOW_RANK_TOPK),
     "set_ops_docs": Q(_q_set_ops_docs, _SQL_SET_OPS_DOCS),
     "skew_salted_agg": Q(_q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),

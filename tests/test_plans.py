@@ -214,3 +214,25 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_tpch_join_queries_plan_shapes(spark):
+    """Q3: dim filter broadcast + TakeOrdered top-k (no full sort);
+    Q5: the nation/region dim chain broadcasts, no cartesian."""
+    from search_spark.queries import QUERIES
+
+    q3 = plan_of(
+        QUERIES["tpch_shipping_priority"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "TakeOrderedAndProject" in q3
+    assert "BroadcastHashJoin" in q3
+    assert "CartesianProduct" not in q3
+    q5 = plan_of(
+        QUERIES["tpch_local_supplier_volume"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BroadcastHashJoin" in q5
+    assert "CartesianProduct" not in q5
