@@ -429,6 +429,59 @@ def label_propagation(
     return labels.select("entity", F.col("label").alias("community"))
 
 
+def kcore_peel(
+    edges: DataFrame, k: int = 3, n_rounds: int = 4
+) -> DataFrame:
+    """Dense-subgraph extraction by iterative k-core peeling.
+
+    Each round removes vertices with degree < ``k`` from the undirected
+    simple graph and recomputes degrees on the survivors; a fixed round
+    count keeps the result deterministic and SQL-expressible (the exact
+    k-core is the fixpoint — rounds converge monotonically toward it
+    from above, and on real co-occurrence graphs a handful of rounds is
+    at the fixpoint). Returns the surviving ``(entity, degree)``.
+
+    Per-round plan: one degree aggregation (map-side partial combine)
+    plus two semi-joins restricting the edge set to surviving endpoints
+    — all hash-partitioned on the vertex key; the edge set only ever
+    shrinks, and lineage truncates per round (``localCheckpoint``).
+    """
+    alive = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("entity"))
+            .unionByName(e.select(F.col("v").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(n_rounds):
+        keep = _degrees(alive).filter(F.col("degree") >= k)
+        alive = (
+            alive.join(
+                keep.select(F.col("entity").alias("u")),
+                on="u",
+                how="left_semi",
+            )
+            .join(
+                keep.select(F.col("entity").alias("v")),
+                on="v",
+                how="left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _degrees(alive)
+
+
 def two_hop(edges: DataFrame) -> DataFrame:
     """Distinct-edge two-hop reachability with path counts.
 

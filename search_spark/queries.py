@@ -3075,6 +3075,50 @@ lp{k} AS MATERIALIZED (
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _q_kg_kcore(spark, sf_dir):
+    """Dense-core extraction: 4 rounds of k-core peeling (k=3) over the
+    undirected co-occurrence graph — each round one degree aggregate +
+    two semi-joins on the shrinking edge set. Fixed rounds keep it
+    deterministic for the unrolled SQL oracle."""
+    from search_spark.operators.graph import kcore_peel
+
+    return kcore_peel(
+        _kg_edge_instances(spark, sf_dir), k=_KCORE_K, n_rounds=_KCORE_ROUNDS
+    )
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, n: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT entity, COUNT(*) AS degree FROM (
+    SELECT u AS entity FROM e{i - 1}
+    UNION ALL SELECT v FROM e{i - 1}) x
+  GROUP BY entity),
+k{i} AS MATERIALIZED (SELECT entity FROM d{i} WHERE degree >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  WHERE e.u IN (SELECT entity FROM k{i})
+    AND e.v IN (SELECT entity FROM k{i}))""")
+    body = ",".join(parts)
+    return f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {body}
+SELECT entity, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS entity FROM e{n} UNION ALL SELECT v FROM e{n}) x
+GROUP BY entity
+"""
+
+
 def _q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic graph pattern over the materialized triples:
     ``?a DIFF ?b . ?c DIFF ?b . ?b has_type ?bt`` (operator pairs sharing
@@ -4421,6 +4465,7 @@ QUERIES: dict[str, Q] = {
     "kg_triangles": Q(_q_kg_triangles, _SQL_KG_TRIANGLES),
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_communities": Q(_q_kg_communities, _lpa_oracle_sql()),
+    "kg_kcore": Q(_q_kg_kcore, _kcore_oracle_sql()),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

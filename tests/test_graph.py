@@ -345,3 +345,26 @@ def test_label_propagation_random_graphs_vs_python(spark, seed):
         for r in label_propagation(_edges_df(spark, pairs), n_iter=4).collect()
     }
     assert got == _python_lpa(pairs, 4)
+
+
+def test_kcore_peel_removes_tails_and_keeps_core(spark):
+    from search_spark.operators.graph import kcore_peel
+
+    # triangle a-b-c (2-core) with a pendant chain c-d-e
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    got = {
+        r["entity"]: r["degree"]
+        for r in kcore_peel(_edges_df(spark, pairs), k=2, n_rounds=4).collect()
+    }
+    # e peels round 1 (deg 1), then d (deg drops to 1) round 2 —
+    # the cascade needs multiple rounds; the triangle survives
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_peel_empty_when_no_core(spark):
+    from search_spark.operators.graph import kcore_peel
+
+    # a path graph has no 2-core: it peels away entirely from the ends
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = kcore_peel(_edges_df(spark, pairs), k=2, n_rounds=4).collect()
+    assert got == []
