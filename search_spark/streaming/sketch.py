@@ -1,0 +1,107 @@
+"""Streaming cardinality-sketch maintenance.
+
+Exact distinct-counting over a stream needs per-group value sets —
+unbounded state. The order-statistics sketch
+(:mod:`search_spark.operators.sketches`) is mergeable by elementwise
+MIN, so the streaming state is R bigints per group forever: each
+micro-batch sketches its own rows and folds into the persisted state
+with one ``union → groupBy → MIN`` pass. The estimate read back after
+N batches is bit-identical to sketching the concatenated batches — the
+mergeability contract, asserted end-to-end by the test.
+
+``Trigger.AvailableNow`` drains the source and stops (deterministic,
+batch-equivalent); the identical code runs unbounded with a
+processing-time trigger in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_spark.operators.sketches import (
+    HASH_MOD,
+    R_DEFAULT,
+    _g_sql,
+    _hash_halves,
+)
+
+
+def _batch_mins(df: DataFrame, group: str, col: str, r: int) -> DataFrame:
+    h1, h2 = _hash_halves(F.col(col))
+    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy(group).agg(
+        *[F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)]
+    )
+
+
+def distinct_sketch_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group: str,
+    col: str,
+    r: int = R_DEFAULT,
+    available_now: bool = True,
+) -> list[dict]:
+    """Maintain per-group distinct-count sketches over a stream.
+
+    Returns one record per non-empty micro-batch:
+    ``{"batch_id", "n_rows", "n_groups"}``. Sketch state lives at
+    ``{state_dir}/mins`` (one row of R minima per group); read the
+    current estimates with :func:`read_distinct_estimates`.
+    """
+    mins_path = os.path.join(state_dir, "mins")
+    commits: list[dict] = []
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        new = _batch_mins(batch_df, group, col, r)
+        merged = new
+        if os.path.isdir(mins_path):
+            old = spark.read.parquet(mins_path)
+            merged = old.unionByName(new).groupBy(group).agg(
+                *[F.min(f"m{i}").alias(f"m{i}") for i in range(r)]
+            )
+        merged = merged.localCheckpoint(eager=True)
+        n_groups = merged.count()
+        merged.write.mode("overwrite").parquet(mins_path)
+        commits.append(
+            {"batch_id": batch_id, "n_rows": n_rows, "n_groups": n_groups}
+        )
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:  # pragma: no cover - unbounded production path
+        query = writer.start()
+    return commits
+
+
+def read_distinct_estimates(
+    spark: SparkSession,
+    state_dir: str,
+    group: str,
+    r: int = R_DEFAULT,
+) -> DataFrame:
+    """Current ``(group, sum_min, est_distinct)`` from the maintained
+    sketch state — the same exact-integer estimator as the batch
+    operator."""
+    mins = spark.read.parquet(os.path.join(state_dir, "mins"))
+    total = F.expr(" + ".join(f"m{i}" for i in range(r)))
+    scale = (r - 1) * HASH_MOD
+    return mins.select(F.col(group), total.alias("sum_min")).select(
+        group,
+        "sum_min",
+        F.expr(f"CAST({scale} AS BIGINT) div sum_min").alias(
+            "est_distinct"
+        ),
+    )
