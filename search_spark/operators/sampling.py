@@ -117,3 +117,128 @@ def weighted_sample(
     u = F.conv(_hex_prefix(key_col, n_hex), 16, 10).cast("double") / space
     p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), prob))
     return df.filter(u < p)
+
+
+def global_index(
+    df: DataFrame, col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Dense 0-based index of the distinct values of ``col`` in sorted
+    order — ``ROW_NUMBER() OVER (ORDER BY col) - 1`` without a
+    single-partition sort.
+
+    Two-phase (the standard distributed global-rank recipe): range-
+    partition + sort locally, rank within each partition, then add the
+    exclusive prefix of partition counts (a partition-count-sized table,
+    broadcast back). The result depends only on the total order of the
+    values, not on where the sampled range boundaries land, so it is
+    deterministic across runs and cluster sizes. Returns
+    ``(col, idx)``.
+    """
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    e = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(n_parts, col)
+        .sortWithinPartitions(col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = e.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(col)),
+    )
+    counts = e.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), on="__pid")
+        .select(
+            col,
+            (F.col("__rn") - 1 + F.col("__off"))
+            .cast("bigint")
+            .alias("idx"),
+        )
+    )
+
+
+NEG_SEP = "\x1f"  # unit separator: cannot appear in entity/pred tokens
+
+
+def negative_samples(
+    triples: DataFrame, k: int = 4, num_partitions: int | None = None
+) -> DataFrame:
+    """KG-embedding training negatives: ``k`` corrupted-tail triples per
+    true ``(subj, pred, obj)``, TransE-style.
+
+    Replacement entities are drawn deterministically — the md5 of the
+    triple plus the sample index, modulo the entity count, looked up in
+    the :func:`global_index` of the entity vocabulary — so every run,
+    partitioning, and engine draws identical negatives (the DuckDB
+    oracle replays the same arithmetic). Corruptions that hit the true
+    tail are dropped, and an anti-join removes any sampled triple that
+    happens to be a real fact elsewhere in the KG (the standard
+    "filtered negatives" protocol). Returns
+    ``(subj, pred, obj_neg, sample_i)``.
+
+    Scale shape: the entity index is vocabulary-sized (two-phase global
+    rank, never a single-partition sort); the candidate join on ``idx``
+    is broadcast-eligible under AQE; the anti-join shuffles on the
+    triple key only.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    ents = global_index(
+        t.select(F.col("subj").alias("entity")).unionByName(
+            t.select(F.col("obj").alias("entity"))
+        ),
+        "entity",
+        num_partitions,
+    )
+    n = ents.agg(F.count(F.lit(1)).alias("__n"))
+    expanded = t.withColumn(
+        "sample_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).crossJoin(F.broadcast(n))
+    target = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    NEG_SEP,
+                    F.col("subj"),
+                    F.col("pred"),
+                    F.col("obj"),
+                    F.col("sample_i").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.col("__n")
+    candidates = (
+        expanded.withColumn("idx", target)
+        .join(ents, on="idx")
+        .filter(F.col("entity") != F.col("obj"))
+        .select(
+            "subj",
+            "pred",
+            F.col("entity").alias("obj_neg"),
+            "sample_i",
+        )
+    )
+    return candidates.join(
+        t.select(
+            "subj", "pred", F.col("obj").alias("obj_neg")
+        ),
+        on=["subj", "pred", "obj_neg"],
+        how="left_anti",
+    )

@@ -3119,6 +3119,60 @@ GROUP BY entity
 """
 
 
+_NEG_K = 4
+
+
+def _q_kg_negative_samples(spark, sf_dir):
+    """KG-embedding training negatives (TransE protocol): 4 corrupted
+    tails per distinct true triple, drawn by deterministic hash into the
+    two-phase global entity index, filtered against the true triple set
+    — identical draws on every run/partitioning/engine."""
+    from search_spark.operators.sampling import negative_samples
+
+    return negative_samples(_q_kg_doc_triples(spark, sf_dir), k=_NEG_K)
+
+
+def _negative_samples_oracle_sql(k: int = _NEG_K) -> str:
+    fold = (
+        "list_reduce(list_transform(string_split_regex({h}, ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(acc, x) -> acc * 16 + x)"
+    )
+    h = fold.format(
+        h="substr(md5(subj || chr(31) || pred || chr(31) || obj "
+        "|| chr(31) || CAST(sample_i AS VARCHAR)), 1, 12)"
+    )
+    return f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+trip AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+    FROM mentions
+    UNION ALL
+    SELECT subj, pred, obj FROM relations) x),
+ents AS (
+  SELECT entity, ROW_NUMBER() OVER (ORDER BY entity) - 1 AS idx
+  FROM (SELECT subj AS entity FROM trip UNION SELECT obj FROM trip) e),
+nent AS (SELECT COUNT(*) AS n FROM ents),
+expanded AS (
+  SELECT subj, pred, obj, i.sample_i
+  FROM trip CROSS JOIN (
+    SELECT unnest(range({k})) AS sample_i) i),
+cand AS (
+  SELECT e.subj, e.pred, e.obj, e.sample_i,
+         ({h}) % (SELECT n FROM nent) AS idx
+  FROM expanded e)
+SELECT c.subj, c.pred, en.entity AS obj_neg,
+       CAST(c.sample_i AS INT) AS sample_i
+FROM cand c
+JOIN ents en ON en.idx = c.idx
+WHERE en.entity <> c.obj
+  AND NOT EXISTS (
+    SELECT 1 FROM trip t
+    WHERE t.subj = c.subj AND t.pred = c.pred AND t.obj = en.entity)
+"""
+
+
 def _q_kg_bgp_match(spark, sf_dir):
     """SPARQL-style basic graph pattern over the materialized triples:
     ``?a DIFF ?b . ?c DIFF ?b . ?b has_type ?bt`` (operator pairs sharing
@@ -4466,6 +4520,9 @@ QUERIES: dict[str, Q] = {
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_communities": Q(_q_kg_communities, _lpa_oracle_sql()),
     "kg_kcore": Q(_q_kg_kcore, _kcore_oracle_sql()),
+    "kg_negative_samples": Q(
+        _q_kg_negative_samples, _negative_samples_oracle_sql()
+    ),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

@@ -139,3 +139,46 @@ def test_weighted_sample_matches_python_md5(spark):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8 < 0.3
     }
     assert got == want
+
+
+def test_global_index_matches_global_rank(spark):
+    from search_spark.operators.sampling import global_index
+
+    import random
+
+    rng = random.Random(5)
+    vals = list({f"k{rng.randrange(10_000):05d}" for _ in range(500)})
+    df = spark.createDataFrame(
+        [(v,) for v in vals for _ in (0, 1)], ["v"]  # duplicates collapse
+    ).repartition(7)
+    got = {
+        r["v"]: r["idx"] for r in global_index(df, "v").collect()
+    }
+    want = {v: i for i, v in enumerate(sorted(set(vals)))}
+    assert got == want
+
+
+def test_negative_samples_protocol(spark):
+    from search_spark.operators.sampling import negative_samples
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "p", "b"),
+            ("a", "p", "c"),
+            ("b", "q", "c"),
+            ("c", "p", "a"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    out1 = sorted(map(tuple, negative_samples(triples, k=8).collect()))
+    out2 = sorted(map(tuple, negative_samples(triples, k=8).collect()))
+    assert out1 == out2  # deterministic across runs
+    true = {("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"),
+            ("c", "p", "a")}
+    for subj, pred, obj_neg, i in out1:
+        assert (subj, pred, obj_neg) not in true  # filtered protocol
+        assert 0 <= i < 8
+    # corruption hits real entities only
+    ents = {"a", "b", "c"}
+    assert {t[2] for t in out1} <= ents
+    assert len(out1) > 0
