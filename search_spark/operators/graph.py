@@ -240,6 +240,155 @@ def _pagerank_local(spark, edge_rows, n_iter: int, damping: float,
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 1,
+    local_threshold: int = LOCAL_PR_THRESHOLD,
+) -> DataFrame:
+    """PageRank with teleport restricted to a seed set — the standard
+    graph-relatedness measure ("how close is every entity to THESE
+    entities").
+
+    ``rank'(v) = (1-d)·tele(v) + d·(Σ_{u→v} rank(u)/outdeg(u) +
+    D·tele(v))`` where ``tele(v) = 1/|S|`` for seeds, else 0, and the
+    dangling mass ``D`` also returns to the seeds. Ranks sum to 1;
+    vertices unreachable from the seed set get exactly 0. The plan is
+    the same join-aggregate loop as :func:`pagerank` (vocabulary-sized
+    state, gate-broadcast joins, per-round ``localCheckpoint``); small
+    graphs short-circuit to a driver power iteration with identical
+    double math. Returns ``(entity, rank)``.
+    """
+    from search_spark.joins import maybe_broadcast
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], schema=_PR_SCHEMA)
+    seed_col = seeds.columns[0]
+    seed_set = seeds.select(
+        F.col(seed_col).alias("entity")
+    ).distinct()
+    if n_edges <= local_threshold:
+        return _ppr_local(
+            spark,
+            e.collect(),
+            [r["entity"] for r in seed_set.collect()],
+            n_iter,
+            damping,
+        )
+
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    state_parts = max(1, -(-n_nodes // STATE_ROWS_PER_PARTITION))
+    n_seeds = seed_set.join(nodes, on="entity", how="left_semi").count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is in the graph")
+    outdeg = e.groupBy(F.col("src").alias("entity")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    e_od = e.join(
+        maybe_broadcast(outdeg.withColumnRenamed("entity", "src"), n_nodes),
+        on="src",
+    ).persist()
+    e_od.count()
+
+    tele = (
+        nodes.join(
+            maybe_broadcast(
+                seed_set.withColumn("__s", F.lit(1)), n_nodes
+            ),
+            on="entity",
+            how="left",
+        )
+        .select(
+            "entity",
+            F.when(F.col("__s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .repartition(state_parts, "entity")
+        .persist()
+    )
+    tele.count()
+    ranks = tele.select("entity", F.col("tele").alias("rank"))
+    has_out = outdeg.select("entity")
+    for i in range(n_iter):
+        contrib = (
+            e_od.join(
+                maybe_broadcast(ranks, n_nodes),
+                e_od["src"] == ranks["entity"],
+            )
+            .select("dst", (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(
+            maybe_broadcast(has_out, n_nodes), on="entity", how="left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            tele.join(
+                maybe_broadcast(
+                    contrib.withColumnRenamed("dst", "entity"), n_nodes
+                ),
+                on="entity",
+                how="left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "entity",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * F.col("tele")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _ppr_local(spark, edge_rows, seed_list, n_iter: int, damping: float):
+    """Driver power iteration with seed teleport — same double math."""
+    import numpy as np
+
+    pairs = [(r["src"], r["dst"]) for r in edge_rows]
+    names = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {n: i for i, n in enumerate(names)}
+    n = len(names)
+    seeds = [s for s in set(seed_list) if s in idx]
+    if not seeds:
+        raise ValueError("personalized_pagerank: no seed is in the graph")
+    out = np.zeros(n)
+    for u, _ in pairs:
+        out[idx[u]] += 1.0
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[idx[s]] = 1.0 / len(seeds)
+    r = tele.copy()
+    for _ in range(n_iter):
+        nxt = (1.0 - damping) * tele
+        nxt = nxt + damping * r[out == 0.0].sum() * tele
+        for u, v in pairs:
+            nxt[idx[v]] += damping * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return spark.createDataFrame(
+        [(name, float(r[idx[name]])) for name in names], schema=_PR_SCHEMA
+    )
+
+
 def incremental_pagerank(
     batches: list[DataFrame],
     n_iter_per_batch: int = 4,

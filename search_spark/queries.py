@@ -3119,6 +3119,73 @@ GROUP BY entity
 """
 
 
+_PPR_SEEDS = 2
+_PPR_ITER = 10
+
+
+def _q_kg_personalized_pagerank(spark, sf_dir):
+    """Seed-teleport PageRank ("relatedness to THESE entities"): the two
+    lexicographically-smallest entities seed the teleport vector;
+    dangling mass returns to the seeds; unreachable vertices get exactly
+    0. Same join-aggregate loop as kg_pagerank."""
+    from search_spark.operators.graph import personalized_pagerank
+
+    edges = _kg_edge_instances(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("entity").limit(_PPR_SEEDS)
+    ppr = personalized_pagerank(
+        edges, seeds, n_iter=_PPR_ITER, damping=_PR_DAMPING
+    )
+    return ppr.select("entity", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle_sql(
+    n_iter: int = _PPR_ITER,
+    damping: float = _PR_DAMPING,
+    n_seeds: int = _PPR_SEEDS,
+) -> str:
+    parts = [f"""
+pdedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+pnodes AS MATERIALIZED (
+  SELECT src AS entity FROM pdedges UNION SELECT dst FROM pdedges),
+pseeds AS MATERIALIZED (
+  SELECT entity FROM pnodes ORDER BY entity LIMIT {n_seeds}),
+pod AS MATERIALIZED (
+  SELECT src AS entity, CAST(COUNT(*) AS DOUBLE) AS od
+  FROM pdedges GROUP BY src),
+ptele AS MATERIALIZED (
+  SELECT n.entity,
+         CASE WHEN s.entity IS NOT NULL
+              THEN 1.0 / (SELECT COUNT(*) FROM pseeds)
+              ELSE 0.0 END AS t
+  FROM pnodes n LEFT JOIN pseeds s ON s.entity = n.entity),
+ppr0 AS MATERIALIZED (SELECT entity, t AS rank FROM ptele)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+pc{k} AS MATERIALIZED (SELECT e.dst AS entity, SUM(p.rank / o.od) AS s
+  FROM pdedges e
+  JOIN ppr{k - 1} p ON e.src = p.entity
+  JOIN pod o ON o.entity = e.src
+  GROUP BY e.dst),
+pd{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS dm
+  FROM ppr{k - 1} p LEFT JOIN pod o ON o.entity = p.entity
+  WHERE o.entity IS NULL),
+ppr{k} AS MATERIALIZED (SELECT te.entity,
+  {1.0 - damping} * te.t
+  + {damping} * (COALESCE(pc{k}.s, 0)
+                 + (SELECT dm FROM pd{k}) * te.t) AS rank
+  FROM ptele te LEFT JOIN pc{k} ON pc{k}.entity = te.entity)""")
+    body = ",".join(parts)
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {body}\n"
+        f"SELECT entity, ROUND(rank, 6) AS rank FROM ppr{n_iter}"
+    )
+
+
 _NEG_K = 4
 
 
@@ -4522,6 +4589,9 @@ QUERIES: dict[str, Q] = {
     "kg_kcore": Q(_q_kg_kcore, _kcore_oracle_sql()),
     "kg_negative_samples": Q(
         _q_kg_negative_samples, _negative_samples_oracle_sql()
+    ),
+    "kg_personalized_pagerank": Q(
+        _q_kg_personalized_pagerank, _ppr_oracle_sql()
     ),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),

@@ -368,3 +368,72 @@ def test_kcore_peel_empty_when_no_core(spark):
     pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
     got = kcore_peel(_edges_df(spark, pairs), k=2, n_rounds=4).collect()
     assert got == []
+
+
+def _numpy_ppr(edges, seeds, n_iter=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in set(edges):
+        out[idx[u]] += 1
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[idx[s]] = 1.0 / len(seeds)
+    r = tele.copy()
+    for _ in range(n_iter):
+        nxt = (1 - d) * tele + d * r[out == 0].sum() * tele
+        for u, v in set(edges):
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+@pytest.mark.parametrize("local_threshold", [100_000, 0])
+def test_personalized_pagerank_matches_numpy(spark, local_threshold):
+    from search_spark.operators.graph import personalized_pagerank
+
+    seeds_df = spark.createDataFrame([("a",), ("e",)], ["entity"])
+    got = {
+        r["entity"]: r["rank"]
+        for r in personalized_pagerank(
+            _edges_df(spark, EDGE_SET),
+            seeds_df,
+            n_iter=8,
+            local_threshold=local_threshold,
+        ).collect()
+    }
+    want = _numpy_ppr(EDGE_SET, ["a", "e"], n_iter=8)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # teleport concentrates mass near the seeds
+    assert got["a"] > 1.0 / len(got)
+
+
+def test_personalized_pagerank_unreachable_is_zero(spark):
+    from search_spark.operators.graph import personalized_pagerank
+
+    # z -> y is disconnected from the a-b component and unreachable
+    pairs = [("a", "b"), ("b", "a"), ("z", "y")]
+    got = {
+        r["entity"]: r["rank"]
+        for r in personalized_pagerank(
+            _edges_df(spark, pairs),
+            spark.createDataFrame([("a",)], ["entity"]),
+            n_iter=6,
+        ).collect()
+    }
+    assert got["z"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_personalized_pagerank_rejects_foreign_seeds(spark):
+    from search_spark.operators.graph import personalized_pagerank
+
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            _edges_df(spark, [("a", "b")]),
+            spark.createDataFrame([("zzz",)], ["entity"]),
+        ).collect()
