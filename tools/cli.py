@@ -109,6 +109,27 @@ def main() -> int:
              "file by (OPTIMIZE ZORDER analogue)",
     )
 
+    p_bm25 = sub.add_parser(
+        "bm25",
+        help="lexical BM25 top-k over a documents parquet "
+             "(doc_id + text columns)",
+    )
+    p_bm25.add_argument("--input", required=True)
+    p_bm25.add_argument("--query", required=True,
+                        help="space-separated query terms")
+    p_bm25.add_argument("-k", "--topk", type=int, default=10)
+    p_bm25.add_argument("--id-col", default="doc_id")
+    p_bm25.add_argument("--text-col", default="text")
+
+    p_sketch = sub.add_parser(
+        "sketch",
+        help="sketch-based distinct-token estimates per group over a "
+             "documents parquet (never COUNT(DISTINCT))",
+    )
+    p_sketch.add_argument("--input", required=True)
+    p_sketch.add_argument("--group", default="source")
+    p_sketch.add_argument("--text-col", default="text")
+
     p_export = sub.add_parser(
         "export",
         help="export a snapshot KG as N-Quads text (provenance as the "
@@ -227,6 +248,37 @@ def main() -> int:
             args.limit
         )
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "bm25":
+        from search_spark.operators.ranking import bm25_topk
+
+        docs = spark.read.parquet(args.input)
+        out = bm25_topk(
+            docs,
+            args.query.split(),
+            doc_id=args.id_col,
+            text_col=args.text_col,
+            topk=args.topk,
+        )
+        print(out.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "sketch":
+        from pyspark.sql import functions as F
+
+        from search_spark.operators.sketches import distinct_sketch
+
+        docs = spark.read.parquet(args.input)
+        toks = docs.select(
+            F.col(args.group),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({args.text_col}),"
+                    " '[a-z0-9_]{2,}', 0)"
+                )
+            ).alias("term"),
+        )
+        out = distinct_sketch(toks, args.group, "term")
+        print(
+            out.orderBy(args.group).toPandas().to_csv(index=False), end=""
+        )
     elif args.cmd == "export":
         from search_spark.io.ntriples import write_ntriples
         from search_spark.io.snapshots import SnapshotTable
