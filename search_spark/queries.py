@@ -4135,7 +4135,7 @@ def _q_bm25_search(spark, sf_dir):
     )
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(topk: int | None = None) -> str:
     from search_spark.operators.ranking import BM25_B, BM25_K1
 
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
@@ -4169,7 +4169,73 @@ scored AS (
                      (acc, x) -> acc + x) AS score
   FROM comp GROUP BY doc_id)
 SELECT doc_id, ROUND(score, 6) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {topk or BM25_TOPK}
+"""
+
+
+_RRF_C = 60
+_RRF_LEX_K = 20
+_RRF_TOPK = 10
+
+
+def _q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking and the embedding cosine ranking —
+    ``rrf(d) = Σ_ranker 1/(60 + rank_d)`` over whichever lists contain
+    the doc (full outer join of two request-sized top-k tables). The
+    modern first-stage standard: each ranker runs in its own optimal
+    plan; fusion touches only k rows."""
+    from pyspark.sql import Window
+
+    from search_spark.operators.ranking import bm25_topk
+
+    lex = bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        BM25_QUERY_TERMS,
+        topk=_RRF_LEX_K,
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    sem = _q_semantic_search(spark, sf_dir).withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("vec_id"))
+        ),
+    )
+    fused = lex.select("doc_id", F.col("r").alias("lr")).join(
+        sem.select(F.col("vec_id").alias("doc_id"), F.col("r").alias("sr")),
+        on="doc_id",
+        how="full",
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lr")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sr")), F.lit(0.0))
+    return (
+        fused.select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({_bm25_oracle_sql(topk=_RRF_LEX_K)}) b),
+sem AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS r
+  FROM ({_SQL_SEMANTIC_SEARCH}) s),
+fused AS (
+  SELECT COALESCE(l.doc_id, se.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_C} + l.r), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_C} + se.r), 0.0) AS rrf
+  FROM lex l FULL JOIN sem se ON se.doc_id = l.doc_id)
+SELECT doc_id, ROUND(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_TOPK}
 """
 
 
@@ -4657,6 +4723,7 @@ QUERIES: dict[str, Q] = {
     "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
     "join_size_estimate": Q(_q_join_size_estimate, _join_size_oracle()),
     "bloom_semi_join": Q(_q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
+    "hybrid_search_rrf": Q(_q_hybrid_search_rrf, _hybrid_rrf_oracle_sql()),
     "tpch_shipping_priority": Q(
         _q_tpch_shipping_priority, _SQL_TPCH_SHIPPING_PRIORITY
     ),
