@@ -1676,6 +1676,17 @@ GROUP BY 1, 2
 
 
 def _q_ivf_search(spark, sf_dir):
+    return _ivf_search_impl(spark, sf_dir, nprobe=1)
+
+
+def _q_ivf_search_nprobe(spark, sf_dir):
+    """Multi-probe IVF: the query fans out to its 2 nearest coarse cells
+    instead of 1 — the standard recall knob; the probe still touches
+    nprobe/n_cells of the corpus, never all of it."""
+    return _ivf_search_impl(spark, sf_dir, nprobe=2)
+
+
+def _ivf_search_impl(spark, sf_dir, nprobe: int = 1):
     # IVF assignment + search-within-cell (closing the ivf_centroids loop,
     # VERDICT r01 item 4): every vector is assigned to its nearest coarse
     # centroid (L2), then the query (vec 0) searches top-k **only within
@@ -1728,12 +1739,15 @@ def _q_ivf_search(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("label").alias("cell"))
     )
-    q_cell = assign.filter(F.col("vec_id") == 0).select(
-        F.col("cell").alias("q_cell")
+    q_cells = (
+        dist.filter(F.col("vec_id") == 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select(F.col("label").alias("q_cell"))
     )
     cand_ids = (
         assign.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q_cell), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
         .select("vec_id")
     )
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -1797,6 +1811,23 @@ d AS (SELECT ec.vec_id, sum(ec.v * q.v) AS dot, sqrt(sum(ec.v * ec.v)) AS nrm
 SELECT vec_id, round(dot / (d.nrm * nq.nrm), 4) AS score
 FROM d, nq ORDER BY score DESC, vec_id ASC LIMIT 5
 """
+
+
+def _ivf_search_nprobe_sql(nprobe: int) -> str:
+    """The ivf_search oracle with the single query-cell CTE swapped for
+    the nprobe nearest cells (same dist/assign/rescore CTEs)."""
+    old = """cand AS (
+  SELECT a.vec_id FROM assign a, (SELECT cell FROM assign WHERE vec_id = 0) q
+  WHERE a.cell = q.cell AND a.vec_id <> 0),"""
+    new = f"""qcells AS (
+  SELECT label AS cell FROM (
+    SELECT label, row_number() OVER (ORDER BY round(dist, 6), label) AS rk
+    FROM dist WHERE vec_id = 0) WHERE rk <= {nprobe}),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN qcells q ON a.cell = q.cell
+  WHERE a.vec_id <> 0),"""
+    assert old in _SQL_IVF_SEARCH
+    return _SQL_IVF_SEARCH.replace(old, new)
 
 
 def _q_articles_semi_filter(spark, sf_dir):
@@ -4742,6 +4773,9 @@ QUERIES: dict[str, Q] = {
     "bad_sentence_stats": Q(_q_bad_sentence_stats, _SQL_BAD_SENTENCE_STATS),
     "ivf_centroids": Q(_q_ivf_centroids, _SQL_IVF_CENTROIDS),
     "ivf_search": Q(_q_ivf_search, _SQL_IVF_SEARCH),
+    "ivf_search_nprobe": Q(
+        _q_ivf_search_nprobe, _ivf_search_nprobe_sql(2)
+    ),
     "articles_semi_filter": Q(
         _q_articles_semi_filter, _SQL_ARTICLES_SEMI_FILTER
     ),
