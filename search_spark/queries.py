@@ -4147,6 +4147,35 @@ WITH stoks AS (
 """
 
 
+def _q_sketch_containment(spark, sf_dir):
+    """Directional vocabulary containment between source pairs from the
+    same mergeable sketches as sketch_overlap (the KMV-for-containment
+    idea, cf. GB-KMV, ICDE 2019): ``cont(A in B) = |A∩B| / |A|`` tells
+    which sources are subsets/supersets of others — dedup-priority and
+    crawl-dedup signals — without ever intersecting raw vocabularies."""
+    o = _q_sketch_overlap(spark, sf_dir)
+    return o.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("est_overlap") / F.col("est_a"), 6).alias(
+            "cont_a_in_b"
+        ),
+        F.round(F.col("est_overlap") / F.col("est_b"), 6).alias(
+            "cont_b_in_a"
+        ),
+    )
+
+
+def _sketch_containment_oracle() -> str:
+    return f"""
+WITH ov AS ({_sketch_overlap_oracle()})
+SELECT source_a, source_b,
+       ROUND(est_overlap / est_a, 6) AS cont_a_in_b,
+       ROUND(est_overlap / est_b, 6) AS cont_b_in_a
+FROM ov
+"""
+
+
 BM25_QUERY_TERMS = ["stream", "hash", "join", "window"]
 BM25_TOPK = 10
 
@@ -4750,6 +4779,9 @@ QUERIES: dict[str, Q] = {
     "inverted_index": Q(_q_inverted_index, _SQL_INVERTED_INDEX),
     "sketch_distinct": Q(_q_sketch_distinct, _sketch_distinct_oracle()),
     "sketch_overlap": Q(_q_sketch_overlap, _sketch_overlap_oracle()),
+    "sketch_containment": Q(
+        _q_sketch_containment, _sketch_containment_oracle()
+    ),
     "zorder_layout": Q(_q_zorder_layout, _zorder_oracle_sql()),
     "cms_term_counts": Q(_q_cms_term_counts, _cms_oracle()),
     "join_size_estimate": Q(_q_join_size_estimate, _join_size_oracle()),

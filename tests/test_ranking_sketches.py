@@ -263,3 +263,22 @@ def test_bloom_prefilter_semi_join_is_exact_and_prunes(spark):
         big, small, "k", "k", exact_verify=False
     ).count()
     assert len(want) <= survivors <= len(want) + 50
+
+
+def test_sketch_containment_detects_subset(spark):
+    from search_spark.queries import QUERIES  # noqa: F401  (registry import)
+    from search_spark.operators.sketches import sketch_overlap
+    from pyspark.sql import functions as SF
+
+    # A is a strict subset of B: containment(A in B) ≈ 1, (B in A) ≈ 0.5
+    rows = [("A", f"v{i}") for i in range(500)] + [
+        ("B", f"v{i}") for i in range(1000)
+    ]
+    o = sketch_overlap(spark.createDataFrame(rows, ["grp", "v"]), "grp", "v")
+    r = o.select(
+        (SF.col("est_overlap") / SF.col("est_a")).alias("a_in_b"),
+        (SF.col("est_overlap") / SF.col("est_b")).alias("b_in_a"),
+    ).collect()[0]
+    assert r["a_in_b"] > 0.6  # near-total containment despite sketch noise
+    assert r["b_in_a"] < 0.85
+    assert r["a_in_b"] > r["b_in_a"]
