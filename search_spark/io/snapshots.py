@@ -312,10 +312,14 @@ class SnapshotTable:
         "files_after"}``.
 
         ``zorder_by`` additionally clusters each rewritten file by the
-        Z-order (Morton) curve over the named columns (strings are
-        hashed to 16-bit keys first) — the ``OPTIMIZE ZORDER BY``
-        analogue: per-file min/max statistics then bound EVERY listed
-        column, so predicate file-skipping works on all of them.
+        Z-order (Morton) curve over the named columns — the ``OPTIMIZE
+        ZORDER BY`` analogue. Numeric columns are min/max-scaled into
+        the curve's 16-bit domain, so per-file min/max statistics bound
+        them and RANGE predicates skip files. String columns are hashed
+        to 16-bit keys: equal values still cluster into few files
+        (equality workloads benefit), but a hash preserves no string
+        ORDER, so min/max stats on a string column cannot prune ranges
+        — list numerics when range skipping is the goal.
         """
         snapshots_compacted = 0
         files_before = files_after = 0
@@ -337,18 +341,54 @@ class SnapshotTable:
                 shutil.rmtree(tmp)
             out = df.repartition("bucket")
             if zorder_by:
+                from pyspark.sql.types import NumericType
+
                 from search_spark.operators.layout import zorder_key
 
-                zk = zorder_key(
-                    [
-                        F.xxhash64(F.col(c)).bitwiseAND(F.lit(0xFFFF))
-                        for c in zorder_by
-                    ]
+                fields = {f.name: f.dataType for f in df.schema.fields}
+                num_cols = [
+                    c
+                    for c in zorder_by
+                    if isinstance(fields[c], NumericType)
+                ]
+                stats = (
+                    df.agg(
+                        *[
+                            agg
+                            for c in num_cols
+                            for agg in (
+                                F.min(c).alias(f"__mn_{c}"),
+                                F.max(c).alias(f"__mx_{c}"),
+                            )
+                        ]
+                    ).first()
+                    if num_cols
+                    else {}
                 )
+                dims = []
+                for c in zorder_by:
+                    if c in num_cols:
+                        # min/max-scale into the 16-bit curve domain so
+                        # per-file stats bound the REAL values (range
+                        # skipping); a hash would scatter them
+                        mn = float(stats[f"__mn_{c}"])
+                        span = (float(stats[f"__mx_{c}"]) - mn) or 1.0
+                        dims.append(
+                            F.floor(
+                                (F.col(c) - F.lit(mn))
+                                * F.lit(65535.0 / span)
+                            ).cast("bigint")
+                        )
+                    else:
+                        dims.append(
+                            F.xxhash64(F.col(c)).bitwiseAND(F.lit(0xFFFF))
+                        )
                 # lead with the partition column: the partitioned writer
                 # requires rows ordered by it and would otherwise insert
                 # its own bucket-only sort, destroying the Z order
-                out = out.sortWithinPartitions(F.col("bucket"), zk)
+                out = out.sortWithinPartitions(
+                    F.col("bucket"), zorder_key(dims)
+                )
             (
                 out.write.partitionBy("bucket")
                 .mode("overwrite")

@@ -143,6 +143,12 @@ def global_index(
         .repartitionByRange(n_parts, col)
         .sortWithinPartitions(col)
         .withColumn("__pid", F.spark_partition_id())
+        # materialize: the range shuffle samples its boundaries per
+        # exchange instance, and this subtree feeds BOTH the rank branch
+        # and the offsets branch — without pinning it, correctness would
+        # silently depend on Spark's exchange-reuse optimization keeping
+        # the two instances identical
+        .localCheckpoint(eager=True)
     )
     local = e.withColumn(
         "__rn",

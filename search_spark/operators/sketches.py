@@ -74,6 +74,23 @@ def _g_sql(i: int) -> str:
     return f"(h1 + {i} * h2) % {HASH_MOD}"
 
 
+def sketch_mins(
+    df: DataFrame, group: str, col: str, r: int = R_DEFAULT
+) -> DataFrame:
+    """The raw sketch build shared by every estimator (and the streaming
+    maintainer): one md5 per row → per-group MIN of each of the r
+    derived hashes. Returns ``(group, m0..m{r-1})`` — mergeable across
+    shards/batches by elementwise MIN."""
+    h1, h2 = _hash_halves(F.col(col))
+    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
+    # single-string expressions: one py4j/parse round-trip per column
+    # instead of ~5 per derived hash (measured ~1s of driver-side plan
+    # construction at r=32 with the Column-algebra formulation)
+    return hashed.groupBy(group).agg(
+        *[F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)]
+    )
+
+
 def distinct_sketch(
     df: DataFrame, group: str, col: str, r: int = R_DEFAULT
 ) -> DataFrame:
@@ -85,15 +102,7 @@ def distinct_sketch(
     ``(r-1)·2^48 div sum_min``. One shuffle, map-side combinable; one
     md5 per input row.
     """
-    h1, h2 = _hash_halves(F.col(col))
-    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
-    # single-string expressions: one py4j/parse round-trip per column
-    # instead of ~5 per derived hash (measured ~1s of driver-side plan
-    # construction at r=32 with the Column-algebra formulation)
-    mins = [
-        F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)
-    ]
-    agg = hashed.groupBy(group).agg(*mins)
+    agg = sketch_mins(df, group, col, r)
     total = F.expr(" + ".join(f"m{i}" for i in range(r)))
     scale = (r - 1) * HASH_MOD
     return agg.select(F.col(group), total.alias("sum_min")).select(
@@ -143,11 +152,7 @@ def sketch_overlap(
     Returns ``(<group>_a, <group>_b, est_a, est_b, est_union,
     est_overlap)`` for every unordered pair (a < b), all BIGINT.
     """
-    h1, h2 = _hash_halves(F.col(col))
-    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
-    sk = hashed.groupBy(group).agg(
-        *[F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)]
-    )
+    sk = sketch_mins(df, group, col, r)
     a = sk.select(
         F.col(group).alias("ga"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(r)],

@@ -3,22 +3,25 @@
 The batch :func:`~search_spark.operators.temporal.time_rollup` answers
 "aggregate the fact table at every granularity now"; a continuously
 ingesting pipeline wants the hourly rollup *maintained* as events
-arrive, without rescanning history. This wraps the merge step in
+arrive, without rescanning history. This wraps the upkeep in
 ``foreachBatch``:
 
 1. aggregate the micro-batch to (event_type, day, hour) partials;
-2. read back ONLY the state partitions for the days the batch touched
-   (day-partitioned parquet → partition pruning on the read);
-3. re-aggregate old ∪ new and overwrite exactly those day partitions
-   (dynamic partition overwrite).
+2. overwrite exactly the ``batch_id=<id>`` partition of a
+   batch-partitioned partials table with them.
 
-Per batch the work is O(batch + touched-days' state), never O(history)
-— the incremental-view-maintenance shape a 10^12-row fact table needs.
-Coarser granularities (day/total) derive from the hourly state at query
-time. Restart safety comes from the streaming checkpoint: a replayed
-batch re-merges the same partials into the same day partitions, and the
-overwrite makes that idempotent at the partition level.
+Keying the state by **batch id** is what makes restarts safe: if a
+batch commits its files but crashes before the streaming checkpoint
+records it, the replay rewrites the *same partition* with the *same
+partials* — idempotent by construction. (A read-merge-overwrite of
+running SUMs would double-count on exactly that crash window; MIN-style
+sketch state tolerates it, SUM state does not.) The queryable rollup is
+merge-on-read — :func:`read_hourly_rollup` sums the per-batch partials,
+whose total size is O(active hours × batches), already aggregated down
+from raw events; compact with :func:`compact_rollup` when the batch
+count grows.
 
+Per batch the work is O(batch) — never a history rescan.
 ``Trigger.AvailableNow`` drains the source and stops (deterministic,
 batch-equivalent — what the test asserts); the identical code runs
 unbounded with a processing-time trigger in production.
@@ -45,16 +48,16 @@ def rollup_stream(
     """Maintain an hourly rollup over a streaming event source.
 
     Returns one record per non-empty micro-batch:
-    ``{"batch_id", "n_rows", "n_days_touched"}``. The hourly state lives
-    at ``{state_dir}/hourly`` (day-partitioned parquet; read it back
-    with :func:`read_hourly_rollup`).
+    ``{"batch_id", "n_rows", "n_hours_touched"}``. State lives at
+    ``{state_dir}/partials`` (batch_id-partitioned parquet); read the
+    merged rollup with :func:`read_hourly_rollup`.
     """
-    hourly_path = os.path.join(state_dir, "hourly")
+    partials_path = os.path.join(state_dir, "partials")
     commits: list[dict] = []
 
-    def _partials(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        new = (
+            batch_df.select(
                 F.col(group),
                 F.date_trunc("day", F.col(ts)).alias("day"),
                 F.date_trunc("hour", F.col(ts)).alias("hour"),
@@ -65,42 +68,24 @@ def rollup_stream(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum("__v").alias("total_value"),
             )
+            .localCheckpoint(eager=True)
         )
-
-    def _step(batch_df: DataFrame, batch_id: int) -> None:
-        new = _partials(batch_df).localCheckpoint(eager=True)
-        days = [r["day"] for r in new.select("day").distinct().collect()]
-        if not days:
+        n_hours = new.count()
+        if n_hours == 0:
             return
         n_rows = batch_df.count()
-        merged = new
-        if os.path.isdir(hourly_path):
-            # partition-pruned read: only the touched days leave disk
-            old = spark.read.option("basePath", hourly_path).parquet(
-                hourly_path
-            ).filter(F.col("day").isin(days))
-            merged = (
-                old.select(group, "day", "hour", "n_events", "total_value")
-                .unionByName(new)
-                .groupBy(group, "day", "hour")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
-                )
-            )
-        # materialize off the read path before overwriting it
-        merged = merged.localCheckpoint(eager=True)
         (
-            merged.write.mode("overwrite")
+            new.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(hourly_path)
+            .partitionBy("batch_id")
+            .parquet(partials_path)
         )
         commits.append(
             {
                 "batch_id": batch_id,
                 "n_rows": n_rows,
-                "n_days_touched": len(days),
+                "n_hours_touched": n_hours,
             }
         )
 
@@ -116,8 +101,38 @@ def rollup_stream(
 
 
 def read_hourly_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The maintained hourly aggregate: (event_type, day, hour,
-    n_events, total_value)."""
-    return spark.read.option(
-        "basePath", os.path.join(state_dir, "hourly")
-    ).parquet(os.path.join(state_dir, "hourly"))
+    """The merged hourly aggregate: (event_type, day, hour, n_events,
+    total_value) — a sum over the per-batch partials (merge-on-read)."""
+    partials = spark.read.option(
+        "basePath", os.path.join(state_dir, "partials")
+    ).parquet(os.path.join(state_dir, "partials"))
+    group = [c for c in partials.columns
+             if c not in ("n_events", "total_value", "batch_id")]
+    return partials.groupBy(*group).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+
+
+def compact_rollup(spark: SparkSession, state_dir: str) -> int:
+    """Fold all per-batch partials into a single ``batch_id=0``
+    partition (bounds the merge-on-read fan-in between maintenance
+    windows). Returns the number of rows after compaction. Run it only
+    after a CLEAN stop (e.g. an ``availableNow`` drain that terminated):
+    folding a batch whose checkpoint commit never landed would
+    double-count when the engine replays it into a fresh partition."""
+    partials_path = os.path.join(state_dir, "partials")
+    merged = read_hourly_rollup(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    n = merged.count()
+    import shutil
+
+    shutil.rmtree(partials_path)
+    (
+        merged.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(partials_path)
+    )
+    return n

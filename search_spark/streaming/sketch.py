@@ -24,17 +24,8 @@ from pyspark.sql import functions as F
 from search_spark.operators.sketches import (
     HASH_MOD,
     R_DEFAULT,
-    _g_sql,
-    _hash_halves,
+    sketch_mins,
 )
-
-
-def _batch_mins(df: DataFrame, group: str, col: str, r: int) -> DataFrame:
-    h1, h2 = _hash_halves(F.col(col))
-    hashed = df.select(F.col(group), h1.alias("h1"), h2.alias("h2"))
-    return hashed.groupBy(group).agg(
-        *[F.expr(f"min({_g_sql(i)})").alias(f"m{i}") for i in range(r)]
-    )
 
 
 def distinct_sketch_stream(
@@ -61,7 +52,7 @@ def distinct_sketch_stream(
         n_rows = batch_df.count()
         if n_rows == 0:
             return
-        new = _batch_mins(batch_df, group, col, r)
+        new = sketch_mins(batch_df, group, col, r)
         merged = new
         if os.path.isdir(mins_path):
             old = spark.read.parquet(mins_path)

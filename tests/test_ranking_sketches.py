@@ -111,21 +111,10 @@ def test_distinct_sketch_is_mergeable(spark):
 
     shard1 = spark.createDataFrame(rows[:137], ["grp", "v"])
     shard2 = spark.createDataFrame(rows[137:], ["grp", "v"])
-    from search_spark.operators.sketches import _g, _hash_halves
+    from search_spark.operators.sketches import sketch_mins
 
     def mins(sdf):
-        h1, h2 = _hash_halves(F.col("v"))
-        hashed = sdf.select("grp", h1.alias("h1"), h2.alias("h2"))
-        return (
-            hashed.groupBy("grp")
-            .agg(
-                *[
-                    F.min(_g(F.col("h1"), F.col("h2"), i)).alias(f"m{i}")
-                    for i in range(R_DEFAULT)
-                ]
-            )
-            .collect()[0]
-        )
+        return sketch_mins(sdf, "grp", "v", R_DEFAULT).collect()[0]
 
     m1, m2 = mins(shard1), mins(shard2)
     merged_sum = sum(

@@ -132,3 +132,35 @@ def test_compaction_with_zorder_clusters_files(table, spark):
         for e in lin.get("compactions", [])
     ]
     assert all(a["zorder_by"] == ["subj", "obj"] for a in audit)
+
+
+def test_compaction_zorder_numeric_column_sorts_by_value(spark, tmp_path):
+    """Numeric zorder_by columns are min/max-scaled, not hashed: rows in
+    each rewritten file come out ordered by the actual value, so
+    per-row-group min/max stats bound real ranges."""
+    import os
+
+    from search_spark.io.snapshots import SnapshotTable
+
+    cols = ["subj", "pred", "obj", "prov", "url", "pos"]
+    rows = [
+        (f"e{i}", "p", f"o{i}", f"s{i}", f"http://u{i}", (i * 37) % 100)
+        for i in range(60)
+    ]
+    t = SnapshotTable(spark, str(tmp_path / "kg"), n_buckets=4)
+    t.append(spark.createDataFrame(rows, cols).repartition(6))
+    t.compact(min_files_per_bucket=1, zorder_by=["pos"])
+
+    checked = 0
+    for k in t.snapshots():
+        path = f"{t.root}/data/snapshot={k}"
+        for f in t._data_files(path):
+            ps = [
+                r["pos"]
+                for r in spark.read.parquet(os.path.join(path, f))
+                .select("pos")
+                .collect()
+            ]
+            assert ps == sorted(ps)
+            checked += 1
+    assert checked > 0
