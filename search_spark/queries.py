@@ -3106,6 +3106,42 @@ lp{k} AS MATERIALIZED (
     )
 
 
+def _q_kg_components(spark, sf_dir):
+    """Weakly-connected components of the co-occurrence graph — the
+    alternating large-star/small-star loop the canonicalizer uses,
+    exposed as a registry query: (entity, component representative =
+    lexicographic minimum). Oracle: recursive-CTE transitive closure."""
+    from search_spark.operators.canonicalize import connected_components
+
+    # CC consumes the edge set twice (node set + edge set) and the
+    # mention self-join is the expensive subtree — materialize it once
+    edges = _kg_edge_instances(spark, sf_dir).localCheckpoint(eager=True)
+    return connected_components(edges).select(
+        F.col("id").alias("entity"), "component"
+    )
+
+
+_SQL_KG_COMPONENTS = f"""
+{_MENTIONS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)}, {_EDGES_SQL_BODY},
+-- NOTE: under WITH RECURSIVE, DuckDB gives every two-branch UNION CTE
+-- recursive (non-deduplicating) semantics — hence DISTINCT + UNION ALL
+csym AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION ALL SELECT dst, src FROM edges WHERE src <> dst) s0),
+creach(a, b) AS (
+  SELECT a, b FROM csym
+  UNION
+  SELECT r.a, s.b FROM creach r JOIN csym s ON r.b = s.a),
+cnodes AS (SELECT DISTINCT entity FROM (
+  SELECT src AS entity FROM edges
+  UNION ALL SELECT dst FROM edges) n0),
+ccomp AS (SELECT a AS entity, least(a, min(b)) AS component
+          FROM creach GROUP BY a)
+SELECT n.entity, COALESCE(c.component, n.entity) AS component
+FROM cnodes n LEFT JOIN ccomp c ON c.entity = n.entity
+"""
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 4
 
@@ -4332,6 +4368,68 @@ FROM tf GROUP BY term HAVING COUNT(*) >= {INVIDX_MIN_DF}
 _FUNNEL_DEADLINE_H = 24
 
 
+def _q_dense_time_series(spark, sf_dir):
+    """Gap-filled hourly activity series per event type: the dense
+    (type × hour) calendar is generated from the corpus' own min/max
+    bounds (sequence + explode — a bounded dim, types × hours rows,
+    never corpus-sized), left-joined with the sparse hourly counts so
+    silent hours report 0 — the reporting shape dashboards need and
+    naive GROUP BY can't produce."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    calendar = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return calendar.join(hourly, on=["event_type", "hour"], how="left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+_SQL_DENSE_TIME_SERIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS mn,
+         date_trunc('hour', MAX(ts)) AS mx
+  FROM events),
+calendar AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(
+      (SELECT mn FROM bounds), (SELECT mx FROM bounds),
+      INTERVAL 1 HOUR)) AS hour) h)
+SELECT c.event_type, c.hour,
+       COALESCE(x.n_events, 0) AS n_events,
+       COALESCE(x.total_value, 0.0) AS total_value
+FROM calendar c
+LEFT JOIN hourly x
+  ON x.event_type = c.event_type AND x.hour = c.hour
+"""
+
+
 def _q_funnel_conversion(spark, sf_dir):
     """Ordered-funnel analytics: per user, first signup, first click
     within 24h of it, first purchase within 24h of that; report how many
@@ -4713,6 +4811,7 @@ QUERIES: dict[str, Q] = {
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_communities": Q(_q_kg_communities, _lpa_oracle_sql()),
     "kg_kcore": Q(_q_kg_kcore, _kcore_oracle_sql()),
+    "kg_components": Q(_q_kg_components, _SQL_KG_COMPONENTS),
     "kg_negative_samples": Q(
         _q_kg_negative_samples, _negative_samples_oracle_sql()
     ),
@@ -4751,6 +4850,7 @@ QUERIES: dict[str, Q] = {
     ),
     "time_rollup": Q(_q_time_rollup, _SQL_TIME_ROLLUP),
     "funnel_conversion": Q(_q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
+    "dense_time_series": Q(_q_dense_time_series, _SQL_DENSE_TIME_SERIES),
     "retention_cohorts": Q(_q_retention_cohorts, _SQL_RETENTION_COHORTS),
     "topk_similar": Q(_q_topk_similar, _SQL_TOPK_SIMILAR),
     "topk_groups": Q(_q_topk_groups, _SQL_TOPK_GROUPS),
