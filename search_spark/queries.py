@@ -4430,6 +4430,48 @@ LEFT JOIN hourly x
 """
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order behavioral Markov model: per-user event streams in
+    time order yield (prev_type → next_type) transition counts and
+    row-normalized probabilities. One hash shuffle on user_id for the
+    lag window, then a partial-aggregating count; the probability
+    normalizer is a per-prev_type window over the type×type matrix —
+    request-sized by construction."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("prob"),
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM pairs
+"""
+
+
 def _q_funnel_conversion(spark, sf_dir):
     """Ordered-funnel analytics: per user, first signup, first click
     within 24h of it, first purchase within 24h of that; report how many
@@ -4851,6 +4893,7 @@ QUERIES: dict[str, Q] = {
     "time_rollup": Q(_q_time_rollup, _SQL_TIME_ROLLUP),
     "funnel_conversion": Q(_q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
     "dense_time_series": Q(_q_dense_time_series, _SQL_DENSE_TIME_SERIES),
+    "event_transitions": Q(_q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "retention_cohorts": Q(_q_retention_cohorts, _SQL_RETENTION_COHORTS),
     "topk_similar": Q(_q_topk_similar, _SQL_TOPK_SIMILAR),
     "topk_groups": Q(_q_topk_groups, _SQL_TOPK_GROUPS),
