@@ -4840,8 +4840,204 @@ FROM zc GROUP BY (z >> {_ZORDER_SHIFT})
 """
 
 
+_LP_HUB_CAP = 64
+_LP_MIN_COMMON = 2
+_LP_WEIGHT_MULT = 1.0
+
+
+def _q_kg_link_prediction(spark, sf_dir):
+    """Adamic-Adar / common-neighbor link prediction: rank entity pairs
+    that are never co-mentioned by how many (and how selective) contexts
+    they share — the alias-candidate pass a KG builder runs after
+    canonicalization (reference surfaces alias pairs only through its
+    embedding kNN, `entity_linking` path). Predicts on the
+    strong-association subgraph (pairs with co-occurrence count ≥ mean,
+    computed as a broadcast 1-row aggregate — the raw gazetteer
+    multigraph is near-complete, leaving nothing to predict). Wedge
+    join at the shared neighbor with a hub-degree cap (`deg(z) ≤ 64`)
+    so a stop-entity never expands d² wedge rows; existing edges
+    removed by anti-join; output is candidate-sized."""
+    from search_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _kg_edge_instances(spark, sf_dir),
+        hub_cap=_LP_HUB_CAP,
+        min_common=_LP_MIN_COMMON,
+        weight_mult=_LP_WEIGHT_MULT,
+    )
+
+
+_SQL_KG_LINK_PREDICTION = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+wund AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                COUNT(*) AS c
+         FROM edges WHERE src <> dst GROUP BY 1, 2),
+mw AS (SELECT AVG(c) AS mean_c FROM wund),
+und AS (SELECT u, v FROM wund, mw WHERE c >= {_LP_WEIGHT_MULT} * mean_c),
+nbr AS (SELECT u AS z, v AS x FROM und UNION ALL SELECT v AS z, u AS x FROM und),
+deg AS (SELECT z, COUNT(*) AS d FROM nbr GROUP BY z),
+nok AS (SELECT nbr.z, nbr.x, deg.d FROM nbr JOIN deg ON deg.z = nbr.z
+        WHERE deg.d <= {_LP_HUB_CAP}),
+sc AS (SELECT n1.x AS a, n2.x AS b, COUNT(*) AS n_common,
+              SUM(1.0 / LN(n1.d)) AS aa
+       FROM nok n1 JOIN nok n2 ON n1.z = n2.z AND n1.x < n2.x
+       GROUP BY n1.x, n2.x HAVING COUNT(*) >= {_LP_MIN_COMMON}),
+cand AS (SELECT sc.* FROM sc
+         WHERE NOT EXISTS (SELECT 1 FROM und
+                           WHERE und.u = sc.a AND und.v = sc.b))
+SELECT c.a, c.b, CAST(c.n_common AS BIGINT) AS n_common,
+       ROUND(c.aa, 4) AS aa_score,
+       ROUND(CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common), 4)
+         AS jaccard
+FROM cand c JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
+"""
+
+
+_ESD_K = 8  # window length in tokens (Lee et al. 2021 use 50 BPE tokens)
+
+
+def _q_exact_substring_dups(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many of its distinct K-token windows also occur
+    in some other document. Windows are built with a JVM `transform`
+    over `sequence` (zero UDF, zero extra shuffle before the explode)
+    and immediately collapsed to an md5 key so the shuffle carries a
+    fixed-width hash, never the window text (at 100 TB the window
+    stream is corpus×K-sized — hashing first is the difference between
+    a shuffle of hashes and a shuffle of the corpus). Shared windows
+    are found with one hash aggregate; output is per-document, only
+    documents with ≥1 shared window."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= _ESD_K)
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_ESD_K}),"
+                f" i -> md5(array_join(slice(t, i + 1, {_ESD_K}), ' ')))"
+            )
+        ).alias("w"),
+    ).distinct()
+    per_doc = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    shared = (
+        wins.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    n_shared = (
+        wins.join(shared.select("w"), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return n_shared.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_windows"), 4).alias("dup_ratio"),
+    )
+
+
+_SQL_EXACT_SUBSTRING_DUPS = f"""
+WITH wd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_ESD_K} + 2),
+                i -> md5(array_to_string(list_slice(t, i, i + {_ESD_K} - 1),
+                                         ' ')))) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= {_ESD_K}),
+nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM wd GROUP BY doc_id),
+sh AS (SELECT w FROM wd GROUP BY w HAVING COUNT(*) >= 2),
+ns AS (SELECT doc_id, COUNT(*) AS n_shared
+       FROM wd JOIN sh USING (w) GROUP BY doc_id)
+SELECT ns.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+       CAST(ns.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(ns.n_shared AS DOUBLE) / nw.n_windows, 4) AS dup_ratio
+FROM ns JOIN nw ON nw.doc_id = ns.doc_id
+"""
+
+
+_LM_ALPHA = 0.5  # additive-smoothing mass
+
+
+def _q_bigram_lm_score(spark, sf_dir):
+    """Corpus-LM quality scoring (the CCNet recipe, Wenzek et al. 2020:
+    score every document by a language model trained on the corpus
+    itself and filter on perplexity): train an add-α bigram LM with two
+    hash aggregates (bigram counts, unigram context counts), then score
+    each document's bigram stream against it — P(w2|w1) =
+    (c(w1,w2)+α) / (c(w1)+α·V). Bigrams come from a JVM `transform`
+    over the token array (no token self-join); the count tables are
+    vocabulary-sized so AQE broadcasts them into the scoring join; the
+    vocabulary size is a 1-row broadcast, never a driver round-trip.
+    Returns per-document mean negative log-likelihood — the filter
+    column a perplexity gate thresholds."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    toks = _tokens(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = toks.groupBy(F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    vocab = toks.agg(
+        F.countDistinct("tok").cast("double").alias("v_size")
+    )
+    nll = -F.log(
+        (F.col("n2") + F.lit(_LM_ALPHA))
+        / (F.col("n1") + F.lit(_LM_ALPHA) * F.col("v_size"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
+_SQL_BIGRAM_LM_SCORE = f"""
+WITH {_TOKS_SQL},
+bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+       FROM toks a JOIN toks b
+         ON a.doc_id = b.doc_id AND b.tpos = a.tpos + 1),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT tok AS w1, COUNT(*) AS n1 FROM toks GROUP BY tok),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v_size FROM toks)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN((n2 + {_LM_ALPHA}) / (n1 + {_LM_ALPHA} * v_size))), 4)
+         AS avg_nll
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY bg.doc_id
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
+    "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
+    "exact_substring_dups": Q(
+        _q_exact_substring_dups, _SQL_EXACT_SUBSTRING_DUPS
+    ),
+    "bigram_lm_score": Q(_q_bigram_lm_score, _SQL_BIGRAM_LM_SCORE),
     "kg_doc_relations": Q(_q_kg_doc_relations, _SQL_KG_DOC_RELATIONS),
     "kg_doc_triples": Q(_q_kg_doc_triples, _SQL_KG_DOC_TRIPLES),
     "kg_entity_degree": Q(_q_kg_entity_degree, _SQL_KG_ENTITY_DEGREE),

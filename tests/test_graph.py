@@ -6,6 +6,7 @@ engine-native. Ground truth: numpy power iteration (pagerank) and
 hand-computed adjacency facts (degrees, two-hop).
 """
 
+import math
 import numpy as np
 import pytest
 
@@ -437,3 +438,57 @@ def test_personalized_pagerank_rejects_foreign_seeds(spark):
             _edges_df(spark, [("a", "b")]),
             spark.createDataFrame([("zzz",)], ["entity"]),
         ).collect()
+
+
+def test_link_prediction_shared_contexts(spark):
+    from search_spark.operators.graph import link_prediction
+
+    # a and b share contexts z1, z2 but are never linked themselves
+    pairs = [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2")]
+    rows = link_prediction(
+        _edges_df(spark, pairs), min_common=2, weight_mult=None
+    ).collect()
+    # symmetric: z1 and z2 likewise share contexts a and b
+    assert {(r["a"], r["b"]) for r in rows} == {("a", "b"), ("z1", "z2")}
+    r = next(r for r in rows if r["a"] == "a")
+    assert r["n_common"] == 2
+    # deg(z1) = deg(z2) = 2 -> aa = 2 / ln(2)
+    assert r["aa_score"] == pytest.approx(2 / math.log(2), abs=1e-3)
+    # deg(a) = deg(b) = 2, union = 2 -> jaccard 1.0
+    assert r["jaccard"] == pytest.approx(1.0)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from search_spark.operators.graph import link_prediction
+
+    pairs = [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"), ("a", "b")]
+    got = link_prediction(
+        _edges_df(spark, pairs), min_common=2, weight_mult=None
+    ).collect()
+    # (a, b) is now an existing edge and must not be suggested; the
+    # symmetric (z1, z2) candidate remains
+    assert {(r["a"], r["b"]) for r in got} == {("z1", "z2")}
+
+
+def test_link_prediction_weight_threshold_drops_weak_edges(spark):
+    from search_spark.operators.graph import link_prediction
+
+    # (a,b) repeated 8x dominates the mean; every single-count pair is
+    # below mean and pruned, so no wedges survive at all
+    pairs = [("a", "b")] * 8 + [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2")]
+    assert (
+        link_prediction(_edges_df(spark, pairs), min_common=2).count() == 0
+    )
+
+
+def test_link_prediction_hub_cap_skips_stop_entities(spark):
+    from search_spark.operators.graph import link_prediction
+
+    # hub connects a,b,c,d (deg 4 > cap 3): no wedges through it — the
+    # c/d pairs vanish; wedges through a and b (deg 2) still produce
+    # the (hub, z1) suggestion, and z1 produces (a, b)
+    pairs = [(x, "hub") for x in "abcd"] + [("a", "z1"), ("b", "z1")]
+    got = link_prediction(
+        _edges_df(spark, pairs), hub_cap=3, min_common=1, weight_mult=None
+    ).collect()
+    assert {(r["a"], r["b"]) for r in got} == {("a", "b"), ("hub", "z1")}
