@@ -577,6 +577,149 @@ def link_prediction(
     )
 
 
+def random_walks(
+    edges: DataFrame, n_walks: int = 2, walk_len: int = 4
+) -> DataFrame:
+    """Deterministic random-walk corpus over the undirected simple graph
+    induced by ``(src, dst)`` — stage 1 of DeepWalk/node2vec-style KG
+    embedding training (Perozzi et al. 2014): every entity seeds
+    ``n_walks`` walks of ``walk_len`` steps, and the walk rows are the
+    skip-gram training corpus.
+
+    Next-hop selection is *derandomized* the same way the sampling ops
+    are (``sampling.py``): from node ``v`` at step ``k`` of walk ``w``,
+    the walk moves to the neighbor ``x`` minimizing
+    ``md5(seed:walk_no:step:x)`` — uniform over neighbors, reproducible
+    across runs/engines, and expressible as a ``min_by`` aggregate, so
+    the whole walk is a join-aggregate plan with zero UDF and no RNG
+    state. Per step: one shuffle to join the frontier against the
+    adjacency list (hash-partitioned on the current node) and one to
+    regroup per walk. Walk state stays one row per (seed, walk_no) —
+    vocabulary×n_walks-sized, never edge-sized — and the adjacency list
+    is checkpointed once and reused by every step. Symmetric adjacency
+    means every seeded node has ≥1 neighbor: walks never dead-end.
+
+    Returns ``(entity, walk_no, step, node)`` — step 0 is the seed.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("u").alias("z"), F.col("v").alias("x"))
+        .unionByName(und.select(F.col("v").alias("z"), F.col("u").alias("x")))
+        .localCheckpoint(eager=True)  # reused by every step's join
+    )
+    cur = (
+        nbr.select(F.col("z").alias("entity"))
+        .distinct()
+        .select(
+            "entity",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_walks - 1))
+            ).alias("walk_no"),
+            F.col("entity").alias("node"),
+        )
+    )
+    frames = [cur.select("entity", "walk_no", F.lit(0).alias("step"), "node")]
+    for k in range(1, walk_len + 1):
+        cur = (
+            cur.join(nbr, cur["node"] == nbr["z"])
+            .groupBy("entity", "walk_no")
+            .agg(
+                F.min_by(
+                    "x",
+                    F.md5(
+                        F.concat_ws(
+                            ":", "entity", "walk_no", F.lit(k), "x"
+                        )
+                    ),
+                ).alias("node")
+            )
+        )
+        frames.append(
+            cur.select("entity", "walk_no", F.lit(k).alias("step"), "node")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the distinct
+    directed edge set — the complement diagnostic to PageRank for a KG:
+    authorities are the entities many relation sources point at, hubs
+    the entities that point at many authorities (in a subject→object
+    triple graph: frequent-object vs frequent-subject importance).
+
+    Classic coupled power iteration: ``a ← Σ h(src)`` over in-edges,
+    ``h ← Σ a(dst)`` over out-edges, each L2-normalized. Every update
+    is a join-aggregate on the edge key with map-side partial combine;
+    each normalizer is a 1-row aggregate broadcast into the update (no
+    driver round-trip); per-iteration state is one row per entity
+    (vocabulary-sized). Lineage is truncated per round with
+    ``localCheckpoint`` — same loop discipline as :func:`pagerank`.
+
+    Returns ``(entity, authority, hub)`` rounded to 6 dp.
+    """
+    de = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 2× per iteration
+    )
+    nodes = (
+        de.select(F.col("src").alias("entity"))
+        .unionByName(de.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("entity", F.lit(1.0).alias("a"))
+    hub = nodes.select("entity", F.lit(1.0).alias("h"))
+    for _ in range(n_iter):
+        raw_a = (
+            de.join(hub.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a_full = nodes.join(raw_a, "entity", "left").select(
+            "entity", F.coalesce("s", F.lit(0.0)).alias("s")
+        )
+        norm_a = a_full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        auth = (
+            a_full.crossJoin(F.broadcast(norm_a))
+            .select("entity", (F.col("s") / F.col("n")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            de.join(auth.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h_full = nodes.join(raw_h, "entity", "left").select(
+            "entity", F.coalesce("s", F.lit(0.0)).alias("s")
+        )
+        norm_h = h_full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        hub = (
+            h_full.crossJoin(F.broadcast(norm_h))
+            .select("entity", (F.col("s") / F.col("n")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        auth.join(hub, "entity")
+        .select(
+            "entity",
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame, n_iter: int = 4, checkpoint: bool = True
 ) -> DataFrame:

@@ -5031,9 +5031,209 @@ GROUP BY bg.doc_id
 """
 
 
+_RW_WALKS = 2
+_RW_LEN = 4
+
+
+def _q_kg_random_walks(spark, sf_dir):
+    """Derandomized random-walk corpus (DeepWalk stage 1, Perozzi et al.
+    2014) over the entity co-occurrence graph: every entity seeds
+    `_RW_WALKS` walks of `_RW_LEN` steps; next hop is the neighbor
+    minimizing `md5(seed:walk_no:step:x)` — uniform, reproducible, and a
+    pure `min_by` join-aggregate per step (zero UDF, zero RNG state).
+    Walk state stays vocabulary×walks-sized; adjacency is checkpointed
+    once and reused by every step."""
+    from search_spark.operators.graph import random_walks
+
+    return random_walks(
+        _kg_edge_instances(spark, sf_dir),
+        n_walks=_RW_WALKS,
+        walk_len=_RW_LEN,
+    )
+
+
+def _rw_ctes(n_walks: int, walk_len: int) -> tuple[str, str]:
+    """Unrolled-CTE twin of `random_walks` — one arg_min join-aggregate
+    per step, same md5 next-hop key, so both engines trace identical
+    walks (md5 hex and lexicographic order agree across engines).
+    Returns ``(cte_block, walk_rows_select)``."""
+    parts = [f"""
+und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                            greatest(src, dst) AS v
+                     FROM edges WHERE src <> dst),
+nbr AS MATERIALIZED (SELECT u AS z, v AS x FROM und
+                     UNION SELECT v AS z, u AS x FROM und),
+w0 AS MATERIALIZED (
+  SELECT s.z AS entity, CAST(t.walk_no AS INT) AS walk_no, s.z AS node
+  FROM (SELECT DISTINCT z FROM nbr) s, range(0, {n_walks}) t(walk_no))"""]
+    for k in range(1, walk_len + 1):
+        parts.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT c.entity, c.walk_no,
+         arg_min(n.x, md5(concat_ws(':', c.entity, c.walk_no, {k}, n.x)))
+           AS node
+  FROM w{k - 1} c JOIN nbr n ON n.z = c.node
+  GROUP BY c.entity, c.walk_no)""")
+    selects = " UNION ALL ".join(
+        f"SELECT entity, walk_no, {k} AS step, node FROM w{k}"
+        for k in range(walk_len + 1)
+    )
+    return ",".join(parts), selects
+
+
+def _random_walks_oracle_sql(n_walks: int = _RW_WALKS,
+                             walk_len: int = _RW_LEN) -> str:
+    ctes, selects = _rw_ctes(n_walks, walk_len)
+    return f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {ctes}\n{selects}"
+
+
+_SG_WINDOW = 2
+
+
+def _q_kg_walk_skipgram(spark, sf_dir):
+    """Skip-gram training pairs over the random-walk corpus (DeepWalk
+    stage 2): (center, context) counts for every position pair within
+    `_SG_WINDOW` steps on the same walk — with the existing
+    `kg_negative_sampling` query this completes the KG-embedding data
+    pipeline (walks → positive pairs → negatives). The pair join is
+    keyed on (seed, walk_no) — walk-sized and window-bounded, never
+    quadratic in walk length beyond the 2W+1 window — and the count
+    aggregate partial-combines map-side."""
+    from search_spark.operators.graph import random_walks
+
+    w = random_walks(
+        _kg_edge_instances(spark, sf_dir),
+        n_walks=_RW_WALKS,
+        walk_len=_RW_LEN,
+    )
+    a = w.select(
+        "entity", "walk_no", F.col("step").alias("i"),
+        F.col("node").alias("center"),
+    )
+    b = w.select(
+        "entity", "walk_no", F.col("step").alias("j"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["entity", "walk_no"])
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= _SG_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _walk_skipgram_oracle_sql() -> str:
+    ctes, selects = _rw_ctes(_RW_WALKS, _RW_LEN)
+    return f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {ctes},
+walks AS ({selects})
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.entity = b.entity AND a.walk_no = b.walk_no
+ AND a.step <> b.step AND abs(a.step - b.step) <= {_SG_WINDOW}
+GROUP BY a.node, b.node
+"""
+
+
+def _q_kg_triple_confidence(spark, sf_dir):
+    """Knowledge-Vault-style triple fusion (Dong et al. 2014): collapse
+    per-extraction confidences into one score per distinct
+    (subj, pred, obj) with a noisy-or — `1 - Π(1 - pᵢ)` — so a triple
+    seen independently many times beats a single high-confidence hit.
+    The per-extraction confidence is the deterministic proximity decay
+    `1/(1 + |s_tpos - o_tpos|)` (the scorer hook's rule path; a model
+    would supply pᵢ directly). The noisy-or is computed as
+    `1 - exp(Σ log(1-pᵢ))` — a plain sum aggregate that
+    partial-combines map-side, so the fusion is one shuffle on the
+    triple key no matter how many provenances a head triple has."""
+    rel = _doc_relations(spark, sf_dir)
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.abs(F.col("s_tpos") - F.col("o_tpos")).cast("double")
+    )
+    return (
+        rel.select("subj", "pred", "obj", "doc_id", p.alias("p"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_prov"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(
+                F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - F.col("p")))),
+                6,
+            ).alias("noisy_or"),
+            F.round(F.max("p"), 6).alias("max_p"),
+        )
+    )
+
+
+_SQL_KG_TRIPLE_CONFIDENCE = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pr AS (SELECT subj, pred, obj, doc_id,
+              1.0 / (1.0 + abs(s_tpos - o_tpos)) AS p
+       FROM relations)
+SELECT subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS n_prov,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       ROUND(1.0 - EXP(SUM(LN(1.0 - p))), 6) AS noisy_or,
+       ROUND(MAX(p), 6) AS max_p
+FROM pr GROUP BY subj, pred, obj
+"""
+
+
+_HITS_ITER = 8
+
+
+def _q_kg_hits(spark, sf_dir):
+    """HITS hubs-and-authorities over the directed co-occurrence edge
+    set — frequent-object vs frequent-subject importance, the complement
+    diagnostic to PageRank. Coupled power iteration (8 rounds), each
+    update a join-aggregate with the L2 normalizer carried as a 1-row
+    broadcast, per-round lineage checkpoints."""
+    from search_spark.operators.graph import hits
+
+    return hits(_kg_edge_instances(spark, sf_dir), n_iter=_HITS_ITER)
+
+
+def _hits_oracle_sql(n_iter: int = _HITS_ITER) -> str:
+    """Unrolled-CTE twin of `hits` — (raw, full, norm, scaled) quadruple
+    per direction per iteration, straight-line relational plan."""
+    parts = ["""
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+hn AS MATERIALIZED (SELECT src AS entity FROM de UNION SELECT dst FROM de),
+h0 AS MATERIALIZED (SELECT entity, 1.0 AS h FROM hn)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+ra{k} AS MATERIALIZED (SELECT de.dst AS entity, SUM(p.h) AS s
+  FROM de JOIN h{k - 1} p ON p.entity = de.src GROUP BY de.dst),
+af{k} AS MATERIALIZED (SELECT n.entity, COALESCE(ra{k}.s, 0) AS s
+  FROM hn n LEFT JOIN ra{k} ON ra{k}.entity = n.entity),
+a{k} AS MATERIALIZED (SELECT entity,
+  s / (SELECT SQRT(SUM(s * s)) FROM af{k}) AS a FROM af{k}),
+rh{k} AS MATERIALIZED (SELECT de.src AS entity, SUM(p.a) AS s
+  FROM de JOIN a{k} p ON p.entity = de.dst GROUP BY de.src),
+hf{k} AS MATERIALIZED (SELECT n.entity, COALESCE(rh{k}.s, 0) AS s
+  FROM hn n LEFT JOIN rh{k} ON rh{k}.entity = n.entity),
+h{k} AS MATERIALIZED (SELECT entity,
+  s / (SELECT SQRT(SUM(s * s)) FROM hf{k}) AS h FROM hf{k})""")
+    return f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {','.join(parts)}
+SELECT a.entity, ROUND(a.a, 6) AS authority, ROUND(h.h, 6) AS hub
+FROM a{n_iter} a JOIN h{n_iter} h ON h.entity = a.entity
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
+    "kg_random_walks": Q(_q_kg_random_walks, _random_walks_oracle_sql()),
+    "kg_walk_skipgram": Q(_q_kg_walk_skipgram, _walk_skipgram_oracle_sql()),
+    "kg_hits": Q(_q_kg_hits, _hits_oracle_sql()),
+    "kg_triple_confidence": Q(
+        _q_kg_triple_confidence, _SQL_KG_TRIPLE_CONFIDENCE
+    ),
     "exact_substring_dups": Q(
         _q_exact_substring_dups, _SQL_EXACT_SUBSTRING_DUPS
     ),

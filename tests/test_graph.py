@@ -492,3 +492,87 @@ def test_link_prediction_hub_cap_skips_stop_entities(spark):
         _edges_df(spark, pairs), hub_cap=3, min_common=1, weight_mult=None
     ).collect()
     assert {(r["a"], r["b"]) for r in got} == {("a", "b"), ("hub", "z1")}
+
+
+def _py_walk_trace(pairs, n_walks, walk_len):
+    """Python twin of random_walks: md5-argmin next hop."""
+    import hashlib
+
+    adj = {}
+    for s, d in pairs:
+        u, v = min(s, d), max(s, d)
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = set()
+    for ent in adj:
+        for w in range(n_walks):
+            node = ent
+            rows.add((ent, w, 0, node))
+            for k in range(1, walk_len + 1):
+                node = min(
+                    adj[node],
+                    key=lambda x: hashlib.md5(
+                        f"{ent}:{w}:{k}:{x}".encode()
+                    ).hexdigest(),
+                )
+                rows.add((ent, w, k, node))
+    return rows
+
+
+def test_random_walks_match_python_trace(spark):
+    from search_spark.operators.graph import random_walks
+
+    got = {
+        (r["entity"], r["walk_no"], r["step"], r["node"])
+        for r in random_walks(
+            _edges_df(spark, EDGE_SET), n_walks=2, walk_len=4
+        ).collect()
+    }
+    assert got == _py_walk_trace(EDGE_SET, 2, 4)
+
+
+def test_random_walks_stay_on_edges(spark):
+    from search_spark.operators.graph import random_walks
+
+    rows = random_walks(
+        _edges_df(spark, EDGE_SET), n_walks=1, walk_len=3
+    ).collect()
+    und = set()
+    for s, d in EDGE_SET:
+        und.add((s, d))
+        und.add((d, s))
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["entity"], r["walk_no"]), {})[r["step"]] = r["node"]
+    for (ent, _), steps in by_walk.items():
+        assert steps[0] == ent
+        for k in range(1, len(steps)):
+            assert (steps[k - 1], steps[k]) in und
+
+
+def test_hits_matches_numpy(spark):
+    from search_spark.operators.graph import hits
+
+    nodes = sorted({x for e in EDGE_SET for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in EDGE_SET:
+        if s != d:
+            A[idx[s], idx[d]] = 1.0
+    a = np.ones(len(nodes))
+    h = np.ones(len(nodes))
+    for _ in range(8):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    got = {
+        r["entity"]: (r["authority"], r["hub"])
+        for r in hits(_edges_df(spark, EDGE_SET), n_iter=8).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n][0] == pytest.approx(a[idx[n]], abs=1e-5)
+        assert got[n][1] == pytest.approx(h[idx[n]], abs=1e-5)
