@@ -132,3 +132,25 @@ def test_contamination_check_broadcasts_benchmark(spark):
     plan = plan_of(QUERIES["contamination_check"].spark(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_final_r3_batch_no_cartesian(spark):
+    # the last round-3 batch: every join must be keyed (or a deliberate
+    # 1-row broadcast) — no CartesianProduct anywhere, and the only
+    # BroadcastNestedLoopJoin allowed is bigram_lm_score's single-row
+    # vocabulary-size broadcast
+    from search_spark.queries import QUERIES
+
+    for name in (
+        "kg_link_prediction",
+        "exact_substring_dups",
+        "bigram_lm_score",
+        "kg_random_walks",
+        "kg_walk_skipgram",
+        "kg_hits",
+        "kg_triple_confidence",
+    ):
+        plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        n_bnlj = _n_ops(plan, "BroadcastNestedLoopJoin")
+        assert n_bnlj <= (1 if name == "bigram_lm_score" else 0), name
