@@ -5183,6 +5183,102 @@ FROM pr GROUP BY subj, pred, obj
 """
 
 
+def _q_kg_pred_functionality(spark, sf_dir):
+    """Per-predicate functionality metrics (Knowledge Vault / PaRiS
+    fusion prior, Dong et al. 2014): over the distinct triple set,
+    ``functionality = |subjects| / |(subj, obj) pairs|`` — 1.0 means
+    each subject takes exactly one object (a functional predicate,
+    where conflicting objects signal extraction errors) — plus the
+    inverse for object-side cardinality. One distinct aggregate on the
+    triple key, then one vocabulary-sized groupBy on pred; both
+    partial-combine map-side."""
+    t = (
+        _q_kg_doc_triples(spark, sf_dir)
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.round(F.countDistinct("subj") / F.count(F.lit(1)), 6).alias(
+            "functionality"
+        ),
+        F.round(F.countDistinct("obj") / F.count(F.lit(1)), 6).alias(
+            "inv_functionality"
+        ),
+    )
+
+
+_SQL_KG_PRED_FUNCTIONALITY = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+t AS (SELECT DISTINCT subj, pred, obj FROM (
+        SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+        FROM mentions
+        UNION ALL SELECT subj, pred, obj FROM relations))
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj,
+       ROUND(CAST(COUNT(DISTINCT subj) AS DOUBLE) / COUNT(*), 6)
+         AS functionality,
+       ROUND(CAST(COUNT(DISTINCT obj) AS DOUBLE) / COUNT(*), 6)
+         AS inv_functionality
+FROM t GROUP BY pred
+"""
+
+
+_CTX_K = 3  # context tokens each side
+
+
+def _q_ner_context_windows(spark, sf_dir):
+    """NER fine-tuning data prep: every mention with its `_CTX_K`-token
+    left/right context window — the (context, span, label) rows a
+    token-classification trainer consumes (the reference feeds its
+    models whole sentences; window extraction is the web-scale variant
+    where documents are too long to ship). The mention table joins back
+    to the corpus token arrays on doc_id (co-partitioned: mentions are
+    derived from the same scan) and the windows are pure JVM `slice` +
+    `array_join` — zero UDF, and the shuffle carries only (doc_id,
+    token-array) once per document, never per mention."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    m = _doc_mentions(spark, sf_dir)
+    j = m.join(d, "doc_id")
+    left_start = F.greatest(F.lit(0), F.col("tpos") - _CTX_K)
+    left_len = F.col("tpos") - left_start
+    right_len = F.greatest(
+        F.lit(0),
+        F.least(F.lit(_CTX_K), F.size("t") - F.col("tpos") - 1),
+    )
+    return j.select(
+        "doc_id",
+        "tpos",
+        "mention",
+        "entity_type",
+        F.array_join(
+            F.slice("t", left_start + 1, left_len), " "
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice("t", F.col("tpos") + 2, right_len), " "
+        ).alias("right_ctx"),
+    )
+
+
+_SQL_NER_CONTEXT_WINDOWS = f"""
+{_MENTIONS_SQL},
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT m.doc_id, m.tpos, m.mention, m.entity_type,
+       COALESCE(array_to_string(
+         list_slice(d.t, greatest(1, m.tpos + 1 - {_CTX_K}), m.tpos),
+         ' '), '') AS left_ctx,
+       COALESCE(array_to_string(
+         list_slice(d.t, m.tpos + 2,
+                    least(len(d.t), m.tpos + 1 + {_CTX_K})),
+         ' '), '') AS right_ctx
+FROM mentions m JOIN d ON d.doc_id = m.doc_id
+"""
+
+
 _HITS_ITER = 8
 
 
@@ -5233,6 +5329,12 @@ QUERIES: dict[str, Q] = {
     "kg_hits": Q(_q_kg_hits, _hits_oracle_sql()),
     "kg_triple_confidence": Q(
         _q_kg_triple_confidence, _SQL_KG_TRIPLE_CONFIDENCE
+    ),
+    "kg_pred_functionality": Q(
+        _q_kg_pred_functionality, _SQL_KG_PRED_FUNCTIONALITY
+    ),
+    "ner_context_windows": Q(
+        _q_ner_context_windows, _SQL_NER_CONTEXT_WINDOWS
     ),
     "exact_substring_dups": Q(
         _q_exact_substring_dups, _SQL_EXACT_SUBSTRING_DUPS

@@ -149,6 +149,8 @@ def test_final_r3_batch_no_cartesian(spark):
         "kg_walk_skipgram",
         "kg_hits",
         "kg_triple_confidence",
+        "kg_pred_functionality",
+        "ner_context_windows",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
