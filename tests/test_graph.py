@@ -576,3 +576,26 @@ def test_hits_matches_numpy(spark):
     for n in nodes:
         assert got[n][0] == pytest.approx(a[idx[n]], abs=1e-5)
         assert got[n][1] == pytest.approx(h[idx[n]], abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [7, 11])
+def test_random_walks_random_graphs_vs_python(spark, seed):
+    """Randomized graphs: the distributed min_by walk must trace exactly
+    the python md5-argmin twin (hash and ordering agree bit-for-bit)."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(10)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    from search_spark.operators.graph import random_walks
+
+    got = {
+        (r["entity"], r["walk_no"], r["step"], r["node"])
+        for r in random_walks(
+            _edges_df(spark, pairs), n_walks=2, walk_len=3
+        ).collect()
+    }
+    assert got == _py_walk_trace(pairs, 2, 3)
