@@ -187,3 +187,41 @@ def test_cli_validate_subcommand(snapshot, tmp_path):
     lines = [ln for ln in out2.stdout.splitlines() if ln]
     assert 1 < len(lines) <= 6
     assert all(ln.startswith("impossible,") for ln in lines[1:])
+
+
+def test_cli_graph_hits_and_walks_subcommands(snapshot):
+    """hits prints authority-sorted CSV; walks prints a deterministic
+    walk-row CSV whose step-0 rows seed every entity."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "graph",
+         "--snapshot", snapshot.root, "--op", "hits",
+         "--n-iter", "3", "--limit", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "entity,authority,hub"
+    auths = [float(ln.split(",")[1]) for ln in lines[1:]]
+    assert auths == sorted(auths, reverse=True)
+
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "graph",
+         "--snapshot", snapshot.root, "--op", "walks",
+         "--n-walks", "1", "--walk-len", "2", "--limit", "500"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "entity,walk_no,step,node"
+    seeds = {ln.split(",")[0] for ln in lines[1:] if ln.split(",")[2] == "0"}
+    starts = {
+        ln.split(",")[3] for ln in lines[1:] if ln.split(",")[2] == "0"
+    }
+    assert seeds == starts and len(seeds) > 1

@@ -148,9 +148,14 @@ def main() -> int:
                          help="snapshot table root")
     p_graph.add_argument("--op", required=True,
                          choices=["degrees", "pagerank", "triangles",
-                                  "two-hop"])
+                                  "two-hop", "hits", "link-predict",
+                                  "walks"])
     p_graph.add_argument("--n-iter", type=int, default=10)
     p_graph.add_argument("--limit", type=int, default=50)
+    p_graph.add_argument("--n-walks", type=int, default=2,
+                         help="walks per entity (op=walks)")
+    p_graph.add_argument("--walk-len", type=int, default=4,
+                         help="steps per walk (op=walks)")
 
     p_bgp = sub.add_parser(
         "bgp",
@@ -329,6 +334,18 @@ def main() -> int:
             out = G.triangle_counts(edges).orderBy(
                 F.desc("n_triangles"), "entity"
             )
+        elif args.op == "hits":
+            out = G.hits(edges, n_iter=args.n_iter).orderBy(
+                F.desc("authority"), "entity"
+            )
+        elif args.op == "link-predict":
+            out = G.link_prediction(edges).orderBy(
+                F.desc("aa_score"), "a", "b"
+            )
+        elif args.op == "walks":
+            out = G.random_walks(
+                edges, n_walks=args.n_walks, walk_len=args.walk_len
+            ).orderBy("entity", "walk_no", "step")
         else:
             out = G.two_hop(edges).orderBy(
                 F.desc("n_paths"), "src", "dst"
