@@ -650,7 +650,9 @@ def random_walks(
     return out
 
 
-def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+def hits(
+    edges: DataFrame, n_iter: int = 8, ckpt_every: int = 1
+) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over the distinct
     directed edge set — the complement diagnostic to PageRank for a KG:
     authorities are the entities many relation sources point at, hubs
@@ -681,7 +683,14 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     )
     auth = nodes.select("entity", F.lit(1.0).alias("a"))
     hub = nodes.select("entity", F.lit(1.0).alias("h"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        # lineage-truncation cadence: each iteration adds two
+        # join-aggregate layers; each checkpoint barrier costs a job.
+        # Measured at sf0.1: every-1 beats every-2 (Catalyst re-analysis
+        # of the deeper plan costs more than the extra barriers), so the
+        # default stays 1; the knob exists for giant graphs where the
+        # barrier job dominates instead
+        ckpt = it % ckpt_every == ckpt_every - 1 or it == n_iter - 1
         raw_a = (
             de.join(hub.withColumnRenamed("entity", "src"), "src")
             .groupBy(F.col("dst").alias("entity"))
@@ -691,11 +700,11 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             "entity", F.coalesce("s", F.lit(0.0)).alias("s")
         )
         norm_a = a_full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
-        auth = (
-            a_full.crossJoin(F.broadcast(norm_a))
-            .select("entity", (F.col("s") / F.col("n")).alias("a"))
-            .localCheckpoint(eager=True)
+        auth = a_full.crossJoin(F.broadcast(norm_a)).select(
+            "entity", (F.col("s") / F.col("n")).alias("a")
         )
+        if ckpt:
+            auth = auth.localCheckpoint(eager=True)
         raw_h = (
             de.join(auth.withColumnRenamed("entity", "dst"), "dst")
             .groupBy(F.col("src").alias("entity"))
@@ -705,11 +714,11 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             "entity", F.coalesce("s", F.lit(0.0)).alias("s")
         )
         norm_h = h_full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
-        hub = (
-            h_full.crossJoin(F.broadcast(norm_h))
-            .select("entity", (F.col("s") / F.col("n")).alias("h"))
-            .localCheckpoint(eager=True)
+        hub = h_full.crossJoin(F.broadcast(norm_h)).select(
+            "entity", (F.col("s") / F.col("n")).alias("h")
         )
+        if ckpt:
+            hub = hub.localCheckpoint(eager=True)
     return (
         auth.join(hub, "entity")
         .select(

@@ -5279,6 +5279,130 @@ FROM mentions m JOIN d ON d.doc_id = m.doc_id
 """
 
 
+def _q_mixture_plan(spark, sf_dir):
+    """Source-mixture planning (the DoReMi / Pile recipe: hit target
+    per-domain mixture weights by downsampling, never upsampling): given
+    a target weight per source — here derived deterministically from the
+    source id, ``(id % 4) + 1`` — compute the largest corpus that
+    preserves the target mixture exactly, then each source's take count
+    and sampling rate. All arithmetic is exact integer (``n·W div w``),
+    so the plan is reproducible bit-for-bit across engines; the binding
+    cap is a 1-row aggregate broadcast into the final projection — the
+    whole plan is one source-level groupBy on a corpus of any size."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("long") % 4 + 1
+    ).alias("weight")
+    cw = counts.select("source", "n_docs", w)
+    tot_w = cw.agg(F.sum("weight").alias("w_total"))
+    j = cw.crossJoin(F.broadcast(tot_w))
+    cap = j.agg(
+        F.min(F.expr("n_docs * w_total div weight")).alias("cap")
+    )
+    return (
+        j.crossJoin(F.broadcast(cap))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            F.expr("weight * cap div w_total").alias("take_n"),
+            F.round(
+                F.expr("weight * cap div w_total") / F.col("n_docs"), 6
+            ).alias("sample_rate"),
+        )
+    )
+
+
+_SQL_MIXTURE_PLAN = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs,
+                  (CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT)
+                   % 4) + 1 AS weight
+           FROM documents GROUP BY source),
+tw AS (SELECT SUM(weight) AS w_total FROM c),
+cap AS (SELECT MIN(n_docs * w_total // weight) AS cap FROM c, tw)
+SELECT c.source, c.n_docs, CAST(c.weight AS BIGINT) AS weight,
+       CAST(c.weight * cap.cap // tw.w_total AS BIGINT) AS take_n,
+       ROUND(CAST(c.weight * cap.cap // tw.w_total AS DOUBLE) / c.n_docs,
+             6) AS sample_rate
+FROM c, tw, cap
+"""
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup survivorship (the CCNet policy: keep the
+    highest-quality member of each near-dup cluster, not the first
+    seen): MinHash band candidates → connected components → per-cluster
+    argmax of the type-token-ratio quality score, doc_id ascending as
+    the tie-break. The argmax is the portable two-step (max score per
+    cluster, then min doc_id at that score) on a 4-dp-rounded score so
+    both engines pick identical representatives; everything after
+    candidate generation is cluster-keyed aggregates."""
+    from search_spark.operators.canonicalize import connected_components
+
+    pairs = _minhash_band_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(
+        pad("doc_id_a").alias("src"), pad("doc_id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    comps = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("rep"),
+    )
+    q = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " ")),
+            4,
+        ).alias("ttr"),
+    )
+    j = q.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", "doc_id").alias("cluster"), "ttr"
+    )
+    m = j.groupBy("cluster").agg(F.max("ttr").alias("max_ttr"))
+    best = (
+        j.join(m, "cluster")
+        .filter(F.col("ttr") == F.col("max_ttr"))
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return j.join(best, "cluster").select(
+        "doc_id",
+        "cluster",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).cast("int").alias("is_kept"),
+    )
+
+
+_SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_BAND_PAIRS_SQL},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+        UNION SELECT doc_id_b, doc_id_a FROM cand),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach
+         WHERE a <> b GROUP BY a),
+q AS (SELECT doc_id,
+             round(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+j AS (SELECT q.doc_id,
+             CAST(COALESCE(comp.rep, q.doc_id) AS BIGINT) AS cluster,
+             q.ttr
+      FROM q LEFT JOIN comp ON comp.doc_id = q.doc_id),
+m AS (SELECT cluster, MAX(ttr) AS max_ttr FROM j GROUP BY cluster),
+best AS (SELECT j.cluster, MIN(j.doc_id) AS keep_id
+         FROM j JOIN m ON m.cluster = j.cluster AND j.ttr = m.max_ttr
+         GROUP BY j.cluster)
+SELECT j.doc_id, j.cluster, CAST(best.keep_id AS BIGINT) AS keep_id,
+       CAST(CASE WHEN j.doc_id = best.keep_id THEN 1 ELSE 0 END
+            AS INTEGER) AS is_kept
+FROM j JOIN best ON best.cluster = j.cluster
+"""
+
+
 _HITS_ITER = 8
 
 
@@ -5336,6 +5460,8 @@ QUERIES: dict[str, Q] = {
     "ner_context_windows": Q(
         _q_ner_context_windows, _SQL_NER_CONTEXT_WINDOWS
     ),
+    "mixture_plan": Q(_q_mixture_plan, _SQL_MIXTURE_PLAN),
+    "dedup_keep_best": Q(_q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
     "exact_substring_dups": Q(
         _q_exact_substring_dups, _SQL_EXACT_SUBSTRING_DUPS
     ),

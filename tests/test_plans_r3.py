@@ -136,11 +136,13 @@ def test_contamination_check_broadcasts_benchmark(spark):
 
 def test_final_r3_batch_no_cartesian(spark):
     # the last round-3 batch: every join must be keyed (or a deliberate
-    # 1-row broadcast) — no CartesianProduct anywhere, and the only
-    # BroadcastNestedLoopJoin allowed is bigram_lm_score's single-row
-    # vocabulary-size broadcast
+    # 1-row broadcast) — no CartesianProduct anywhere; the only
+    # BroadcastNestedLoopJoins allowed are the documented single-row
+    # broadcasts (bigram_lm_score's vocabulary size; mixture_plan's
+    # weight total + binding cap, whose subtree repeats the total)
     from search_spark.queries import QUERIES
 
+    bnlj_budget = {"bigram_lm_score": 1, "mixture_plan": 3}
     for name in (
         "kg_link_prediction",
         "exact_substring_dups",
@@ -151,8 +153,10 @@ def test_final_r3_batch_no_cartesian(spark):
         "kg_triple_confidence",
         "kg_pred_functionality",
         "ner_context_windows",
+        "mixture_plan",
+        "dedup_keep_best",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         n_bnlj = _n_ops(plan, "BroadcastNestedLoopJoin")
-        assert n_bnlj <= (1 if name == "bigram_lm_score" else 0), name
+        assert n_bnlj <= bnlj_budget.get(name, 0), name
