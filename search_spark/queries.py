@@ -2241,12 +2241,10 @@ FROM d GROUP BY domain
 """
 
 
-def _q_url_dedup(spark, sf_dir):
-    # webtext url-canonicalization dedup (operators/urls.py): raw urls with
-    # tracking params / fragments / www / trailing slashes collapse to one
-    # canonical key, then exact dedup is a hash agg with keep-first. Urls
-    # are synthesized deterministically from doc_id (documents carry none);
-    # ~50 pages × several surface variants each.
+def _synth_canon_urls(spark, sf_dir):
+    """(doc_id, canonical_url): urls synthesized deterministically from
+    doc_id (documents carry none) — ~50 pages × several surface variants
+    each — and collapsed through operators/urls.canonical_url_col."""
     from search_spark.operators.urls import canonical_url_col
 
     d = _docs(spark, sf_dir)
@@ -2260,8 +2258,15 @@ def _q_url_dedup(spark, sf_dir):
         .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
         .otherwise(F.lit("")),
     )
+    return d.select("doc_id", canonical_url_col(raw).alias("canonical_url"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    # webtext url-canonicalization dedup (operators/urls.py): raw urls with
+    # tracking params / fragments / www / trailing slashes collapse to one
+    # canonical key, then exact dedup is a hash agg with keep-first.
     return (
-        d.select("doc_id", canonical_url_col(raw).alias("canonical_url"))
+        _synth_canon_urls(spark, sf_dir)
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
@@ -2270,8 +2275,9 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
-_SQL_URL_DEDUP = """
-WITH raw AS (
+# shared by url_dedup and latest_capture: synthesized raw urls + the SQL
+# twin of operators/urls.canonical_url_col
+_URL_RAW_CANON_CTES = """raw AS (
   SELECT doc_id,
          'HTTPS://WWW.Example.org/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
          CASE WHEN doc_id % 4 = 0
@@ -2295,10 +2301,68 @@ canon AS (
                '[?&]+$', '', 'g'),
              '^https?://(www\\.)?', '', 'g'),
            '/$', '', 'g') AS canonical_url
-  FROM raw)
+  FROM raw)"""
+
+
+_SQL_URL_DEDUP = f"""
+WITH {_URL_RAW_CANON_CTES}
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM canon GROUP BY canonical_url
+"""
+
+
+def _q_latest_capture(spark, sf_dir):
+    """Recrawl dedup by capture time (the Common-Crawl keep-latest
+    policy: a url recrawled across snapshots keeps only its newest
+    capture): canonicalize the url, then keep the max-timestamp capture
+    per canonical key — doc_id descending as the deterministic
+    tie-break when two captures share a timestamp. Capture epochs are
+    synthesized deterministically from doc_id (the parquet fixtures
+    carry no warc_ts; the WARC source `io/warc.py` supplies a real one).
+    Portable two-step argmax: max epoch per url, then max doc_id at
+    that epoch — one hash aggregate each, no window over the corpus."""
+    u = _synth_canon_urls(spark, sf_dir).select(
+        "doc_id",
+        "canonical_url",
+        (F.lit(1_700_000_000) + (F.col("doc_id") * 37) % 100_000).alias(
+            "ts_epoch"
+        ),
+    )
+    m = u.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.max("ts_epoch").alias("latest_epoch"),
+    )
+    keep = (
+        u.join(
+            m.select("canonical_url", "latest_epoch"),
+            ["canonical_url"],
+        )
+        .filter(F.col("ts_epoch") == F.col("latest_epoch"))
+        .groupBy("canonical_url")
+        .agg(F.max("doc_id").alias("keep_doc_id"))
+    )
+    return m.join(keep, "canonical_url").select(
+        "canonical_url", "n_captures", "latest_epoch", "keep_doc_id"
+    )
+
+
+_SQL_LATEST_CAPTURE = f"""
+WITH {_URL_RAW_CANON_CTES},
+u AS (SELECT doc_id, canonical_url,
+             1700000000 + (doc_id * 37) % 100000 AS ts_epoch
+      FROM canon),
+m AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_captures,
+             MAX(ts_epoch) AS latest_epoch
+      FROM u GROUP BY canonical_url),
+keep AS (SELECT u.canonical_url, MAX(u.doc_id) AS keep_doc_id
+         FROM u JOIN m ON m.canonical_url = u.canonical_url
+                      AND u.ts_epoch = m.latest_epoch
+         GROUP BY u.canonical_url)
+SELECT m.canonical_url, m.n_captures,
+       CAST(m.latest_epoch AS BIGINT) AS latest_epoch,
+       CAST(keep.keep_doc_id AS BIGINT) AS keep_doc_id
+FROM m JOIN keep ON keep.canonical_url = m.canonical_url
 """
 
 
@@ -5585,6 +5649,7 @@ QUERIES: dict[str, Q] = {
     "dedup_incremental": Q(_q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
     "dedup_clusters": Q(_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "url_dedup": Q(_q_url_dedup, _SQL_URL_DEDUP),
+    "latest_capture": Q(_q_latest_capture, _SQL_LATEST_CAPTURE),
     "token_count_bpe": Q(_q_token_count_bpe, _SQL_TOKEN_COUNT_BPE),
     "fingerprint_winnow": Q(_q_fingerprint_winnow, _SQL_FINGERPRINT_WINNOW),
     "redact_pii": Q(_q_redact_pii, _SQL_REDACT_PII),

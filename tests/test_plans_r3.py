@@ -155,6 +155,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "ner_context_windows",
         "mixture_plan",
         "dedup_keep_best",
+        "latest_capture",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
