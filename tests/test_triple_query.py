@@ -225,3 +225,41 @@ def test_cli_graph_hits_and_walks_subcommands(snapshot):
         ln.split(",")[3] for ln in lines[1:] if ln.split(",")[2] == "0"
     }
     assert seeds == starts and len(seeds) > 1
+
+
+def test_cli_kgtrain_subcommand(snapshot, tmp_path):
+    """kgtrain writes a labeled parquet: distinct positives, ~k filtered
+    negatives per positive, and no negative that is also a true triple."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "train")
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "kgtrain",
+         "--snapshot", snapshot.root, "--output", out_dir, "-k", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.splitlines()[-1])
+    assert stats["n_pos"] > 0
+    # filtered protocol: some corruptions collide and are dropped
+    assert 0 < stats["n_neg"] <= 2 * stats["n_pos"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT label, COUNT(*) FROM read_parquet('{out_dir}/*.parquet')"
+        " GROUP BY label ORDER BY label"
+    ).fetchall()
+    assert dict(rows) == {0: stats["n_neg"], 1: stats["n_pos"]}
+    overlap = con.execute(
+        f"""SELECT COUNT(*) FROM read_parquet('{out_dir}/*.parquet') n
+            JOIN read_parquet('{out_dir}/*.parquet') p
+              ON p.label = 1 AND n.label = 0
+             AND p.subj = n.subj AND p.pred = n.pred AND p.obj = n.obj"""
+    ).fetchone()[0]
+    assert overlap == 0

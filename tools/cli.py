@@ -200,6 +200,18 @@ def main() -> int:
                        help="after training, print the segmentation of "
                             "this text (repeatable)")
 
+    p_kgt = sub.add_parser(
+        "kgtrain",
+        help="export a labeled KG-embedding training set (positives + "
+             "filtered deterministic negatives) from a snapshot KG",
+    )
+    p_kgt.add_argument("--snapshot", required=True,
+                       help="snapshot table root")
+    p_kgt.add_argument("--output", required=True,
+                       help="output parquet directory")
+    p_kgt.add_argument("-k", type=int, default=4,
+                       help="corrupted-tail negatives per true triple")
+
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
                           help="parquet with an embedding column")
@@ -464,6 +476,39 @@ def main() -> int:
         ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows "
               f"to {args.output}")
+    elif args.cmd == "kgtrain":
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.sampling import negative_samples
+
+        full = SnapshotTable(spark, args.snapshot).load()
+        if full is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        pos = full.select("subj", "pred", "obj").distinct()
+        neg = negative_samples(pos, k=args.k).select(
+            "subj", "pred", F.col("obj_neg").alias("obj")
+        )
+        train = pos.withColumn("label", F.lit(1)).unionByName(
+            neg.withColumn("label", F.lit(0))
+        )
+        train.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        counts = {
+            int(r["label"]): r["n"]
+            for r in back.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(_json.dumps({
+            "n_pos": counts.get(1, 0),
+            "n_neg": counts.get(0, 0),
+            "k": args.k,
+            "output": args.output,
+        }))
     elif args.cmd == "tokenizer":
         from pyspark.sql import functions as F
 
