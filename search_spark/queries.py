@@ -5343,6 +5343,57 @@ FROM mentions m JOIN d ON d.doc_id = m.doc_id
 """
 
 
+_TV_BATCHES = 4
+
+
+def _q_kg_triple_versioning(spark, sf_dir):
+    """Triple validity tracking across crawl batches (SCD2-style KG
+    versioning: a continuously rebuilt KG needs to know when each fact
+    appeared and whether it still holds): documents arrive in
+    `_TV_BATCHES` deterministic batches (doc_id mod), each batch
+    re-extracts its triples, and per distinct triple we emit the first
+    and last batch it was observed in, how many batches carried it, and
+    whether it is current (seen in the final batch). One distinct
+    aggregate on (triple, batch) then one hash aggregate on the triple
+    key — no window, no per-batch recomputation of history."""
+    t = _q_kg_doc_triples(spark, sf_dir).select(
+        "subj",
+        "pred",
+        "obj",
+        (F.split("prov", ":").getItem(0).cast("long") % _TV_BATCHES).alias(
+            "batch"
+        ),
+    ).distinct()
+    return t.groupBy("subj", "pred", "obj").agg(
+        F.min("batch").alias("first_seen"),
+        F.max("batch").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_batches"),
+        (F.max("batch") == F.lit(_TV_BATCHES - 1)).cast("int").alias(
+            "is_current"
+        ),
+    )
+
+
+_SQL_KG_TRIPLE_VERSIONING = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+tr AS (
+  SELECT DISTINCT subj, pred, obj, batch FROM (
+    SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+           doc_id % {_TV_BATCHES} AS batch
+    FROM mentions
+    UNION ALL
+    SELECT subj, pred, obj, doc_id % {_TV_BATCHES} AS batch
+    FROM relations))
+SELECT subj, pred, obj,
+       CAST(MIN(batch) AS BIGINT) AS first_seen,
+       CAST(MAX(batch) AS BIGINT) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(CASE WHEN MAX(batch) = {_TV_BATCHES - 1} THEN 1 ELSE 0 END
+            AS INTEGER) AS is_current
+FROM tr GROUP BY subj, pred, obj
+"""
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Source-mixture planning (the DoReMi / Pile recipe: hit target
     per-domain mixture weights by downsampling, never upsampling): given
@@ -5525,6 +5576,9 @@ QUERIES: dict[str, Q] = {
         _q_ner_context_windows, _SQL_NER_CONTEXT_WINDOWS
     ),
     "mixture_plan": Q(_q_mixture_plan, _SQL_MIXTURE_PLAN),
+    "kg_triple_versioning": Q(
+        _q_kg_triple_versioning, _SQL_KG_TRIPLE_VERSIONING
+    ),
     "dedup_keep_best": Q(_q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
     "exact_substring_dups": Q(
         _q_exact_substring_dups, _SQL_EXACT_SUBSTRING_DUPS

@@ -156,6 +156,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "mixture_plan",
         "dedup_keep_best",
         "latest_capture",
+        "kg_triple_versioning",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
