@@ -650,6 +650,120 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    n_walks: int = 2,
+    walk_len: int = 4,
+    ret_w: int = 1,
+    common_w: int = 4,
+    other_w: int = 1,
+) -> DataFrame:
+    """Second-order biased random walks (node2vec, Grover & Leskovec
+    2016) over the undirected simple graph — the BFS/DFS-interpolating
+    variant of :func:`random_walks`. From ``(prev, cur)`` the candidate
+    next hop ``x`` weighs ``ret_w`` when ``x == prev`` (the 1/p return
+    bias), ``common_w`` when ``x`` is also a neighbor of ``prev`` (the
+    distance-1 triangle-closing bias), else ``other_w`` (the 1/q
+    exploration bias); the first hop is uniform (no prev).
+
+    The weighted choice is *derandomized and exactly proportional*:
+    each candidate is replicated ``w`` times (small integer weights, a
+    bounded ``explode(sequence(...))``) and the md5-argmin over
+    ``seed:walk:step:x:replica`` picks the winner — iid-uniform hashes
+    make each replica equally likely to carry the minimum, so
+    ``P(x wins) = w_x / Σw`` exactly, with no RNG state and identical
+    traces across runs, partitionings, and engines. Per step: one join
+    against the adjacency list on the current node, one keyed left join
+    against the same list on ``(prev, x)`` for the triangle flag, one
+    walk-keyed ``min_by`` aggregate — walk state stays one row per
+    (seed, walk_no), adjacency is checkpointed once.
+
+    Returns ``(entity, walk_no, step, node)`` — step 0 is the seed.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("u").alias("z"), F.col("v").alias("x"))
+        .unionByName(und.select(F.col("v").alias("z"), F.col("u").alias("x")))
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        nbr.select(F.col("z").alias("entity"))
+        .distinct()
+        .select(
+            "entity",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_walks - 1))
+            ).alias("walk_no"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("entity").alias("node"),
+        )
+    )
+    frames = [cur.select("entity", "walk_no", F.lit(0).alias("step"), "node")]
+    for k in range(1, walk_len + 1):
+        cand = cur.join(nbr, cur["node"] == nbr["z"]).select(
+            "entity", "walk_no", "prev", "node", "x"
+        )
+        tri = nbr.select(
+            F.col("z").alias("prev"), F.col("x"), F.lit(1).alias("is_tri")
+        )
+        cand = cand.join(tri, ["prev", "x"], "left").select(
+            "entity",
+            "walk_no",
+            "node",
+            "x",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("x") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("is_tri").isNotNull(), F.lit(common_w))
+            .otherwise(F.lit(other_w))
+            .alias("w"),
+        )
+        nxt = (
+            # drop zero-weight candidates BEFORE the explode: Spark's
+            # sequence(1, 0) is the descending [1, 0], not empty, so an
+            # unguarded explode would resurrect a weight-0 candidate
+            cand.filter(F.col("w") >= 1)
+            .select(
+                "entity",
+                "walk_no",
+                "node",
+                "x",
+                F.explode(F.sequence(F.lit(1), F.col("w"))).alias("rep"),
+            )
+            .groupBy("entity", "walk_no")
+            .agg(
+                F.min_by(
+                    "x",
+                    F.md5(
+                        F.concat_ws(
+                            ":", "entity", "walk_no", F.lit(k), "x", "rep"
+                        )
+                    ),
+                ).alias("nx"),
+                F.first("node").alias("node_prev"),
+            )
+        )
+        cur = nxt.select(
+            "entity",
+            "walk_no",
+            F.col("node_prev").alias("prev"),
+            F.col("nx").alias("node"),
+        )
+        frames.append(
+            cur.select("entity", "walk_no", F.lit(k).alias("step"), "node")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def hits(
     edges: DataFrame, n_iter: int = 8, ckpt_every: int = 1
 ) -> DataFrame:

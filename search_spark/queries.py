@@ -5151,6 +5151,77 @@ def _random_walks_oracle_sql(n_walks: int = _RW_WALKS,
     return f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {ctes}\n{selects}"
 
 
+_N2V_RET_W = 1
+_N2V_COMMON_W = 4
+_N2V_OTHER_W = 1
+
+
+def _q_kg_node2vec_walks(spark, sf_dir):
+    """node2vec biased walks (Grover & Leskovec 2016) over the entity
+    co-occurrence graph: the second-order variant of `kg_random_walks`
+    where the next hop weighs return (1/p), triangle-closing (1), and
+    exploration (1/q) moves differently — here integer weights
+    (1, 4, 1), made exactly proportional WITHOUT RNG state by
+    replicating each candidate `w` times and taking the md5-argmin over
+    (seed, walk, step, candidate, replica): iid hashes give each
+    replica the minimum equally often, so P(x) = w_x/Σw exactly and
+    both engines trace identical walks."""
+    from search_spark.operators.graph import node2vec_walks
+
+    return node2vec_walks(
+        _kg_edge_instances(spark, sf_dir),
+        n_walks=_RW_WALKS,
+        walk_len=_RW_LEN,
+        ret_w=_N2V_RET_W,
+        common_w=_N2V_COMMON_W,
+        other_w=_N2V_OTHER_W,
+    )
+
+
+def _node2vec_oracle_sql(
+    n_walks: int = _RW_WALKS,
+    walk_len: int = _RW_LEN,
+    ret_w: int = _N2V_RET_W,
+    common_w: int = _N2V_COMMON_W,
+    other_w: int = _N2V_OTHER_W,
+) -> str:
+    """Unrolled-CTE twin of `node2vec_walks`: per step a candidate CTE
+    (weight CASE with an EXISTS triangle probe), a replica explode via
+    `unnest(range(...))`, and an arg_min — the same md5 keys, so the
+    biased traces match bit-for-bit."""
+    parts = [f"""
+und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                            greatest(src, dst) AS v
+                     FROM edges WHERE src <> dst),
+nbr AS MATERIALIZED (SELECT u AS z, v AS x FROM und
+                     UNION SELECT v AS z, u AS x FROM und),
+s0 AS MATERIALIZED (
+  SELECT s.z AS entity, CAST(t.walk_no AS INT) AS walk_no,
+         CAST(NULL AS VARCHAR) AS prev, s.z AS node
+  FROM (SELECT DISTINCT z FROM nbr) s, range(0, {n_walks}) t(walk_no))"""]
+    for k in range(1, walk_len + 1):
+        parts.append(f"""
+c{k} AS (SELECT f.entity, f.walk_no, f.node, n.x,
+  CASE WHEN f.prev IS NULL THEN 1
+       WHEN n.x = f.prev THEN {ret_w}
+       WHEN EXISTS (SELECT 1 FROM nbr t
+                    WHERE t.z = f.prev AND t.x = n.x) THEN {common_w}
+       ELSE {other_w} END AS w
+  FROM s{k - 1} f JOIN nbr n ON n.z = f.node),
+e{k} AS (SELECT entity, walk_no, node, x,
+                unnest(range(1, w + 1)) AS rep FROM c{k}),
+s{k} AS MATERIALIZED (
+  SELECT entity, walk_no, MIN(node) AS prev,
+         arg_min(x, md5(concat_ws(':', entity, walk_no, {k}, x, rep)))
+           AS node
+  FROM e{k} GROUP BY entity, walk_no)""")
+    selects = " UNION ALL ".join(
+        f"SELECT entity, walk_no, {k} AS step, node FROM s{k}"
+        for k in range(walk_len + 1)
+    )
+    return f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {','.join(parts)}\n{selects}"
+
+
 _SG_WINDOW = 2
 
 
@@ -5565,6 +5636,7 @@ QUERIES: dict[str, Q] = {
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
     "kg_random_walks": Q(_q_kg_random_walks, _random_walks_oracle_sql()),
     "kg_walk_skipgram": Q(_q_kg_walk_skipgram, _walk_skipgram_oracle_sql()),
+    "kg_node2vec_walks": Q(_q_kg_node2vec_walks, _node2vec_oracle_sql()),
     "kg_hits": Q(_q_kg_hits, _hits_oracle_sql()),
     "kg_triple_confidence": Q(
         _q_kg_triple_confidence, _SQL_KG_TRIPLE_CONFIDENCE

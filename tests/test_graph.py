@@ -599,3 +599,87 @@ def test_random_walks_random_graphs_vs_python(spark, seed):
         ).collect()
     }
     assert got == _py_walk_trace(pairs, 2, 3)
+
+
+def _py_n2v_trace(pairs, n_walks, walk_len, ret_w, common_w, other_w):
+    """Python twin of node2vec_walks: md5-argmin over weight replicas."""
+    import hashlib
+
+    adj = {}
+    for s, d in pairs:
+        u, v = min(s, d), max(s, d)
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = set()
+    for ent in adj:
+        for wno in range(n_walks):
+            prev, node = None, ent
+            rows.add((ent, wno, 0, node))
+            for k in range(1, walk_len + 1):
+                best = None
+                for x in adj[node]:
+                    if prev is None:
+                        w = 1
+                    elif x == prev:
+                        w = ret_w
+                    elif x in adj[prev]:
+                        w = common_w
+                    else:
+                        w = other_w
+                    for rep in range(1, w + 1):
+                        h = hashlib.md5(
+                            f"{ent}:{wno}:{k}:{x}:{rep}".encode()
+                        ).hexdigest()
+                        if best is None or h < best[0]:
+                            best = (h, x)
+                prev, node = node, best[1]
+                rows.add((ent, wno, k, node))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 9])
+def test_node2vec_walks_match_python_trace(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(9)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(22)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    from search_spark.operators.graph import node2vec_walks
+
+    got = {
+        (r["entity"], r["walk_no"], r["step"], r["node"])
+        for r in node2vec_walks(
+            _edges_df(spark, pairs),
+            n_walks=2,
+            walk_len=3,
+            ret_w=1,
+            common_w=4,
+            other_w=1,
+        ).collect()
+    }
+    assert got == _py_n2v_trace(pairs, 2, 3, 1, 4, 1)
+
+
+def test_node2vec_zero_return_weight_never_backtracks(spark):
+    # ret_w=0 -> sequence(1, 0) is empty: the return candidate simply
+    # vanishes, so a 3+-cycle walk can never step back to prev
+    from search_spark.operators.graph import node2vec_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    rows = node2vec_walks(
+        _edges_df(spark, pairs), n_walks=2, walk_len=5,
+        ret_w=0, common_w=1, other_w=1,
+    ).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["entity"], r["walk_no"]), {})[r["step"]] = (
+            r["node"]
+        )
+    for steps in by_walk.values():
+        seq = [steps[k] for k in sorted(steps)]
+        assert len(seq) == 6
+        for i in range(2, len(seq)):
+            assert seq[i] != seq[i - 2]  # never return to prev

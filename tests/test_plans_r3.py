@@ -157,6 +157,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "dedup_keep_best",
         "latest_capture",
         "kg_triple_versioning",
+        "kg_node2vec_walks",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
