@@ -683,3 +683,34 @@ def test_node2vec_zero_return_weight_never_backtracks(spark):
         assert len(seq) == 6
         for i in range(2, len(seq)):
             assert seq[i] != seq[i - 2]  # never return to prev
+
+
+def test_new_graph_ops_empty_edges(spark):
+    from search_spark.operators.graph import (
+        hits,
+        link_prediction,
+        node2vec_walks,
+        random_walks,
+    )
+
+    empty = _edges_df(spark, [("a", "b")]).filter("src = 'zzz'")
+    assert link_prediction(empty).collect() == []
+    assert random_walks(empty).collect() == []
+    assert node2vec_walks(empty).collect() == []
+    assert hits(empty, n_iter=2).collect() == []
+
+
+def test_node2vec_single_edge_oscillates(spark):
+    # a-b has one neighbor each: the only candidate is the return move,
+    # whose weight ret_w=1 keeps it alive -> deterministic oscillation
+    from search_spark.operators.graph import node2vec_walks
+
+    rows = node2vec_walks(
+        _edges_df(spark, [("a", "b")]), n_walks=1, walk_len=3
+    ).collect()
+    seq = {
+        (r["entity"], r["step"]): r["node"] for r in rows
+    }
+    assert seq[("a", 0)] == "a" and seq[("a", 1)] == "b"
+    assert seq[("a", 2)] == "a" and seq[("a", 3)] == "b"
+    assert seq[("b", 0)] == "b" and seq[("b", 1)] == "a"
