@@ -764,8 +764,40 @@ def node2vec_walks(
     return out
 
 
+def _hits_local(spark, edge_rows, n_iter: int) -> DataFrame:
+    """Driver coupled power iteration — same math as the distributed
+    loop (raw sums over the distinct edge set, L2 normalization, zeros
+    for vertices with no in/out edges)."""
+    import numpy as np
+
+    pairs = sorted({(r["src"], r["dst"]) for r in edge_rows})
+    names = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {n: i for i, n in enumerate(names)}
+    n = len(names)
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[idx[u], idx[v]] = 1.0
+    a = np.ones(n)
+    h = np.ones(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    return spark.createDataFrame(
+        [
+            (names[i], round(float(a[i]), 6), round(float(h[i]), 6))
+            for i in range(n)
+        ],
+        schema="entity string, authority double, hub double",
+    )
+
+
 def hits(
-    edges: DataFrame, n_iter: int = 8, ckpt_every: int = 1
+    edges: DataFrame,
+    n_iter: int = 8,
+    ckpt_every: int = 1,
+    local_threshold: int = LOCAL_PR_THRESHOLD,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over the distinct
     directed edge set — the complement diagnostic to PageRank for a KG:
@@ -789,6 +821,18 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)  # reused 2× per iteration
     )
+    # same adaptive gate as pagerank: entity vocabularies are usually
+    # tiny even when the corpus is not, and 8 rounds of paired Spark
+    # jobs cost far more than one driver matvec loop; set 0 to force
+    # the distributed path (stress-tested in tests)
+    spark = edges.sparkSession
+    n_edges = de.count()
+    if n_edges == 0:
+        return spark.createDataFrame(
+            [], schema="entity string, authority double, hub double"
+        )
+    if n_edges <= local_threshold:
+        return _hits_local(spark, de.collect(), n_iter)
     nodes = (
         de.select(F.col("src").alias("entity"))
         .unionByName(de.select(F.col("dst").alias("entity")))

@@ -552,7 +552,11 @@ def test_random_walks_stay_on_edges(spark):
             assert (steps[k - 1], steps[k]) in und
 
 
-def test_hits_matches_numpy(spark):
+@pytest.mark.parametrize("local_threshold", [100_000, 0])
+def test_hits_matches_numpy(spark, local_threshold):
+    """local_threshold=0 forces the distributed coupled power iteration;
+    the default takes the driver matvec fallback — both must match the
+    independent numpy iteration."""
     from search_spark.operators.graph import hits
 
     nodes = sorted({x for e in EDGE_SET for x in e})
@@ -570,7 +574,11 @@ def test_hits_matches_numpy(spark):
         h /= np.linalg.norm(h)
     got = {
         r["entity"]: (r["authority"], r["hub"])
-        for r in hits(_edges_df(spark, EDGE_SET), n_iter=8).collect()
+        for r in hits(
+            _edges_df(spark, EDGE_SET),
+            n_iter=8,
+            local_threshold=local_threshold,
+        ).collect()
     }
     assert set(got) == set(nodes)
     for n in nodes:
