@@ -887,8 +887,39 @@ def hits(
     )
 
 
+def _lpa_local(spark, adj_rows, node_names, n_iter: int) -> DataFrame:
+    """Driver synchronous LPA — same update rule as the distributed
+    loop (adopt the most-held neighbor label, ties to the smallest).
+    ``node_names`` carries the full vertex set — a vertex whose only
+    edges are self-loops has no adjacency rows but keeps its own label."""
+    adj: dict[str, set] = {}
+    nodes = set(node_names)
+    for r in adj_rows:
+        adj.setdefault(r["entity"], set()).add(r["nbr"])
+    labels = {n: n for n in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for n in nodes:
+            nbrs = adj.get(n)
+            if not nbrs:
+                nxt[n] = labels[n]
+                continue
+            counts: dict[str, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            top = max(counts.values())
+            nxt[n] = min(la for la, c in counts.items() if c == top)
+        labels = nxt
+    return spark.createDataFrame(
+        sorted(labels.items()), schema="entity string, community string"
+    )
+
+
 def label_propagation(
-    edges: DataFrame, n_iter: int = 4, checkpoint: bool = True
+    edges: DataFrame,
+    n_iter: int = 4,
+    checkpoint: bool = True,
+    local_threshold: int = LOCAL_PR_THRESHOLD,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA).
 
@@ -933,6 +964,17 @@ def label_propagation(
         .persist()
     )
     n_nodes = nodes.count()  # also materializes the persist
+    # same adaptive gate as pagerank/hits, sized on the adjacency rows
+    # (what a fallback actually collects): below the threshold the
+    # n_iter × (join + two aggregates + checkpoint) job train costs far
+    # more than one driver dict loop; 0 forces the distributed path
+    if local_threshold > 0 and adj.count() <= local_threshold:
+        adj_rows = adj.collect()
+        node_names = [r["entity"] for r in nodes.collect()]
+        nodes.unpersist()
+        return _lpa_local(
+            edges.sparkSession, adj_rows, node_names, n_iter
+        )
     labels = nodes.withColumn("label", F.col("entity"))
     for _ in range(n_iter):
         votes = (

@@ -263,6 +263,7 @@ def test_label_propagation_plan_is_jvm_only(spark):
         _kg_edge_instances(spark, "/root/testdata/sf0.001"),
         n_iter=2,
         checkpoint=False,
+        local_threshold=0,  # force the distributed loop under audit
     )
     plan = plan_of(out)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
@@ -297,11 +298,14 @@ def _python_lpa(pairs, n_iter):
     return labels
 
 
-def test_label_propagation_two_cliques_with_bridge(spark):
+@pytest.mark.parametrize("local_threshold", [100_000, 0])
+def test_label_propagation_two_cliques_with_bridge(spark, local_threshold):
     from search_spark.operators.graph import label_propagation
 
     # two triangles joined by one bridge edge: LPA should settle each
-    # triangle on its own minimum label
+    # triangle on its own minimum label (threshold 0 forces the
+    # distributed join-aggregate loop; the default takes the driver
+    # fallback — identical labels)
     pairs = [
         ("a", "b"), ("b", "c"), ("c", "a"),
         ("x", "y"), ("y", "z"), ("z", "x"),
@@ -309,7 +313,10 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     ]
     got = {
         r["entity"]: r["community"]
-        for r in label_propagation(_edges_df(spark, pairs), n_iter=4).collect()
+        for r in label_propagation(
+            _edges_df(spark, pairs), n_iter=4,
+            local_threshold=local_threshold,
+        ).collect()
     }
     assert got == _python_lpa(pairs, 4)
     assert got["a"] == got["b"] == got["c"] == "a"
@@ -323,6 +330,13 @@ def test_label_propagation_isolated_self_loop_keeps_own_label(spark):
     got = {
         r["entity"]: r["community"]
         for r in label_propagation(_edges_df(spark, pairs), n_iter=3).collect()
+    }
+    # driver fallback must preserve the self-loop-only vertex too
+    assert got == {
+        r["entity"]: r["community"]
+        for r in label_propagation(
+            _edges_df(spark, pairs), n_iter=3, local_threshold=0
+        ).collect()
     }
     # the self-loop-only vertex keeps its own label; the a-b pair
     # oscillates under synchronous updates (odd round: swapped labels) —
