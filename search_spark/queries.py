@@ -1675,6 +1675,213 @@ GROUP BY 1, 2
 """
 
 
+_PQ_M = 4       # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
+
+
+def _pq_codes_df(spark, sf_dir):
+    """(vec_id, subspace, code, qdist): product-quantization code
+    assignment. Codebook = the per-label subspace centroids (the same
+    supervised stand-in as `ivf_centroids`; `operators/ivf.train_ivf`
+    is the unsupervised trainer, numpy-parity-tested). Distances are
+    index-order `zip_with`/`aggregate` folds so both engines add in the
+    same order; the per-(vector, subspace) argmin is round-then-min —
+    the portable two-step."""
+    cent = _q_ivf_centroids(spark, sf_dir)
+    cb = (
+        cent.withColumn(
+            "subspace", (F.col("dim_i") / _PQ_SUBDIM).cast("long")
+        )
+        .groupBy("label", "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_i", "centroid"))
+                ),
+                lambda x: x["centroid"],
+            ).alias("c_sub")
+        )
+    )
+    vs = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v_arr"),
+    )
+    subs = vs.select(
+        "vec_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+        ).alias("subspace"),
+        "v_arr",
+    ).select(
+        "vec_id",
+        "subspace",
+        F.expr(
+            f"slice(v_arr, subspace * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"
+        ).alias("v_sub"),
+    )
+    dist = subs.join(cb, "subspace").select(
+        "vec_id",
+        "subspace",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v_sub", "c_sub", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    m = dist.groupBy("vec_id", "subspace").agg(F.min("d").alias("md"))
+    return (
+        dist.join(m, ["vec_id", "subspace"])
+        .filter(F.col("d") == F.col("md"))
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("label").alias("code"), F.min("d").alias("qdist"))
+        .select("vec_id", "subspace", "code", F.col("qdist").alias("qdist"))
+    )
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011): each vector compressed
+    to M=4 subspace codes against a per-subspace codebook — the memory
+    path for 100-TB ANN (4 bytes/vector here instead of 256). One
+    explode bounded by M (never corpus × dims), codebook broadcast-sized,
+    distances as JVM index-order folds."""
+    return _pq_codes_df(spark, sf_dir)
+
+
+_PQ_CODES_CTES = f"""
+cent AS ({_SQL_IVF_CENTROIDS}),
+cb AS (SELECT label, dim_i // {_PQ_SUBDIM} AS subspace,
+              list(centroid ORDER BY dim_i) AS c_sub
+       FROM cent GROUP BY 1, 2),
+vs AS (SELECT vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
+       FROM embeddings),
+subs AS (SELECT vs.vec_id, t.subspace,
+                list_slice(v_arr, t.subspace * {_PQ_SUBDIM} + 1,
+                           (t.subspace + 1) * {_PQ_SUBDIM}) AS v_sub
+         FROM vs, range(0, {_PQ_M}) t(subspace)),
+pdist AS (
+  SELECT s.vec_id, s.subspace, cb.label,
+         round(list_reduce(
+           list_transform(range(1, {_PQ_SUBDIM} + 1),
+                          i -> (v_sub[i] - c_sub[i])
+                               * (v_sub[i] - c_sub[i])),
+           (a, b) -> a + b), 6) AS d
+  FROM subs s JOIN cb ON cb.subspace = s.subspace),
+pm AS (SELECT vec_id, subspace, MIN(d) AS md
+       FROM pdist GROUP BY vec_id, subspace),
+codes AS (
+  SELECT p.vec_id, p.subspace, MIN(p.label) AS code, MIN(p.d) AS qdist
+  FROM pdist p JOIN pm ON pm.vec_id = p.vec_id
+                      AND pm.subspace = p.subspace AND p.d = pm.md
+  GROUP BY p.vec_id, p.subspace)
+"""
+
+_SQL_PQ_CODES = f"""
+WITH {_PQ_CODES_CTES}
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code, qdist
+FROM codes
+"""
+
+
+_PQ_TOPK = 10
+
+
+def _q_pq_adc_search(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query
+    keeps its exact sub-vectors, every corpus vector is represented by
+    its codes, and the approximate distance is the sum of the M
+    query-to-codebook lookup-table entries selected by the codes — the
+    standard PQ scan where per-vector work is M table lookups, not a
+    D-dim dot product. The LUT is the query's own (subspace, label)
+    distance rows (codebook-sized, broadcast under AQE); top-k is a
+    TakeOrdered on (rounded ADC, vec_id)."""
+    codes = _pq_codes_df(spark, sf_dir)
+    cent = _q_ivf_centroids(spark, sf_dir)
+    cb = (
+        cent.withColumn(
+            "subspace", (F.col("dim_i") / _PQ_SUBDIM).cast("long")
+        )
+        .groupBy("label", "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_i", "centroid"))
+                ),
+                lambda x: x["centroid"],
+            ).alias("c_sub")
+        )
+    )
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "v_arr"
+            )
+        )
+    )
+    lut = (
+        cb.crossJoin(F.broadcast(q))
+        .select(
+            "subspace",
+            F.col("label").alias("code"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.expr(
+                            f"slice(v_arr, subspace * {_PQ_SUBDIM} + 1,"
+                            f" {_PQ_SUBDIM})"
+                        ),
+                        F.col("c_sub"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("ld"),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(lut, ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("ld"), 6).alias("adc_dist"))
+    )
+    return (
+        adc.orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id", "adc_dist")
+    )
+
+
+_SQL_PQ_ADC_SEARCH = f"""
+WITH {_PQ_CODES_CTES},
+qv AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
+       FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.subspace, cb.label AS code,
+         round(list_reduce(
+           list_transform(range(1, {_PQ_SUBDIM} + 1),
+             i -> (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])
+                  * (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])),
+           (a, b) -> a + b), 6) AS ld
+  FROM cb, qv),
+adc AS (
+  SELECT c.vec_id, round(SUM(l.ld), 6) AS adc_dist
+  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+SELECT vec_id, adc_dist FROM adc
+ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
 def _q_ivf_search(spark, sf_dir):
     return _ivf_search_impl(spark, sf_dir, nprobe=1)
 
@@ -5762,6 +5969,8 @@ QUERIES: dict[str, Q] = {
     "bad_sentence_stats": Q(_q_bad_sentence_stats, _SQL_BAD_SENTENCE_STATS),
     "ivf_centroids": Q(_q_ivf_centroids, _SQL_IVF_CENTROIDS),
     "ivf_search": Q(_q_ivf_search, _SQL_IVF_SEARCH),
+    "pq_codes": Q(_q_pq_codes, _SQL_PQ_CODES),
+    "pq_adc_search": Q(_q_pq_adc_search, _SQL_PQ_ADC_SEARCH),
     "ivf_search_nprobe": Q(
         _q_ivf_search_nprobe, _ivf_search_nprobe_sql(2)
     ),

@@ -142,7 +142,10 @@ def test_final_r3_batch_no_cartesian(spark):
     # weight total + binding cap, whose subtree repeats the total)
     from search_spark.queries import QUERIES
 
-    bnlj_budget = {"bigram_lm_score": 1, "mixture_plan": 3}
+    # pq_adc_search's single BNLJ is the 1-row query-vector broadcast
+    # into the codebook-sized LUT build
+    bnlj_budget = {"bigram_lm_score": 1, "mixture_plan": 3,
+                   "pq_adc_search": 1}
     for name in (
         "kg_link_prediction",
         "exact_substring_dups",
@@ -158,6 +161,8 @@ def test_final_r3_batch_no_cartesian(spark):
         "latest_capture",
         "kg_triple_versioning",
         "kg_node2vec_walks",
+        "pq_codes",
+        "pq_adc_search",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
