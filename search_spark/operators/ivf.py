@@ -120,3 +120,60 @@ def train_ivf(
             break
     del prev_assign
     return centroids.select("cell", "c_arr"), assign, info
+
+
+def train_pq(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    max_iterations: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Train an unsupervised product quantizer (Jégou et al. 2011):
+    split each vector into ``n_subspaces`` contiguous sub-vectors and
+    run the :func:`train_ivf` Lloyd loop independently per subspace
+    (``n_codes`` centroids each) — the standard PQ training recipe,
+    inheriting the trainer's determinism (lowest-id seeding, packed
+    broadcast codebooks, checkpointed iterations).
+
+    Returns ``(codebooks, codes, info)``: ``codebooks(subspace, cell,
+    c_arr)``, ``codes(id, subspace, cell, dist)`` (``dist`` = squared
+    quantization error of that subspace), and per-subspace trainer info.
+    The M trainings are independent jobs over corpus-×-1 sub-vector
+    tables — at scale they run sequentially against the same cached
+    scan, never corpus × M blowup within a job.
+    """
+    dim = len(
+        embeddings.select(emb_col).first()[0]
+    )
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} not divisible into {n_subspaces} subspaces"
+        )
+    sub_dim = dim // n_subspaces
+    codebooks = None
+    codes = None
+    info: dict = {}
+    for s in range(n_subspaces):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(emb_col), lambda x: x.cast("double")),
+                s * sub_dim + 1,
+                sub_dim,
+            ).alias("sub_vec"),
+        )
+        cents, assign, inf = train_ivf(
+            sub,
+            n_cells=n_codes,
+            max_iterations=max_iterations,
+            id_col=id_col,
+            emb_col="sub_vec",
+        )
+        cb = cents.select(F.lit(s).alias("subspace"), "cell", "c_arr")
+        cd = assign.select("id", F.lit(s).alias("subspace"), "cell", "dist")
+        codebooks = cb if codebooks is None else codebooks.unionByName(cb)
+        codes = cd if codes is None else codes.unionByName(cd)
+        info[s] = inf
+    return codebooks, codes, info

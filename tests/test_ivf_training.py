@@ -74,3 +74,38 @@ def test_train_ivf_deterministic_and_convergent(spark, emb):
     n = emb.count()
     assert a1.count() == n
     assert a1.select("cell").distinct().count() <= 5
+
+
+def test_train_pq_matches_per_subspace_numpy(spark, emb):
+    from search_spark.operators.ivf import train_pq
+
+    codebooks, codes, info = train_pq(emb, n_subspaces=4, n_codes=5)
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([list(map(float, r["embedding"])) for r in rows])
+    sub_dim = X.shape[1] // 4
+    got_cb = {
+        (r["subspace"], r["cell"]): np.array(r["c_arr"])
+        for r in codebooks.collect()
+    }
+    got_cd = {
+        (r["id"], r["subspace"]): r["cell"] for r in codes.collect()
+    }
+    for s in range(4):
+        Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        C_np, assign_np = _numpy_lloyd(Xs, 5)
+        for c in range(5):
+            assert np.allclose(got_cb[(s, c)], C_np[c], atol=1e-9), (s, c)
+        for i, vid in enumerate(ids):
+            assert got_cd[(vid, s)] == int(assign_np[i]), (vid, s)
+    # quantization error is the summed per-subspace inertia, finite and
+    # recorded per subspace
+    assert set(info) == {0, 1, 2, 3}
+    assert all(info[s]["inertia"][-1] >= 0 for s in info)
+
+
+def test_train_pq_rejects_indivisible_dims(spark, emb):
+    from search_spark.operators.ivf import train_pq
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(emb, n_subspaces=7, n_codes=4)
