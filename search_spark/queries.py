@@ -1861,6 +1861,124 @@ def _q_pq_adc_search(spark, sf_dir):
     )
 
 
+def _q_ivfpq_search(spark, sf_dir):
+    """The canonical 100-TB ANN recipe end-to-end (IVF+PQ, Jégou et
+    al. 2011): coarse-quantize every vector to its nearest cell, then
+    ADC-score ONLY the query's cell members against the PQ codes — a
+    probe touches 1/n_cells of the corpus and pays M lookup-table adds
+    per candidate instead of a D-dim dot product. Composes the shared
+    `_ivf_assign` coarse stage with the `pq_codes` fine stage; the LUT
+    and the query-cell row are both broadcast-sized."""
+    codes = _pq_codes_df(spark, sf_dir)
+    _, assign, _ = _ivf_assign(spark, sf_dir)
+    q_cell = (
+        assign.filter(F.col("vec_id") == 0)
+        .select(F.col("cell").alias("q_cell"))
+    )
+    cand = (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q_cell), F.col("cell") == F.col("q_cell"))
+        .select("vec_id")
+    )
+    cent = _q_ivf_centroids(spark, sf_dir)
+    cb = (
+        cent.withColumn(
+            "subspace", (F.col("dim_i") / _PQ_SUBDIM).cast("long")
+        )
+        .groupBy("label", "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_i", "centroid"))
+                ),
+                lambda x: x["centroid"],
+            ).alias("c_sub")
+        )
+    )
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "v_arr"
+            )
+        )
+    )
+    lut = cb.crossJoin(F.broadcast(q)).select(
+        "subspace",
+        F.col("label").alias("code"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.expr(
+                        f"slice(v_arr, subspace * {_PQ_SUBDIM} + 1,"
+                        f" {_PQ_SUBDIM})"
+                    ),
+                    F.col("c_sub"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("ld"),
+    )
+    adc = (
+        codes.join(cand, "vec_id", "left_semi")
+        .join(lut, ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("ld"), 6).alias("adc_dist"))
+    )
+    return (
+        adc.orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id", "adc_dist")
+    )
+
+
+_SQL_IVFPQ_SEARCH = f"""
+WITH {_PQ_CODES_CTES},
+cent_arr AS (SELECT label, list(centroid ORDER BY dim_i) AS c_arr
+             FROM cent GROUP BY label),
+cdist AS (
+  SELECT vs.vec_id, cent_arr.label,
+         list_reduce(
+           list_transform(range(1, len(v_arr) + 1),
+                          i -> (v_arr[i] - c_arr[i])
+                               * (v_arr[i] - c_arr[i])),
+           (a, b) -> a + b) AS dist
+  FROM vs CROSS JOIN cent_arr),
+cassign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dist, 6), label) AS rk
+    FROM cdist) WHERE rk = 1),
+cand AS (
+  SELECT a.vec_id FROM cassign a,
+       (SELECT cell FROM cassign WHERE vec_id = 0) q
+  WHERE a.cell = q.cell AND a.vec_id <> 0),
+qv AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
+       FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.subspace, cb.label AS code,
+         round(list_reduce(
+           list_transform(range(1, {_PQ_SUBDIM} + 1),
+             i -> (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])
+                  * (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])),
+           (a, b) -> a + b), 6) AS ld
+  FROM cb, qv),
+adc AS (
+  SELECT c.vec_id, round(SUM(l.ld), 6) AS adc_dist
+  FROM codes c
+  JOIN cand ON cand.vec_id = c.vec_id
+  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  GROUP BY c.vec_id)
+SELECT vec_id, adc_dist FROM adc
+ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
 _SQL_PQ_ADC_SEARCH = f"""
 WITH {_PQ_CODES_CTES},
 qv AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
@@ -1893,16 +2011,12 @@ def _q_ivf_search_nprobe(spark, sf_dir):
     return _ivf_search_impl(spark, sf_dir, nprobe=2)
 
 
-def _ivf_search_impl(spark, sf_dir, nprobe: int = 1):
-    # IVF assignment + search-within-cell (closing the ivf_centroids loop,
-    # VERDICT r01 item 4): every vector is assigned to its nearest coarse
-    # centroid (L2), then the query (vec 0) searches top-k **only within
-    # its own cell** — the scale path where a probe touches 1/n_cells of
-    # the corpus. Dimensions stay PACKED: centroids roll up to arrays and
-    # broadcast onto the vectors (corpus × n_cells rows, never
-    # corpus × cells × dims), with the squared-distance fold running in
-    # index order on both engines — deterministic without any per-dim
-    # explode/shuffle.
+def _ivf_assign(spark, sf_dir):
+    """Coarse-quantizer assignment shared by the IVF and IVF+PQ probes:
+    returns ``(dist, assign, w)`` — per-(vector, cell) squared L2 over
+    PACKED centroid arrays broadcast onto the vectors (corpus × n_cells
+    rows, never corpus × cells × dims; index-order fold), the rank-1
+    cell per vector, and the ranking window."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
@@ -1946,6 +2060,17 @@ def _ivf_search_impl(spark, sf_dir, nprobe: int = 1):
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("label").alias("cell"))
     )
+    return dist, assign, w
+
+
+def _ivf_search_impl(spark, sf_dir, nprobe: int = 1):
+    # IVF assignment + search-within-cell (closing the ivf_centroids loop,
+    # VERDICT r01 item 4): every vector is assigned to its nearest coarse
+    # centroid (L2), then the query (vec 0) searches top-k **only within
+    # its own cell** — the scale path where a probe touches 1/n_cells of
+    # the corpus.
+    emb = _emb(spark, sf_dir)
+    dist, assign, w = _ivf_assign(spark, sf_dir)
     q_cells = (
         dist.filter(F.col("vec_id") == 0)
         .withColumn("rk", F.row_number().over(w))
@@ -5971,6 +6096,7 @@ QUERIES: dict[str, Q] = {
     "ivf_search": Q(_q_ivf_search, _SQL_IVF_SEARCH),
     "pq_codes": Q(_q_pq_codes, _SQL_PQ_CODES),
     "pq_adc_search": Q(_q_pq_adc_search, _SQL_PQ_ADC_SEARCH),
+    "ivfpq_search": Q(_q_ivfpq_search, _SQL_IVFPQ_SEARCH),
     "ivf_search_nprobe": Q(
         _q_ivf_search_nprobe, _ivf_search_nprobe_sql(2)
     ),

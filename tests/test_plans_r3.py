@@ -143,9 +143,12 @@ def test_final_r3_batch_no_cartesian(spark):
     from search_spark.queries import QUERIES
 
     # pq_adc_search's single BNLJ is the 1-row query-vector broadcast
-    # into the codebook-sized LUT build
+    # into the codebook-sized LUT build; ivfpq_search composes the same
+    # bounded broadcasts as ivf_search (n_cells centroid table, 1-row
+    # query cell, 1-row query vector) — same ≤3 budget test_plans grants
+    # ivf_search
     bnlj_budget = {"bigram_lm_score": 1, "mixture_plan": 3,
-                   "pq_adc_search": 1}
+                   "pq_adc_search": 1, "ivfpq_search": 3}
     for name in (
         "kg_link_prediction",
         "exact_substring_dups",
@@ -163,6 +166,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "kg_node2vec_walks",
         "pq_codes",
         "pq_adc_search",
+        "ivfpq_search",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
