@@ -5963,6 +5963,87 @@ FROM a{n_iter} a JOIN h{n_iter} h ON h.entity = a.entity
 """
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN quality measurement (the recall@k a production ANN deploy
+    gates on): overlap between the PQ/ADC approximate top-k and the
+    exact L2 top-k for the same query. Both lists are k-row
+    TakeOrdereds (exact side pays the full-corpus scan ONCE — this is
+    the evaluation harness, not the serving path); the comparison is a
+    k×k-bounded join. Output is one row: (k, n_overlap, recall).
+    On the synthetic near-uniform fixture embeddings recall is
+    inherently low (~0.2: little cluster structure for 4 label-mean
+    codebooks to exploit) — the op reports it faithfully, which is
+    exactly what a production gate needs."""
+    approx = _q_pq_adc_search(spark, sf_dir).select("vec_id")
+    vs = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v_arr"),
+    )
+    q = vs.filter(F.col("vec_id") == 0).select(
+        F.col("v_arr").alias("q_arr")
+    )
+    exact = (
+        vs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "v_arr", "q_arr", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id")
+    )
+    return approx.join(exact, "vec_id").agg(
+        F.max(F.lit(_PQ_TOPK)).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(_PQ_TOPK)), 4).alias(
+            "recall"
+        ),
+    )
+
+
+_SQL_ANN_RECALL = f"""
+WITH {_PQ_CODES_CTES},
+qv AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v_arr
+       FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.subspace, cb.label AS code,
+         round(list_reduce(
+           list_transform(range(1, {_PQ_SUBDIM} + 1),
+             i -> (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])
+                  * (v_arr[cb.subspace * {_PQ_SUBDIM} + i] - c_sub[i])),
+           (a, b) -> a + b), 6) AS ld
+  FROM cb, qv),
+approx AS (
+  SELECT c.vec_id FROM codes c
+  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+  ORDER BY round(SUM(l.ld), 6), c.vec_id LIMIT {_PQ_TOPK}),
+exact AS (
+  SELECT v.vec_id FROM vs v, qv
+  WHERE v.vec_id <> 0
+  ORDER BY round(list_reduce(
+      list_transform(range(1, len(v.v_arr) + 1),
+                     i -> (v.v_arr[i] - qv.v_arr[i])
+                          * (v.v_arr[i] - qv.v_arr[i])),
+      (a, b) -> a + b), 6), v.vec_id
+  LIMIT {_PQ_TOPK})
+SELECT {_PQ_TOPK} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {_PQ_TOPK}, 4) AS recall
+FROM approx JOIN exact ON exact.vec_id = approx.vec_id
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
@@ -6097,6 +6178,7 @@ QUERIES: dict[str, Q] = {
     "pq_codes": Q(_q_pq_codes, _SQL_PQ_CODES),
     "pq_adc_search": Q(_q_pq_adc_search, _SQL_PQ_ADC_SEARCH),
     "ivfpq_search": Q(_q_ivfpq_search, _SQL_IVFPQ_SEARCH),
+    "ann_recall": Q(_q_ann_recall, _SQL_ANN_RECALL),
     "ivf_search_nprobe": Q(
         _q_ivf_search_nprobe, _ivf_search_nprobe_sql(2)
     ),

@@ -147,8 +147,11 @@ def test_final_r3_batch_no_cartesian(spark):
     # bounded broadcasts as ivf_search (n_cells centroid table, 1-row
     # query cell, 1-row query vector) — same ≤3 budget test_plans grants
     # ivf_search
+    # ann_recall adds the exact-scan side's 1-row query broadcast to
+    # pq_adc_search's LUT one
     bnlj_budget = {"bigram_lm_score": 1, "mixture_plan": 3,
-                   "pq_adc_search": 1, "ivfpq_search": 3}
+                   "pq_adc_search": 1, "ivfpq_search": 3,
+                   "ann_recall": 2}
     for name in (
         "kg_link_prediction",
         "exact_substring_dups",
@@ -167,6 +170,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "pq_codes",
         "pq_adc_search",
         "ivfpq_search",
+        "ann_recall",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
