@@ -6044,6 +6044,159 @@ FROM approx JOIN exact ON exact.vec_id = approx.vec_id
 """
 
 
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (context-window prep for RAG /
+    long-doc training): fixed-length token windows with overlap, built
+    from one JVM `sequence` of chunk starts exploded per document and a
+    `slice`/`array_join` per chunk — zero UDF, zero shuffle (a pure
+    per-row map over the scan; the explode multiplies rows by
+    n_tokens/stride, never by corpus size)."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.size("t") - 1,
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr(f"start div {_CHUNK_STRIDE}").alias("chunk_id"),
+        F.size(F.expr(f"slice(t, start + 1, {_CHUNK_LEN})")).cast(
+            "long"
+        ).alias("n_tokens"),
+        F.array_join(
+            F.expr(f"slice(t, start + 1, {_CHUNK_LEN})"), " "
+        ).alias("chunk_text"),
+    )
+
+
+_SQL_DOC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 1),
+st AS (SELECT doc_id, t,
+              unnest(range(0, len(t), {_CHUNK_STRIDE})) AS start
+       FROM d)
+SELECT doc_id,
+       start // {_CHUNK_STRIDE} AS chunk_id,
+       CAST(len(list_slice(t, start + 1, start + {_CHUNK_LEN}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, start + 1, start + {_CHUNK_LEN}),
+                       ' ') AS chunk_text
+FROM st
+"""
+
+
+_HN_BITS = 4  # sign-bucket bits (coarser than ann_lsh's 8: more mates)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for metric-learning / embedding training
+    (the in-batch-negatives upgrade every contrastive recipe wants):
+    for each vector, the most-similar vector carrying a DIFFERENT
+    label. All-pairs is a corpus² cartesian, so candidates come from
+    the same LSH sign bucket (first `_HN_BITS` dims) — per-bucket |b|²
+    work, the same scale shape as `embedding_neardup`; the argmax is
+    the portable two-step on the 4-dp-rounded cosine. Vectors with no
+    cross-label bucket-mate produce no row (candidate-limited, exactly
+    what the bucketed scale path implies)."""
+    emb = _emb(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(_HN_BITS)
+        ],
+    )
+    b = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("a_label") != F.col("b_label"))
+        )
+        .select(
+            "a_id",
+            "a_label",
+            "b_id",
+            "b_label",
+            F.round(
+                _cosine_double(F.col("a_emb"), F.col("b_emb")), 4
+            ).alias("sim"),
+        )
+    )
+    m = pairs.groupBy("a_id").agg(F.max("sim").alias("max_sim"))
+    return (
+        pairs.join(m, "a_id")
+        .filter(F.col("sim") == F.col("max_sim"))
+        .groupBy("a_id", "a_label")
+        .agg(
+            F.min("b_id").alias("neg_id"),
+            F.max("sim").alias("sim"),
+        )
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("a_label").alias("label"),
+            "neg_id",
+            "sim",
+        )
+    )
+
+
+_SQL_HARD_NEGATIVES = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {" || ".join(
+      f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+      for i in range(_HN_BITS)
+  )} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS b_id,
+         round(
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y))),
+           4) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket
+  WHERE a.vec_id <> c.vec_id AND a.label <> c.label),
+m AS (SELECT a_id, MAX(sim) AS max_sim FROM pairs GROUP BY a_id)
+SELECT p.a_id AS vec_id, p.a_label AS label,
+       MIN(p.b_id) AS neg_id, MAX(p.sim) AS sim
+FROM pairs p JOIN m ON m.a_id = p.a_id AND p.sim = m.max_sim
+GROUP BY p.a_id, p.a_label
+"""
+
+
 QUERIES: dict[str, Q] = {
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
@@ -6179,6 +6332,8 @@ QUERIES: dict[str, Q] = {
     "pq_adc_search": Q(_q_pq_adc_search, _SQL_PQ_ADC_SEARCH),
     "ivfpq_search": Q(_q_ivfpq_search, _SQL_IVFPQ_SEARCH),
     "ann_recall": Q(_q_ann_recall, _SQL_ANN_RECALL),
+    "doc_chunks": Q(_q_doc_chunks, _SQL_DOC_CHUNKS),
+    "hard_negatives": Q(_q_hard_negatives, _SQL_HARD_NEGATIVES),
     "ivf_search_nprobe": Q(
         _q_ivf_search_nprobe, _ivf_search_nprobe_sql(2)
     ),

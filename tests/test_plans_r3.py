@@ -171,6 +171,8 @@ def test_final_r3_batch_no_cartesian(spark):
         "pq_adc_search",
         "ivfpq_search",
         "ann_recall",
+        "doc_chunks",
+        "hard_negatives",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
