@@ -171,3 +171,96 @@ def test_hash_embed_deterministic_unit_norm(text):
     assert a == b
     norm = math.sqrt(sum(x * x for x in a))
     assert norm == pytest.approx(1.0, abs=1e-9) or norm == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=90),  # doc lengths in tokens
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_doc_chunks_cover_and_reconstruct(spark, lengths):
+    """Chunking invariants on random doc lengths: every token appears in
+    ≥1 chunk, consecutive chunks overlap by CHUNK-STRIDE (except a short
+    tail), and re-concatenating each chunk's fresh tokens reconstructs
+    the document exactly."""
+    from search_spark.queries import _CHUNK_LEN, _CHUNK_STRIDE, QUERIES
+    import tempfile
+
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n)), "en", "src0", n)
+        for i, n in enumerate(lengths)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        got = QUERIES["doc_chunks"].spark(spark, tmp).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"].split(" ")
+        )
+    for i, n in enumerate(lengths):
+        chunks = by_doc[i]
+        toks = [f"d{i}t{j}" for j in range(n)]
+        # coverage + reconstruction: stride-fresh tokens concatenate to doc
+        recon = []
+        for cid in sorted(chunks):
+            fresh = chunks[cid] if cid == 0 else chunks[cid][
+                _CHUNK_LEN - _CHUNK_STRIDE:
+            ]
+            recon.extend(fresh)
+        assert recon == toks, (i, n)
+        # chunk sizes: full CHUNK_LEN except possibly trailing chunks
+        for cid in sorted(chunks)[:-1]:
+            assert (
+                len(chunks[cid]) == _CHUNK_LEN
+                or cid * _CHUNK_STRIDE + len(chunks[cid]) == n
+            )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=400),  # docs per source
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_mixture_plan_never_upsamples_and_respects_weights(spark, counts):
+    """Mixture-plan invariants on random source sizes: no source is
+    upsampled (take_n ≤ n_docs), the binding source takes (almost) all
+    of itself, and take counts match the exact integer formula."""
+    from search_spark.queries import QUERIES
+    import tempfile
+
+    rows = []
+    doc = 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((doc, f"tok{doc}", "en", f"src{s}", 5))
+            doc += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["source"]: r
+            for r in QUERIES["mixture_plan"].spark(spark, tmp).collect()
+        }
+    weights = {f"src{s}": (s % 4) + 1 for s in range(len(counts))}
+    w_total = sum(weights.values())
+    cap = min(
+        counts[s] * w_total // weights[f"src{s}"]
+        for s in range(len(counts))
+    )
+    for s, n in enumerate(counts):
+        r = got[f"src{s}"]
+        expect = weights[f"src{s}"] * cap // w_total
+        assert r["take_n"] == expect, (s, n)
+        assert r["take_n"] <= r["n_docs"]  # never upsample
