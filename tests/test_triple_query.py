@@ -263,3 +263,37 @@ def test_cli_kgtrain_subcommand(snapshot, tmp_path):
              AND p.subj = n.subj AND p.pred = n.pred AND p.obj = n.obj"""
     ).fetchone()[0]
     assert overlap == 0
+
+
+def test_cli_kgtrain_deepwalk_mode(snapshot, tmp_path):
+    """deepwalk mode writes (center, context, n_pairs) skip-gram pairs
+    from walks over the snapshot graph; pairs are symmetric."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "pairs")
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "kgtrain",
+         "--snapshot", snapshot.root, "--output", out_dir,
+         "--mode", "deepwalk", "--n-walks", "1", "--walk-len", "3",
+         "--window", "1"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.splitlines()[-1])
+    assert stats["mode"] == "deepwalk" and stats["n_pairs"] > 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT center, context, n_pairs"
+        f" FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchall()
+    got = {(c, x): n for c, x, n in rows}
+    # window-1 adjacency pairs are symmetric: (a,b) count == (b,a) count
+    for (c, x), n in got.items():
+        assert got.get((x, c)) == n, (c, x)

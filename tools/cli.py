@@ -211,6 +211,14 @@ def main() -> int:
                        help="output parquet directory")
     p_kgt.add_argument("-k", type=int, default=4,
                        help="corrupted-tail negatives per true triple")
+    p_kgt.add_argument("--mode", choices=["transe", "deepwalk"],
+                       default="transe",
+                       help="transe: labeled (subj, pred, obj) triples; "
+                            "deepwalk: (center, context, n_pairs) "
+                            "skip-gram pairs from random walks")
+    p_kgt.add_argument("--n-walks", type=int, default=2)
+    p_kgt.add_argument("--walk-len", type=int, default=4)
+    p_kgt.add_argument("--window", type=int, default=2)
 
     p_search = sub.add_parser("search", help="semantic top-k search")
     p_search.add_argument("--input", required=True,
@@ -488,6 +496,41 @@ def main() -> int:
         if full is None:
             print("no committed snapshots", file=sys.stderr)
             return 1
+        if args.mode == "deepwalk":
+            from search_spark.operators.graph import random_walks
+
+            edges = full.select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+            w = random_walks(
+                edges, n_walks=args.n_walks, walk_len=args.walk_len
+            )
+            a = w.select(
+                "entity", "walk_no", F.col("step").alias("i"),
+                F.col("node").alias("center"),
+            )
+            bpos = w.select(
+                "entity", "walk_no", F.col("step").alias("j"),
+                F.col("node").alias("context"),
+            )
+            pairs = (
+                a.join(bpos, ["entity", "walk_no"])
+                .filter(
+                    (F.col("i") != F.col("j"))
+                    & (F.abs(F.col("i") - F.col("j")) <= args.window)
+                )
+                .groupBy("center", "context")
+                .agg(F.count(F.lit(1)).alias("n_pairs"))
+            )
+            pairs.write.mode("overwrite").parquet(args.output)
+            back = spark.read.parquet(args.output)
+            print(_json.dumps({
+                "mode": "deepwalk",
+                "n_pairs": back.count(),
+                "n_centers": back.select("center").distinct().count(),
+                "output": args.output,
+            }))
+            return 0
         pos = full.select("subj", "pred", "obj").distinct()
         neg = negative_samples(pos, k=args.k).select(
             "subj", "pred", F.col("obj_neg").alias("obj")
@@ -504,6 +547,7 @@ def main() -> int:
             .collect()
         }
         print(_json.dumps({
+            "mode": "transe",
             "n_pos": counts.get(1, 0),
             "n_neg": counts.get(0, 0),
             "k": args.k,
