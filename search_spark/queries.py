@@ -3431,6 +3431,76 @@ GROUP BY entity
 """
 
 
+def _q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity — `2T / (d(d-1))` over
+    the undirected simple graph — the standard cohesion diagnostic
+    beside degree and PageRank (near-1 = clique-like community member,
+    near-0 = star-center hub). Composes the degree-ordered triangle
+    counter with a distinct-neighbor degree aggregate; the division is
+    a projection, so cost is the triangle count's (hub-skew-safe wedge
+    join) plus one vocabulary-sized join."""
+    from search_spark.operators.graph import triangle_counts
+
+    edges = _kg_edge_instances(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: degrees + triangles
+    )
+    deg = (
+        und.select(F.col("u").alias("entity"))
+        .unionByName(und.select(F.col("v").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(und.select(F.col("u").alias("src"),
+                                     F.col("v").alias("dst")))
+    return (
+        deg.join(tri, "entity", "left")
+        .select(
+            "entity",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
+_SQL_KG_CLUSTERING = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+deg AS (SELECT entity, COUNT(*) AS degree FROM (
+          SELECT u AS entity FROM und UNION ALL SELECT v FROM und)
+        GROUP BY entity),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT entity, COUNT(*) AS n_triangles
+       FROM (SELECT unnest([a, b, c]) AS entity FROM tri) x
+       GROUP BY entity)
+SELECT d.entity, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 4)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tc ON tc.entity = d.entity
+"""
+
+
 def _q_kg_two_hop(spark, sf_dir):
     """Neighborhood expansion: distinct-edge self-join on the hop vertex
     with per-(src, dst) path counts; shuffles hash-partition both sides
@@ -6230,6 +6300,7 @@ QUERIES: dict[str, Q] = {
         _q_kg_pagerank_incremental, _incremental_pagerank_oracle_sql()
     ),
     "kg_triangles": Q(_q_kg_triangles, _SQL_KG_TRIANGLES),
+    "kg_clustering": Q(_q_kg_clustering, _SQL_KG_CLUSTERING),
     "kg_two_hop": Q(_q_kg_two_hop, _SQL_KG_TWO_HOP),
     "kg_communities": Q(_q_kg_communities, _lpa_oracle_sql()),
     "kg_kcore": Q(_q_kg_kcore, _kcore_oracle_sql()),

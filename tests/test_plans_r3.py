@@ -173,6 +173,7 @@ def test_final_r3_batch_no_cartesian(spark):
         "ann_recall",
         "doc_chunks",
         "hard_negatives",
+        "kg_clustering",
     ):
         plan = plan_of(QUERIES[name].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
