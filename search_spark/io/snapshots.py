@@ -281,6 +281,122 @@ class SnapshotTable:
             os.rename(tmp_json, lineage_path)
         return total
 
+    def squash_snapshots(self, keep_last: int = 5) -> dict:
+        """Snapshot retention — the Iceberg ``expire_snapshots``
+        analogue adapted to this append-only layout: every snapshot
+        older than the ``keep_last`` newest is rewritten into ONE base
+        snapshot (the newest of the expired range). At 100-TB scale an
+        unbounded snapshot count is what kills scan planning — every
+        read unions every snapshot directory — so retention bounds the
+        directory count without touching recent history.
+
+        Row content, the current view, and resume state are fully
+        preserved: the squashed data is re-bucketed into the base
+        directory, the ``processed/`` url markers merge into the base
+        sidecar, and the base lineage JSON records summed counts plus a
+        ``squashed_ids`` audit trail (the expired lineage files are
+        removed). What is deliberately given up — exactly Iceberg's
+        trade — is time travel to points *inside* the squashed range:
+        ``as_of`` an expired id now returns only data committed at or
+        before it that survives in the base (i.e. nothing below the
+        base id). Uses the same write-to-sibling-then-swap protocol as
+        :meth:`delete_where` so readers never observe a half-squashed
+        table. Returns ``{"squashed", "base_id", "n_rows"}``.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        old = snaps[:-keep_last] if len(snaps) > keep_last else []
+        if len(old) < 2:
+            return {"squashed": 0, "base_id": None, "n_rows": 0}
+        base_id = old[-1]
+
+        data_paths = [
+            p
+            for k in old
+            if os.path.isdir(p := f"{self.root}/data/snapshot={k}")
+        ]
+        per_bucket: list = []
+        n_rows = n_urls = 0
+        if data_paths:
+            df = (
+                self.spark.read.option("basePath", f"{self.root}/data")
+                .parquet(*data_paths)
+                .drop("snapshot")
+            )
+            tmp = f"{self.root}/data/.snapshot={base_id}.squash"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            # one file per bucket, same as compact()
+            df.repartition("bucket").write.partitionBy("bucket").mode(
+                "overwrite"
+            ).parquet(tmp)
+            for k in old:
+                p = f"{self.root}/data/snapshot={k}"
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            os.rename(tmp, f"{self.root}/data/snapshot={base_id}")
+            written = self.spark.read.parquet(
+                f"{self.root}/data/snapshot={base_id}"
+            )
+            per_bucket = (
+                written.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("url").alias("n_urls"),
+                )
+                .collect()
+            )
+            n_rows = sum(r["n_rows"] for r in per_bucket)
+            n_urls = sum(r["n_urls"] for r in per_bucket)
+
+        proc_paths = [
+            p
+            for k in old
+            if os.path.isdir(p := f"{self.root}/processed/snapshot={k}")
+        ]
+        if proc_paths:
+            merged_urls = (
+                self.spark.read.option(
+                    "basePath", f"{self.root}/processed"
+                )
+                .parquet(*proc_paths)
+                .select("url")
+                .distinct()
+            )
+            tmp_p = f"{self.root}/processed/.snapshot={base_id}.squash"
+            if os.path.exists(tmp_p):
+                shutil.rmtree(tmp_p)
+            merged_urls.write.mode("overwrite").parquet(tmp_p)
+            for k in old:
+                p = f"{self.root}/processed/snapshot={k}"
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            os.rename(tmp_p, f"{self.root}/processed/snapshot={base_id}")
+
+        lineage = {
+            "snapshot_id": base_id,
+            "table": self.root,
+            "n_rows": n_rows,
+            "n_urls": n_urls,
+            "wall_seconds": 0.0,
+            "extra": {},
+            "partitions": [r.asDict() for r in per_bucket],
+            "squashed_ids": list(old),
+            "squashes": [{"at": time.time(), "keep_last": keep_last}],
+        }
+        if not per_bucket:
+            lineage["tombstone"] = True
+        tmp_json = f"{self.root}/_lineage/.snapshot={base_id}.json.tmp"
+        with open(tmp_json, "w") as f:
+            json.dump(lineage, f, indent=2, default=str)
+        os.rename(tmp_json, f"{self.root}/_lineage/snapshot={base_id}.json")
+        for k in old[:-1]:
+            p = f"{self.root}/_lineage/snapshot={k}.json"
+            if os.path.exists(p):
+                os.remove(p)
+        return {"squashed": len(old), "base_id": base_id, "n_rows": n_rows}
+
     def _data_files(self, path: str) -> list[str]:
         out = []
         for dirpath, _, files in os.walk(path):

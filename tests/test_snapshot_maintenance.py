@@ -164,3 +164,80 @@ def test_compaction_zorder_numeric_column_sorts_by_value(spark, tmp_path):
             assert ps == sorted(ps)
             checked += 1
     assert checked > 0
+
+
+BATCH_3 = [
+    (f"e{i}", "r", f"o{i}", f"s{i}", f"http://u{i}")
+    for i in range(60, 70)
+]
+BATCH_4 = [
+    (f"e{i}", "r", f"o{i}", f"s{i}", f"http://u{i}")
+    for i in range(70, 75)
+]
+
+
+def test_squash_snapshots_preserves_view_and_resume(table):
+    """Squashing history older than the newest keep_last snapshots must
+    keep the current view, per-snapshot boundaries for recent ids, and
+    the processed-url resume set bit-identical; time travel inside the
+    squashed range is (documentedly) given up."""
+    spark = table.spark
+    table.append(
+        spark.createDataFrame(BATCH_3, COLS),
+        processed_keys=spark.createDataFrame(BATCH_3, COLS),
+    )
+    table.append(
+        spark.createDataFrame(BATCH_4, COLS),
+        processed_keys=spark.createDataFrame(BATCH_4, COLS),
+    )
+    before_all = _rows(table.load())
+    before_at3 = _rows(table.load(as_of=3))
+    stats = table.squash_snapshots(keep_last=2)
+    assert stats == {"squashed": 2, "base_id": 2, "n_rows": 60}
+    assert table.snapshots() == [2, 3, 4]
+    assert _rows(table.load()) == before_all
+    # as_of at/above the base still reconstructs exactly
+    assert _rows(table.load(as_of=3)) == before_at3
+    # inside the squashed range: nothing at or below the expired id
+    assert table.load(as_of=1) is None
+    # resume markers survive the merge (batches 3 and 4 carried keys)
+    urls = {
+        r["url"] for r in table.processed_urls().collect()
+    }
+    assert urls == {f"http://u{i}" for i in range(60, 75)}
+    # lineage audit: base file carries the squashed ids, expired files gone
+    import json as _json
+    import os as _os
+
+    with open(f"{table.root}/_lineage/snapshot=2.json") as f:
+        lin = _json.load(f)
+    assert lin["squashed_ids"] == [1, 2] and lin["n_rows"] == 60
+    assert not _os.path.exists(f"{table.root}/_lineage/snapshot=1.json")
+
+
+def test_squash_noop_when_history_short(table):
+    assert table.squash_snapshots(keep_last=5) == {
+        "squashed": 0, "base_id": None, "n_rows": 0,
+    }
+    assert table.snapshots() == [1, 2]
+
+
+def test_cli_expire_subcommand(table):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    spark = table.spark
+    table.append(spark.createDataFrame(BATCH_3, COLS))
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "expire",
+         "--snapshot", table.root, "--keep-last", "1"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.splitlines()[-1])
+    assert stats["squashed"] == 2 and stats["base_id"] == 2
+    assert table.snapshots() == [2, 3]
+    assert table.load().count() == 70

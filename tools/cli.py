@@ -109,6 +109,14 @@ def main() -> int:
              "file by (OPTIMIZE ZORDER analogue)",
     )
 
+    p_exp = sub.add_parser(
+        "expire",
+        help="squash snapshot history older than the newest N snapshots",
+    )
+    p_exp.add_argument("--snapshot", required=True,
+                       help="snapshot table root")
+    p_exp.add_argument("--keep-last", type=int, default=5)
+
     p_bm25 = sub.add_parser(
         "bm25",
         help="lexical BM25 top-k over a documents parquet "
@@ -317,6 +325,15 @@ def main() -> int:
         )
         print(f"wrote {spark.read.text(args.output).count()} quads "
               f"to {args.output}")
+    elif args.cmd == "expire":
+        import json as _json
+
+        from search_spark.io.snapshots import SnapshotTable
+
+        stats = SnapshotTable(spark, args.snapshot).squash_snapshots(
+            keep_last=args.keep_last
+        )
+        print(_json.dumps(stats))
     elif args.cmd == "compact":
         import json
 
