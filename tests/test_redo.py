@@ -76,3 +76,36 @@ def test_delete_where_rewrites_all_snapshots(spark, tmp_path):
     # lineage counts were rewritten to match
     assert sum(li["n_rows"] for li in table.lineage()) == n_before - n_target
     assert all("deletes" in li for li in table.lineage())
+
+
+def test_resume_survives_snapshot_retention(spark, tmp_path):
+    """Squashing old snapshot history must not forget which urls were
+    processed: after expire, a rerun over the full corpus is still a
+    no-op, a corpus extension processes only the delta, and the current
+    triple view is unchanged."""
+    root = str(tmp_path / "t")
+    p1 = datagen.generate_web_pages(spark, 10, seed=14, partitions=2)
+    p2 = datagen.generate_web_pages(spark, 20, seed=14, partitions=2)
+    p3 = datagen.generate_web_pages(spark, 26, seed=14, partitions=2)
+    run_to_snapshot(spark, p1, root)
+    run_to_snapshot(spark, p2, root)
+    run_to_snapshot(spark, p3, root)
+    table = SnapshotTable(spark, root)
+    before = sorted(
+        map(tuple, table.load().select(*TRIPLE_COLS, "url").collect())
+    )
+
+    stats = table.squash_snapshots(keep_last=1)
+    assert stats["squashed"] == 2 and table.snapshots() == [2, 3]
+    assert sorted(
+        map(tuple, table.load().select(*TRIPLE_COLS, "url").collect())
+    ) == before
+
+    # full-corpus rerun after retention: nothing reprocessed
+    again = run_to_snapshot(spark, p3, root)
+    assert again == {"resumed": True, "n_docs": 0, "n_triples": 0}
+
+    # corpus extension: only the 4 new docs process
+    p4 = datagen.generate_web_pages(spark, 30, seed=14, partitions=2)
+    delta = run_to_snapshot(spark, p4, root)
+    assert delta["n_docs"] == 4
