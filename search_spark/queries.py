@@ -6168,7 +6168,7 @@ FROM st
 """
 
 
-_HN_BITS = 4  # sign-bucket bits (coarser than ann_lsh's 8: more mates)
+_HN_BITS = 8  # sign-bucket bits — same bucketing as ann_lsh
 
 
 def _q_hard_negatives(spark, sf_dir):
