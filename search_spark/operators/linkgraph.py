@@ -1,0 +1,92 @@
+"""Anchor-text link graph over raw web-page HTML — zero-UDF extraction.
+
+Common-Crawl KG construction mines ``<a href>`` anchors for two signals the
+reference pipeline gets from curated metadata instead:
+
+* the **link graph** (src → dst edges) that feeds PageRank/HITS-style
+  authority scores over pages, and
+* the **anchor alias table**: the texts other pages use when linking to a
+  target are surface forms for the entity that target denotes — the classic
+  web-scale complement to the ontology alias list the reference's entity
+  linker scores against (SURVEY.md §2.10, mining/entity.py's pattern lists).
+
+Everything here is JVM codegen: ``decode`` + ``regexp_extract_all`` +
+``explode`` + ``regexp_extract`` — the per-page anchor scan never crosses
+into Python, so at 10^12 pages the extraction cost is the parquet scan
+itself.  Href resolution handles absolute and root-relative links (the two
+forms that survive Common-Crawl normalization); directory-relative hrefs
+resolve against the source url's directory.
+
+Skew: hub targets (home pages) concentrate edges on few ``dst`` keys; both
+aggregations below are plain hash aggregates with map-side partial
+aggregation, so a hot ``dst`` costs one partial row per task — no salting
+needed until a single (dst, anchor) group's *output* row count matters,
+which it never does (output is one row per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_spark.operators.boilerplate import host_of
+
+# one full anchor tag per array element; href/text picked apart afterwards
+_TAG_RE = '<a\\s+[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def anchor_edges(web_pages: DataFrame) -> DataFrame:
+    """``(src, dst, anchor)`` edges from raw html, one row per anchor tag.
+
+    ``dst`` is the absolutized href; ``anchor`` is the raw inner text.
+    """
+    html_s = F.decode(F.col("html"), "UTF-8")
+    tags = F.regexp_extract_all(html_s, F.lit(_TAG_RE), F.lit(0))
+    e = web_pages.select(
+        F.col("url").alias("src"), F.explode(tags).alias("tag")
+    )
+    href = F.regexp_extract("tag", 'href="([^"]*)"', 1)
+    anchor = F.regexp_extract("tag", ">([^<]*)</a>", 1)
+    scheme = F.regexp_extract("src", "^([a-z][a-z0-9+.-]*)://", 1)
+    base_dir = F.regexp_extract("src", "^(.*/)", 1)
+    dst = (
+        F.when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host_of("src"), href),
+        )
+        .otherwise(F.concat(base_dir, href))
+    )
+    return e.select("src", dst.alias("dst"), anchor.alias("anchor")).filter(
+        F.col("dst") != ""
+    )
+
+
+def norm_anchor(col) -> "F.Column":
+    """Anchor-text surface-form key: lowercase, trim, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def anchor_alias_table(web_pages: DataFrame) -> DataFrame:
+    """Per-target surface-form table: ``(dst, anchor, n_links, n_src_hosts)``.
+
+    ``n_src_hosts`` (distinct linking hosts) is the trust signal — an alias
+    used across many hosts is a stronger surface form than one repeated by
+    a single template (same rationale as cross-document majority voting in
+    the reference's attribute extraction).
+    """
+    edges = anchor_edges(web_pages)
+    return (
+        edges.select(
+            "dst",
+            norm_anchor("anchor").alias("anchor"),
+            host_of("src").alias("src_host"),
+        )
+        .filter(F.col("anchor") != "")
+        .groupBy("dst", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+    )

@@ -675,3 +675,191 @@ def bpe_segments_oracle_sql(
         "SELECT subword, CAST(n_occurrences AS BIGINT) AS n_occurrences "
         f"FROM ({inner}) v"
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate_strip — frequency-based boilerplate removal fixture + oracle
+# --------------------------------------------------------------------------
+
+BOILER_N_DOCS = 60
+BOILER_HOSTS = 5
+BOILER_RATIO = 0.5
+BOILER_MIN_DF = 2
+
+
+def _boiler_paragraphs(i: int) -> list[str]:
+    """Paragraph texts of fixture page ``i`` — pure function, no Spark.
+
+    Per 12-doc host: a host banner in every doc (df=12 → flagged; odd docs
+    carry a case/whitespace variant so the normalized key must collapse
+    them), a 'related reading' para in 4 docs (df=4 < 12*0.5 → kept), a
+    syndicate-wide footer in every doc (flagged per host), and unique
+    content paras (df=1 → kept).
+    """
+    h = i % BOILER_HOSTS
+    k = i // BOILER_HOSTS
+    banner = f"Subscribe to the host{h} newsletter for weekly updates."
+    if k % 2 == 1:
+        banner = f"SUBSCRIBE to  the host{h} Newsletter for weekly updates. "
+    paras = [banner]
+    for j in range(2 + i % 3):
+        paras.append(
+            f"Article {i} paragraph {j} discusses topic "
+            f"{(i * 7 + j) % 23} in depth."
+        )
+    if k % 6 < 2:
+        paras.append(f"Related reading from the host{h} archive shelf.")
+    paras.append("All rights reserved by the syndicate network.")
+    return paras
+
+
+def boilerplate_pages() -> list[tuple]:
+    """``(url, html, lang)`` Spark input rows for the boilerplate fixture."""
+    rows = []
+    for i in range(BOILER_N_DOCS):
+        h = i % BOILER_HOSTS
+        url = f"https://host{h}.example.org/p/{i}"
+        body = "".join(f"<p>{p}</p>" for p in _boiler_paragraphs(i))
+        rows.append((url, f"<html><body>{body}</body></html>".encode(), "en"))
+    return rows
+
+
+def boilerplate_oracle_sql() -> str:
+    """DuckDB re-derivation of the whole boilerplate pass: the VALUES table
+    holds only the extracted paragraphs (ground truth of the extraction
+    stage); host keying, normalization, per-host document frequency, the
+    (min_df, ratio) threshold, and the ordered clean-text reassembly are
+    all re-computed in SQL — independent of the Spark operator."""
+    truth = []
+    for i in range(BOILER_N_DOCS):
+        h = i % BOILER_HOSTS
+        url = f"https://host{h}.example.org/p/{i}"
+        for ppos, text in enumerate(_boiler_paragraphs(i)):
+            truth.append((url, ppos, text))
+    paras = values_sql(truth, ["url", "ppos", "text"])
+    return f"""
+WITH paras AS ({paras}),
+norm AS (
+  SELECT url, ppos, text,
+         regexp_extract(lower(url),
+                        '^(?:[a-z][a-z0-9+.-]*://)?([^/?#:]+)', 1) AS host,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS pkey
+  FROM paras
+),
+host_docs AS (
+  SELECT host, count(DISTINCT url) AS n_docs_host FROM norm GROUP BY host
+),
+flagged AS (
+  SELECT n.host, n.pkey
+  FROM norm n JOIN host_docs hd ON n.host = hd.host
+  GROUP BY n.host, n.pkey, hd.n_docs_host
+  HAVING count(DISTINCT n.url) >= {BOILER_MIN_DF}
+     AND count(DISTINCT n.url) >= hd.n_docs_host * {BOILER_RATIO}
+),
+marked AS (
+  SELECT n.url, n.ppos, n.text,
+         (f.pkey IS NOT NULL) AS is_boiler
+  FROM norm n
+  LEFT JOIN flagged f ON n.host = f.host AND n.pkey = f.pkey
+)
+SELECT url,
+       count(*) FILTER (WHERE NOT is_boiler) AS n_kept,
+       count(*) FILTER (WHERE is_boiler) AS n_removed,
+       COALESCE(string_agg(text, chr(10) ORDER BY ppos)
+                FILTER (WHERE NOT is_boiler), '') AS clean_text
+FROM marked GROUP BY url
+"""
+
+
+# --------------------------------------------------------------------------
+# anchor_aliases — anchor-text link-graph fixture + oracle
+# --------------------------------------------------------------------------
+
+ANCHOR_N_DOCS = 50
+ANCHOR_HOSTS = 4
+
+
+def _anchor_links(i: int) -> list[tuple[str, str]]:
+    """``(href, raw anchor text)`` pairs embedded in fixture page ``i``:
+    one absolute link, one root-relative, a hub link with whitespace/case
+    anchor variants (normalization must collapse them), a directory-relative
+    link on every 5th page, and an empty-anchor link on every 9th (dropped
+    by the alias table on both sides)."""
+    n = ANCHOR_N_DOCS
+    links = []
+    t1 = (i * 3 + 1) % n
+    links.append(
+        (
+            f"https://site{t1 % ANCHOR_HOSTS}.example.org/a/{t1}",
+            f"Topic {t1 % 7} overview",
+        )
+    )
+    t2 = (i * 7 + 2) % n
+    links.append((f"/a/{t2}", f"see page {t2}"))
+    links.append(
+        ("https://site0.example.org/a/0", "  Home " if i % 2 else "home")
+    )
+    if i % 5 == 0:
+        links.append((f"b/{i % 7}.html", f"Note {i % 7}"))
+    if i % 9 == 0:
+        links.append((f"https://site1.example.org/a/{(i + 5) % n}", ""))
+    return links
+
+
+def _anchor_src(i: int) -> str:
+    return f"https://site{i % ANCHOR_HOSTS}.example.org/a/{i}"
+
+
+def anchor_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the link-graph fixture."""
+    rows = []
+    for i in range(ANCHOR_N_DOCS):
+        nav = "".join(
+            f'<a href="{href}">{anchor}</a>'
+            for href, anchor in _anchor_links(i)
+        )
+        html = (
+            f"<html><body><nav>{nav}</nav>"
+            f"<p>Content of page {i}.</p></body></html>"
+        )
+        rows.append((_anchor_src(i), html.encode()))
+    return rows
+
+
+def _resolve_href(src: str, href: str) -> str:
+    """Pure-Python href absolutization — the oracle's independent
+    re-derivation of the operator's resolution rules."""
+    import re as _re
+
+    if _re.match(r"^[a-z][a-z0-9+.-]*://", href):
+        return href
+    m = _re.match(r"^([a-z][a-z0-9+.-]*)://([^/?#:]+)", src)
+    scheme, host = m.group(1), m.group(2)
+    if href.startswith("/"):
+        return f"{scheme}://{host}{href}"
+    return src.rsplit("/", 1)[0] + "/" + href
+
+
+def anchor_aliases_oracle_sql() -> str:
+    """VALUES of resolved ground-truth edges; anchor normalization, the
+    empty-anchor filter and both aggregates re-derived in SQL."""
+    edges = []
+    for i in range(ANCHOR_N_DOCS):
+        src = _anchor_src(i)
+        for href, anchor in _anchor_links(i):
+            edges.append((src, _resolve_href(src, href), anchor))
+    vals = values_sql(edges, ["src", "dst", "anchor"])
+    return f"""
+WITH edges AS ({vals}),
+norm AS (
+  SELECT dst,
+         regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS anchor,
+         regexp_extract(lower(src),
+                        '^(?:[a-z][a-z0-9+.-]*://)?([^/?#:]+)', 1) AS src_host
+  FROM edges
+)
+SELECT dst, anchor,
+       count(*) AS n_links,
+       count(DISTINCT src_host) AS n_src_hosts
+FROM norm WHERE anchor <> '' GROUP BY dst, anchor
+"""

@@ -6501,6 +6501,39 @@ def _q_bpe_segments(spark, sf_dir):
     )
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    """Statistical boilerplate removal (operators/boilerplate.py): fixture
+    pages → real HTML extraction → per-host paragraph-frequency flagging →
+    clean-text reassembly. The oracle re-derives the whole frequency pass
+    in DuckDB from the extraction-stage ground truth, so this checks both
+    the extraction bytes and the threshold logic."""
+    from search_spark import oracles
+    from search_spark.extraction.extract import extract_stage
+    from search_spark.operators.boilerplate import clean_pages
+
+    pages = spark.createDataFrame(
+        oracles.boilerplate_pages(),
+        schema="url string, html binary, lang string",
+    )
+    paras = extract_stage(pages, english_only=False)
+    return clean_pages(
+        paras, ratio=oracles.BOILER_RATIO, min_df=oracles.BOILER_MIN_DF
+    )
+
+
+def _q_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias table (operators/linkgraph.py): raw html → JVM
+    regex anchor extraction → href absolutization → normalized surface-form
+    aggregation with a distinct-linking-host trust count."""
+    from search_spark import oracles
+    from search_spark.operators.linkgraph import anchor_alias_table
+
+    pages = spark.createDataFrame(
+        oracles.anchor_pages(), schema="url string, html binary"
+    )
+    return anchor_alias_table(pages)
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6543,6 +6576,12 @@ def _register_python_derived_oracles() -> None:
         oracles.warc_cdx_lookup_oracle_sql(
             WARC_INGEST_N, WARC_INGEST_SEED, WARC_CDX_MOD
         ),
+    )
+    QUERIES["boilerplate_strip"] = Q(
+        _q_boilerplate_strip, oracles.boilerplate_oracle_sql()
+    )
+    QUERIES["anchor_aliases"] = Q(
+        _q_anchor_aliases, oracles.anchor_aliases_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

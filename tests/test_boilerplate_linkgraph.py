@@ -1,0 +1,173 @@
+"""Unit tests for frequency-based boilerplate removal and the anchor-text
+link graph (operators/boilerplate.py, operators/linkgraph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark.operators.boilerplate import (
+    clean_pages,
+    host_of,
+    mark_boilerplate,
+    strip_boilerplate,
+)
+from search_spark.operators.linkgraph import anchor_alias_table, anchor_edges
+
+
+def _paras(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="url string, ppos int, text string"
+    )
+
+
+def test_mark_boilerplate_threshold(spark):
+    # host a: 4 docs; banner in all 4 (flagged), rare in 1 (kept even
+    # though min_df=1 would catch it — ratio gate), content unique.
+    rows = []
+    for i in range(4):
+        url = f"https://a.org/{i}"
+        rows.append((url, 0, "Cookie banner text"))
+        rows.append((url, 1, f"unique content {i}"))
+    rows.append(("https://a.org/0", 2, "rarely shared"))
+    rows.append(("https://a.org/1", 2, "rarely shared"))
+    marked = mark_boilerplate(
+        _paras(spark, rows), ratio=0.75, min_df=2
+    ).collect()
+    flags = {(r.url, r.ppos): r.is_boilerplate for r in marked}
+    assert all(flags[(f"https://a.org/{i}", 0)] for i in range(4))
+    assert not any(flags[(f"https://a.org/{i}", 1)] for i in range(4))
+    # df=2 of 4 docs < 0.75 ratio → kept
+    assert not flags[("https://a.org/0", 2)]
+    assert not flags[("https://a.org/1", 2)]
+
+
+def test_boilerplate_is_per_host(spark):
+    # identical banner on two hosts, but only host a crosses the ratio
+    rows = [
+        ("https://a.org/0", 0, "shared banner"),
+        ("https://a.org/1", 0, "shared banner"),
+        ("https://b.org/0", 0, "shared banner"),
+        ("https://b.org/1", 0, "something else"),
+        ("https://b.org/2", 0, "third thing"),
+    ]
+    kept = strip_boilerplate(
+        _paras(spark, rows), ratio=0.6, min_df=2
+    ).collect()
+    urls = sorted(r.url for r in kept)
+    assert urls == [
+        "https://b.org/0",
+        "https://b.org/1",
+        "https://b.org/2",
+    ]
+
+
+def test_normalization_collapses_variants(spark):
+    rows = [
+        ("https://a.org/0", 0, "Cookie  Banner "),
+        ("https://a.org/1", 0, "cookie banner"),
+        ("https://a.org/0", 1, "content zero"),
+        ("https://a.org/1", 1, "content one"),
+    ]
+    marked = mark_boilerplate(
+        _paras(spark, rows), ratio=0.5, min_df=2
+    ).collect()
+    assert sorted(r.is_boilerplate for r in marked if r.ppos == 0) == [
+        True,
+        True,
+    ]
+
+
+def test_clean_pages_order_and_counts(spark):
+    rows = [
+        ("https://a.org/0", 0, "banner"),
+        ("https://a.org/0", 1, "first"),
+        ("https://a.org/0", 2, "second"),
+        ("https://a.org/1", 0, "banner"),
+        ("https://a.org/1", 1, "other"),
+    ]
+    out = {
+        r.url: r
+        for r in clean_pages(
+            _paras(spark, rows), ratio=0.5, min_df=2
+        ).collect()
+    }
+    r0 = out["https://a.org/0"]
+    assert (r0.n_kept, r0.n_removed) == (2, 1)
+    assert r0.clean_text == "first\nsecond"
+
+
+def test_clean_pages_all_boilerplate_yields_empty_string(spark):
+    rows = [
+        ("https://a.org/0", 0, "banner"),
+        ("https://a.org/1", 0, "banner"),
+    ]
+    out = clean_pages(_paras(spark, rows), ratio=0.5, min_df=2).collect()
+    assert all(r.n_kept == 0 and r.clean_text == "" for r in out)
+
+
+def test_host_of_column(spark):
+    df = spark.createDataFrame(
+        [("https://a.b.org:8080/x?q=1",), ("http://plain.org/",), ("noscheme.org/p",)],
+        schema="url string",
+    ).select(host_of("url").alias("h"))
+    assert [r.h for r in df.collect()] == ["a.b.org", "plain.org", "noscheme.org"]
+
+
+@pytest.fixture()
+def link_pages(spark):
+    rows = [
+        (
+            "https://a.org/dir/p1",
+            b'<html><body>'
+            b'<a href="https://b.org/x">Alpha Site</a>'
+            b'<a href="/root">  alpha   site </a>'
+            b'<a href="sub/q.html">Relative</a>'
+            b'<a href="https://b.org/x"></a>'
+            b"</body></html>",
+        ),
+        (
+            "https://c.org/p2",
+            b'<html><body><a href="https://b.org/x">alpha site</a>'
+            b"</body></html>",
+        ),
+    ]
+    return spark.createDataFrame(rows, schema="url string, html binary")
+
+
+def test_anchor_edges_resolution(spark, link_pages):
+    edges = {
+        (r.src, r.dst, r.anchor) for r in anchor_edges(link_pages).collect()
+    }
+    assert ("https://a.org/dir/p1", "https://b.org/x", "Alpha Site") in edges
+    assert ("https://a.org/dir/p1", "https://a.org/root", "  alpha   site ") in edges
+    assert ("https://a.org/dir/p1", "https://a.org/dir/sub/q.html", "Relative") in edges
+    assert ("https://c.org/p2", "https://b.org/x", "alpha site") in edges
+
+
+def test_anchor_alias_table(spark, link_pages):
+    rows = {
+        (r.dst, r.anchor): (r.n_links, r.n_src_hosts)
+        for r in anchor_alias_table(link_pages).collect()
+    }
+    # the two normalized-identical anchors to b.org/x come from two hosts;
+    # the empty anchor is dropped
+    assert rows[("https://b.org/x", "alpha site")] == (2, 2)
+    assert rows[("https://a.org/root", "alpha site")] == (1, 1)
+    assert ("https://b.org/x", "") not in rows
+
+
+def test_anchor_extraction_is_jvm_only(spark, link_pages):
+    plan = anchor_alias_table(link_pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_boilerplate_null_text_safe(spark):
+    rows = [
+        ("https://a.org/0", 0, None),
+        ("https://a.org/0", 1, "content"),
+        ("https://a.org/1", 0, None),
+    ]
+    marked = mark_boilerplate(
+        _paras(spark, rows), ratio=0.5, min_df=2
+    ).collect()
+    # NULL-text rows get a NULL key; they must never be flagged
+    assert all(not r.is_boilerplate for r in marked)
