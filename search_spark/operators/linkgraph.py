@@ -90,3 +90,61 @@ def anchor_alias_table(web_pages: DataFrame) -> DataFrame:
             F.countDistinct("src_host").alias("n_src_hosts"),
         )
     )
+
+
+def anchor_prior_dictionary(web_pages: DataFrame) -> DataFrame:
+    """Commonness dictionary: for each normalized anchor surface form, the
+    most-linked target plus exact-integer prior evidence.
+
+    ``P(dst | anchor)`` — the fraction of the anchor's links that point at
+    the winning target — is the classic web-KG disambiguation prior
+    (Wikipedia "commonness"); it complements the reference's
+    embedding-similarity linker (SURVEY.md §2.10) with a signal that only
+    exists at web scale.  The argmax is the portable two-step (max link
+    count per anchor, then min dst at that count) so Spark and the DuckDB
+    oracle trace identically; the prior ships as exact integers
+    (``n_links``, ``n_total``, ``prior_ppm = n_links*1e6 div n_total``) —
+    no cross-engine float rounding.
+
+    Scale: one extra hash aggregation and a self-equi-join per anchor key on
+    top of :func:`anchor_alias_table`; anchors are near-unique keys, so no
+    skew concern beyond the alias table's own.
+    """
+    aliases = anchor_alias_table(web_pages)
+    totals = aliases.groupBy("anchor").agg(
+        F.sum("n_links").alias("n_total")
+    )
+    best = (
+        aliases.groupBy("anchor")
+        .agg(F.max("n_links").alias("n_links"))
+        .join(aliases, ["anchor", "n_links"])
+        .groupBy("anchor", "n_links")
+        .agg(F.min("dst").alias("dst"))
+    )
+    return best.join(totals, "anchor").select(
+        "anchor",
+        "dst",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.floor(F.col("n_links") * F.lit(1_000_000) / F.col("n_total"))
+        .cast("long")
+        .alias("prior_ppm"),
+    )
+
+
+def link_by_anchor_prior(
+    mentions: DataFrame, web_pages: DataFrame
+) -> DataFrame:
+    """Left-link mention rows to targets via the anchor-prior dictionary.
+
+    Input needs a ``mention`` string column; all other columns pass
+    through.  Unlinkable surface forms keep NULL ``dst``/prior columns (the
+    downstream triple stage treats them as NaE, same as the reference's
+    unlinked mentions).  The dictionary side is anchor-vocabulary sized —
+    AQE broadcasts it when it fits; no forced hint (VERDICT r2 item 1).
+    """
+    dictionary = anchor_prior_dictionary(web_pages)
+    m = mentions.withColumn("surface", norm_anchor("mention"))
+    return m.join(
+        dictionary, m["surface"] == dictionary["anchor"], "left"
+    ).drop("anchor")

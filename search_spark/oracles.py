@@ -863,3 +863,85 @@ SELECT dst, anchor,
        count(DISTINCT src_host) AS n_src_hosts
 FROM norm WHERE anchor <> '' GROUP BY dst, anchor
 """
+
+
+# --------------------------------------------------------------------------
+# anchor_prior_link — commonness entity linking fixture + oracle
+# --------------------------------------------------------------------------
+
+ANCHOR_MENTIONS_N = 40
+
+
+def anchor_mentions() -> list[tuple]:
+    """``(mention_id, mention)`` fixture rows: case/whitespace variants of
+    known anchors (ambiguous "topic k overview" families exercise the
+    argmax tie-break, "see page k" is unambiguous, "HOME" hits the hub's
+    dominant prior) plus unlinkable strings every third row."""
+    rows = []
+    for j in range(ANCHOR_MENTIONS_N):
+        if j % 3 == 0:
+            m = f"Topic {j % 7}  Overview"
+        elif j % 3 == 1:
+            m = (
+                "  HOME "
+                if j % 6 == 1
+                else f"See Page {j % ANCHOR_N_DOCS}"
+            )
+        else:
+            m = f"unknownium {j}"
+        rows.append((j, m))
+    return rows
+
+
+def _anchor_edges_cte() -> str:
+    edges = []
+    for i in range(ANCHOR_N_DOCS):
+        src = _anchor_src(i)
+        for href, anchor in _anchor_links(i):
+            edges.append((src, _resolve_href(src, href), anchor))
+    return values_sql(edges, ["src", "dst", "anchor"])
+
+
+def anchor_prior_link_oracle_sql() -> str:
+    """Full SQL re-derivation of the commonness linker: alias counts, the
+    two-step argmax (max links per anchor, min dst at that count), the
+    exact-integer prior, and the left-link of the mention fixture."""
+    vals = _anchor_edges_cte()
+    mvals = values_sql(anchor_mentions(), ["mention_id", "mention"])
+    return f"""
+WITH edges AS ({vals}),
+mentions AS ({mvals}),
+norm AS (
+  SELECT dst,
+         regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS anchor
+  FROM edges
+),
+aliases AS (
+  SELECT dst, anchor, count(*) AS n_links
+  FROM norm WHERE anchor <> '' GROUP BY dst, anchor
+),
+totals AS (
+  SELECT anchor, sum(n_links) AS n_total FROM aliases GROUP BY anchor
+),
+best AS (
+  SELECT a.anchor, a.n_links, min(a.dst) AS dst
+  FROM aliases a
+  JOIN (SELECT anchor, max(n_links) AS n_links
+        FROM aliases GROUP BY anchor) mx
+    ON a.anchor = mx.anchor AND a.n_links = mx.n_links
+  GROUP BY a.anchor, a.n_links
+),
+dict AS (
+  SELECT b.anchor, b.dst,
+         CAST(b.n_links AS BIGINT) AS n_links,
+         CAST(t.n_total AS BIGINT) AS n_total,
+         CAST(b.n_links * 1000000 // t.n_total AS BIGINT) AS prior_ppm
+  FROM best b JOIN totals t ON b.anchor = t.anchor
+)
+SELECT m.mention_id, m.mention,
+       regexp_replace(trim(lower(m.mention)), '\\s+', ' ', 'g') AS surface,
+       d.dst, d.n_links, d.n_total, d.prior_ppm
+FROM mentions m
+LEFT JOIN dict d
+  ON regexp_replace(trim(lower(m.mention)), '\\s+', ' ', 'g') = d.anchor
+"""

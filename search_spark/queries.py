@@ -6534,6 +6534,30 @@ def _q_anchor_aliases(spark, sf_dir):
     return anchor_alias_table(pages)
 
 
+def _q_anchor_prior_link(spark, sf_dir):
+    """Commonness entity linking (operators/linkgraph.py): mention surface
+    forms left-linked to the anchor-prior dictionary built from raw html —
+    portable two-step argmax, exact-integer prior (no float rounding)."""
+    from search_spark import oracles
+    from search_spark.operators.linkgraph import link_by_anchor_prior
+
+    pages = spark.createDataFrame(
+        oracles.anchor_pages(), schema="url string, html binary"
+    )
+    mentions = spark.createDataFrame(
+        oracles.anchor_mentions(), schema="mention_id int, mention string"
+    )
+    return link_by_anchor_prior(mentions, pages).select(
+        "mention_id",
+        "mention",
+        "surface",
+        "dst",
+        "n_links",
+        "n_total",
+        "prior_ppm",
+    )
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6582,6 +6606,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["anchor_aliases"] = Q(
         _q_anchor_aliases, oracles.anchor_aliases_oracle_sql()
+    )
+    QUERIES["anchor_prior_link"] = Q(
+        _q_anchor_prior_link, oracles.anchor_prior_link_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

@@ -171,3 +171,49 @@ def test_boilerplate_null_text_safe(spark):
     ).collect()
     # NULL-text rows get a NULL key; they must never be flagged
     assert all(not r.is_boilerplate for r in marked)
+
+
+def test_anchor_prior_dictionary_argmax_and_prior(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.org/1",
+                b'<a href="https://x.org/A">jaguar</a>'
+                b'<a href="https://x.org/A">jaguar</a>'
+                b'<a href="https://x.org/B">jaguar</a>',
+            ),
+            (
+                "https://b.org/1",
+                b'<a href="https://x.org/C">lynx</a>'
+                b'<a href="https://x.org/D">lynx</a>',
+            ),
+        ],
+        schema="url string, html binary",
+    )
+    from search_spark.operators.linkgraph import anchor_prior_dictionary
+
+    d = {r.anchor: r for r in anchor_prior_dictionary(pages).collect()}
+    assert d["jaguar"].dst == "https://x.org/A"
+    assert (d["jaguar"].n_links, d["jaguar"].n_total) == (2, 3)
+    assert d["jaguar"].prior_ppm == 666666
+    # tie on count → lexicographic-min dst
+    assert d["lynx"].dst == "https://x.org/C"
+    assert d["lynx"].prior_ppm == 500000
+
+
+def test_link_by_anchor_prior_unlinkable_is_null(spark):
+    pages = spark.createDataFrame(
+        [("https://a.org/1", b'<a href="https://x.org/A">known</a>')],
+        schema="url string, html binary",
+    )
+    mentions = spark.createDataFrame(
+        [(0, " KNOWN "), (1, "missing")], schema="mention_id int, mention string"
+    )
+    from search_spark.operators.linkgraph import link_by_anchor_prior
+
+    rows = {
+        r.mention_id: r
+        for r in link_by_anchor_prior(mentions, pages).collect()
+    }
+    assert rows[0].dst == "https://x.org/A" and rows[0].prior_ppm == 1000000
+    assert rows[1].dst is None and rows[1].prior_ppm is None
