@@ -1,0 +1,166 @@
+"""SPARQL-1.1-style property paths over the materialized triple table.
+
+The reference's mining cache is queried with flat SQL (``database/sql.py``);
+a KG constructor needs the next query surface up: path algebra —
+``pred``, inverse ``^p``, sequence ``p1/p2``, alternation ``p1|p2`` and
+bounded repetition ``p{1,k}`` — evaluated *with binding propagation* so a
+seeded query (``:E path ?x``) never materializes the full path relation.
+
+Evaluation strategy (Spark-first):
+
+* **Inverse normalization** — ``^`` is pushed down to the predicate leaves
+  algebraically (``^(a/b) = ^b/^a``, ``^(a|b) = ^a|^b``, ``^^a = a``)
+  before any plan is built, so the executor only ever swaps the two
+  columns of a leaf scan — no operator tree is evaluated "backwards".
+* **Left-to-right binding propagation** — each step receives the distinct
+  frontier of the previous step as its source set and left-semi-joins the
+  triple scan against it (magic-sets-lite).  With a selective seed set the
+  whole path evaluation touches only the reachable subgraph; the semi-join
+  is a plain equi-join AQE converts to broadcast when the frontier is
+  small — never a forced hint.
+* **Bounded repetition is semi-naive** — round ``i`` joins only the *delta*
+  frontier (new pairs from round ``i-1``) against the step relation and
+  anti-joins the accumulated result, exactly the large-star/small-star
+  loop discipline used by the canonicalizer (``canonicalize.py``), with
+  ``localCheckpoint`` truncating lineage per round.  Monotone set
+  semantics make the early exit (empty delta) identical to the oracle's
+  fixed ``k``-round unroll.
+
+At 10^12-triple scale the triple table is bucketed by ``subj`` (io/
+snapshots.py), so every leaf semi-join and every ``Seq`` join shuffles only
+the frontier side — the big table is read partition-pruned and joined on
+its bucket key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PathExpr:
+    """Marker base class for path expressions."""
+
+
+@dataclass(frozen=True)
+class Pred(PathExpr):
+    name: str
+    inverted: bool = False
+
+
+@dataclass(frozen=True)
+class Inv(PathExpr):
+    inner: PathExpr
+
+
+@dataclass(frozen=True)
+class Seq(PathExpr):
+    left: PathExpr
+    right: PathExpr
+
+
+@dataclass(frozen=True)
+class Alt(PathExpr):
+    left: PathExpr
+    right: PathExpr
+
+
+@dataclass(frozen=True)
+class Repeat(PathExpr):
+    """``inner{1,max_hops}`` — bounded repetition, at least one hop."""
+
+    inner: PathExpr
+    max_hops: int
+
+
+def normalize(expr: PathExpr, flip: bool = False) -> PathExpr:
+    """Push every ``Inv`` down to the predicate leaves."""
+    if isinstance(expr, Pred):
+        return Pred(expr.name, expr.inverted ^ flip)
+    if isinstance(expr, Inv):
+        return normalize(expr.inner, not flip)
+    if isinstance(expr, Seq):
+        l, r = normalize(expr.left, flip), normalize(expr.right, flip)
+        return Seq(r, l) if flip else Seq(l, r)
+    if isinstance(expr, Alt):
+        return Alt(normalize(expr.left, flip), normalize(expr.right, flip))
+    if isinstance(expr, Repeat):
+        return Repeat(normalize(expr.inner, flip), expr.max_hops)
+    raise TypeError(f"unknown path expression: {expr!r}")
+
+
+def _restrict(pairs: DataFrame, sources: DataFrame | None) -> DataFrame:
+    if sources is None:
+        return pairs
+    return pairs.join(sources, on="src", how="left_semi")
+
+
+def _eval(
+    triples: DataFrame, expr: PathExpr, sources: DataFrame | None
+) -> DataFrame:
+    if isinstance(expr, Pred):
+        pairs = triples.filter(F.col("pred") == expr.name)
+        if expr.inverted:
+            pairs = pairs.select(
+                F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+        else:
+            pairs = pairs.select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        return _restrict(pairs, sources).distinct()
+    if isinstance(expr, Seq):
+        left = _eval(triples, expr.left, sources)
+        mids = left.select(F.col("dst").alias("src")).distinct()
+        right = _eval(triples, expr.right, mids).withColumnRenamed(
+            "src", "mid"
+        )
+        return (
+            left.join(right, left["dst"] == right["mid"])
+            .select(left["src"], right["dst"])
+            .distinct()
+        )
+    if isinstance(expr, Alt):
+        return (
+            _eval(triples, expr.left, sources)
+            .unionByName(_eval(triples, expr.right, sources))
+            .distinct()
+        )
+    if isinstance(expr, Repeat):
+        acc = _eval(triples, expr.inner, sources).localCheckpoint()
+        delta = acc
+        for _ in range(expr.max_hops - 1):
+            frontier = delta.select(F.col("dst").alias("src")).distinct()
+            step = _eval(triples, expr.inner, frontier).withColumnRenamed(
+                "src", "mid"
+            )
+            new_pairs = (
+                delta.join(step, delta["dst"] == step["mid"])
+                .select(delta["src"], step["dst"])
+                .distinct()
+            )
+            delta = new_pairs.join(
+                acc, on=["src", "dst"], how="left_anti"
+            ).localCheckpoint()
+            if delta.isEmpty():
+                break
+            acc = acc.unionByName(delta).localCheckpoint()
+        return acc
+    raise TypeError(f"unknown path expression: {expr!r}")
+
+
+def eval_path(
+    triples: DataFrame,
+    expr: PathExpr,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Evaluate a property path to its distinct ``(src, dst)`` pair set.
+
+    ``triples`` needs ``(subj, pred, obj)``; ``sources``, when given, is a
+    one-column ``src`` frame binding the path's left end (SPARQL
+    ``:seed path ?x``) — the restriction is pushed into the leftmost leaf
+    scan and propagated frontier-by-frontier.
+    """
+    return _eval(triples, normalize(expr), sources)

@@ -6267,7 +6267,65 @@ GROUP BY p.a_id, p.a_label
 """
 
 
+_PP_MAX_HOPS = 3
+
+
+def _q_kg_property_path(spark, sf_dir):
+    """SPARQL property path (operators/paths.py) with binding propagation:
+    seeds = entities starting with 's'; path =
+    ``(DIFF | ^DIFF){1,3} / has_type`` — undirected bounded closure over
+    the co-letter relation, then a type lookup. Inverse is normalized to
+    the leaves; repetition is semi-naive with per-round checkpoints."""
+    from search_spark.operators.paths import (
+        Alt,
+        Inv,
+        Pred,
+        Repeat,
+        Seq,
+        eval_path,
+    )
+
+    t = _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj")
+    seeds = (
+        t.filter(F.col("subj").startswith("s"))
+        .select(F.col("subj").alias("src"))
+        .distinct()
+    )
+    path = Seq(
+        Repeat(Alt(Pred(DIFF), Inv(Pred(DIFF))), _PP_MAX_HOPS),
+        Pred("has_type"),
+    )
+    return eval_path(t, path, seeds).select(
+        F.col("src").alias("entity"), F.col("dst").alias("reached_type")
+    )
+
+
+_SQL_KG_PROPERTY_PATH = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+    FROM mentions
+    UNION ALL SELECT subj, pred, obj FROM relations)),
+step AS MATERIALIZED (
+    SELECT subj AS src, obj AS dst FROM t WHERE pred = '{DIFF}'
+    UNION
+    SELECT obj AS src, subj AS dst FROM t WHERE pred = '{DIFF}'),
+seeds AS (SELECT DISTINCT subj AS src FROM t WHERE subj LIKE 's%'),
+hop1 AS MATERIALIZED (
+    SELECT DISTINCT s.src, e.dst FROM seeds s JOIN step e ON e.src = s.src),
+hop2 AS MATERIALIZED (
+    SELECT DISTINCT h.src, e.dst FROM hop1 h JOIN step e ON e.src = h.dst),
+hop3 AS MATERIALIZED (
+    SELECT DISTINCT h.src, e.dst FROM hop2 h JOIN step e ON e.src = h.dst),
+rep AS (SELECT src, dst FROM hop1 UNION SELECT src, dst FROM hop2
+        UNION SELECT src, dst FROM hop3)
+SELECT DISTINCT r.src AS entity, t.obj AS reached_type
+FROM rep r JOIN t ON t.subj = r.dst AND t.pred = 'has_type'
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "kg_property_path": Q(_q_kg_property_path, _SQL_KG_PROPERTY_PATH),
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
     "kg_random_walks": Q(_q_kg_random_walks, _random_walks_oracle_sql()),
