@@ -1,0 +1,134 @@
+"""Web-table mining: HTML ``<table>`` elements → cells → (subj, pred, obj).
+
+Web tables are the second classic KG source on Common-Crawl-style corpora
+(after running text): a relational table whose first column names an entity
+and whose header row names properties yields one triple per body cell —
+the WebTables/DBpedia-infobox recipe.  The reference pipeline has no
+table path at all (its tag profiles *drop* tables as boilerplate,
+article.py:528-548 / html_text.py:91); this module adds it as a separate
+extraction, so the text path's byte-parity contract is untouched.
+
+Two stages with a clean seam:
+
+* :func:`table_cells` — the only Python step: an Arrow-batched
+  ``mapInPandas`` over ``(url, html)`` that walks each document's
+  ``<table>`` elements with the same stdlib ``ElementTree`` kernel the
+  text extractor uses and emits one row per cell
+  ``(url, t_idx, r_idx, c_idx, is_header, text)``.  Per-page work is
+  linear in page size; output is partition-local (no shuffle).
+* :func:`cells_to_triples` — pure DataFrame algebra: header cells become
+  the predicate dictionary of their ``(url, t_idx, c_idx)``, the first
+  body column names the row's subject, and each remaining body cell emits
+  ``(subj, pred, obj, prov)``.  Both lookups are equi-joins on
+  ``(url, t_idx, …)`` — co-partitioned with the cell table, and the
+  header side is tables×columns sized, so AQE broadcasts it when small
+  (never forced).
+
+Tables without a ``<th>`` header row produce no triples (no predicate
+names) — they still appear in the cell table for schema-recovery passes.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Iterator
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS_RE = re.compile(r"\s+")
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("t_idx", T.IntegerType(), False),
+        T.StructField("r_idx", T.IntegerType(), False),
+        T.StructField("c_idx", T.IntegerType(), False),
+        T.StructField("is_header", T.BooleanType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def _cell_text(el: ElementTree.Element) -> str:
+    raw = "".join(el.itertext())
+    return _WS_RE.sub(" ", unicodedata.normalize("NFKC", raw)).strip()
+
+
+def _iter_cells(html_doc: bytes | str) -> Iterator[tuple]:
+    """``(t_idx, r_idx, c_idx, is_header, text)`` for one page; malformed
+    pages yield nothing (the text path already has the lossy fallback —
+    tables in tag soup are not recoverable cell-exactly)."""
+    if isinstance(html_doc, bytes):
+        html_doc = html_doc.decode("utf-8", errors="replace")
+    try:
+        root = ElementTree.fromstring(html_doc)
+    except ElementTree.ParseError:
+        return
+    for t_idx, table in enumerate(root.iter("table")):
+        for r_idx, row in enumerate(table.iter("tr")):
+            for c_idx, cell in enumerate(
+                c for c in row if c.tag in ("td", "th")
+            ):
+                yield t_idx, r_idx, c_idx, cell.tag == "th", _cell_text(cell)
+
+
+def table_cells(web_pages: DataFrame) -> DataFrame:
+    """Cell table for every ``<table>`` in a web_pages frame."""
+    src = web_pages.select("url", "html")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (url, *cell)
+                for url, html_doc in zip(pdf["url"], pdf["html"])
+                for cell in _iter_cells(html_doc)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CELLS_SCHEMA.fields]
+            ).astype(
+                {"t_idx": "int32", "r_idx": "int32", "c_idx": "int32"}
+            )
+
+    return src.mapInPandas(_extract, schema=CELLS_SCHEMA)
+
+
+def cells_to_triples(cells: DataFrame) -> DataFrame:
+    """Header-keyed triple-ification of a cell table.
+
+    For each table whose row 0 is a ``<th>`` header: body rows emit
+    ``(subj = column-0 cell, pred = header of column c, obj = cell at
+    column c, prov = url#t<t_idx>:r<r_idx>)`` for every non-empty body
+    cell with ``c_idx > 0``.
+    """
+    headers = cells.filter(
+        F.col("is_header") & (F.col("r_idx") == 0) & (F.col("text") != "")
+    ).select("url", "t_idx", "c_idx", F.col("text").alias("pred"))
+    subjects = cells.filter(
+        (~F.col("is_header")) & (F.col("c_idx") == 0) & (F.col("text") != "")
+    ).select("url", "t_idx", "r_idx", F.col("text").alias("subj"))
+    body = cells.filter(
+        (~F.col("is_header")) & (F.col("c_idx") > 0) & (F.col("text") != "")
+    ).select("url", "t_idx", "r_idx", "c_idx", F.col("text").alias("obj"))
+    return (
+        body.join(headers, ["url", "t_idx", "c_idx"])
+        .join(subjects, ["url", "t_idx", "r_idx"])
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.concat(
+                F.col("url"), F.lit("#t"), F.col("t_idx"),
+                F.lit(":r"), F.col("r_idx"),
+            ).alias("prov"),
+        )
+    )
+
+
+def webtable_triples(web_pages: DataFrame) -> DataFrame:
+    """End-to-end: pages → cells → header-keyed triples."""
+    return cells_to_triples(table_cells(web_pages))

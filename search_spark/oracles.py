@@ -945,3 +945,237 @@ FROM mentions m
 LEFT JOIN dict d
   ON regexp_replace(trim(lower(m.mention)), '\\s+', ' ', 'g') = d.anchor
 """
+
+
+# --------------------------------------------------------------------------
+# webtable_cells / webtable_triples — HTML table mining fixture + oracles
+# --------------------------------------------------------------------------
+
+WEBTABLE_N_DOCS = 30
+_WT_COLORS = ["red", "green", "blue", "plaid"]
+
+
+def _webtable_tables(i: int) -> list[dict]:
+    """Tables on fixture page ``i``: a header-keyed product table (with an
+    empty price cell every 5th page — cell kept, triple dropped), and a
+    headerless table every 4th page (cells only, no triples)."""
+    rows = []
+    for r in range(2 + i % 2):
+        price = "" if (i % 5 == 0 and r == 0) else f"{(i * 13 + r) % 90}.50"
+        rows.append([f"item{i}_{r}", _WT_COLORS[(i + r) % 4], price])
+    tables = [{"header": ["item", "color", "price"], "rows": rows}]
+    if i % 4 == 0:
+        tables.append(
+            {"header": None, "rows": [["x", f"y{i}"], [f"z{i}", "w"]]}
+        )
+    return tables
+
+
+def _webtable_url(i: int) -> str:
+    return f"https://tables{i % 3}.example.org/t/{i}"
+
+
+def webtable_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the web-table fixture."""
+    pages = []
+    for i in range(WEBTABLE_N_DOCS):
+        parts = []
+        for t in _webtable_tables(i):
+            trs = []
+            if t["header"] is not None:
+                trs.append(
+                    "<tr>" + "".join(f"<th>{h}</th>" for h in t["header"])
+                    + "</tr>"
+                )
+            for row in t["rows"]:
+                trs.append(
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                )
+            parts.append("<table>" + "".join(trs) + "</table>")
+        html = (
+            "<html><body><p>Catalog page.</p>"
+            + "".join(parts)
+            + "</body></html>"
+        )
+        pages.append((_webtable_url(i), html.encode()))
+    return pages
+
+
+def webtable_cells_rows() -> list[tuple]:
+    """Ground-truth ``(url, t_idx, r_idx, c_idx, is_header, text)`` rows."""
+    out = []
+    for i in range(WEBTABLE_N_DOCS):
+        url = _webtable_url(i)
+        for t_idx, t in enumerate(_webtable_tables(i)):
+            r_off = 0
+            if t["header"] is not None:
+                for c_idx, h in enumerate(t["header"]):
+                    out.append((url, t_idx, 0, c_idx, True, h))
+                r_off = 1
+            for r, row in enumerate(t["rows"]):
+                for c_idx, c in enumerate(row):
+                    out.append((url, t_idx, r + r_off, c_idx, False, c))
+    return out
+
+
+def webtable_cells_oracle_sql() -> str:
+    return values_sql(
+        webtable_cells_rows(),
+        ["url", "t_idx", "r_idx", "c_idx", "is_header", "text"],
+    )
+
+
+def webtable_triples_oracle_sql() -> str:
+    """Re-derives header-keyed triple-ification in SQL from the cell
+    ground truth: predicates from row-0 headers, subjects from body
+    column 0, one triple per non-empty body cell with c_idx > 0."""
+    cells = webtable_cells_oracle_sql()
+    return f"""
+WITH cells AS ({cells}),
+headers AS (
+  SELECT url, t_idx, c_idx, text AS pred
+  FROM cells WHERE is_header AND r_idx = 0 AND text <> ''
+),
+subjects AS (
+  SELECT url, t_idx, r_idx, text AS subj
+  FROM cells WHERE NOT is_header AND c_idx = 0 AND text <> ''
+),
+body AS (
+  SELECT url, t_idx, r_idx, c_idx, text AS obj
+  FROM cells WHERE NOT is_header AND c_idx > 0 AND text <> ''
+)
+SELECT s.subj, h.pred, b.obj,
+       b.url || '#t' || CAST(b.t_idx AS VARCHAR)
+             || ':r' || CAST(b.r_idx AS VARCHAR) AS prov
+FROM body b
+JOIN headers h ON b.url = h.url AND b.t_idx = h.t_idx AND b.c_idx = h.c_idx
+JOIN subjects s ON b.url = s.url AND b.t_idx = s.t_idx AND b.r_idx = s.r_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# jsonld_triples — schema.org structured-data fixture + oracle
+# --------------------------------------------------------------------------
+
+JSONLD_N_DOCS = 45
+
+
+def _jsonld_blocks_for(i: int) -> list[tuple[str, dict | None]]:
+    """``(raw block text, parsed kv or None)`` per block on fixture page
+    ``i``, in document order. A malformed block every 9th page still
+    consumes a block index but parses to None (filtered).  One nested
+    value every 7th page — Spark surfaces it as canonical JSON; the
+    expected string is written here explicitly."""
+    blocks: list[tuple[str, dict | None]] = []
+    price = f"{(i * 37) % 100}.99"
+    prod = (
+        f'{{"@type": "Product", "@id": "prod:{i}", "name": "Widget {i}", '
+        f'"brand": "Brand{i % 5}", "price": {price}}}'
+    )
+    blocks.append(
+        (
+            prod,
+            {
+                "@type": "Product",
+                "@id": f"prod:{i}",
+                "name": f"Widget {i}",
+                "brand": f"Brand{i % 5}",
+                "price": price,
+            },
+        )
+    )
+    if i % 3 == 0:
+        person = (
+            f'{{"@type": "Person", "name": "Author {i % 11}", '
+            f'"jobTitle": "editor"}}'
+        )
+        blocks.append(
+            (
+                person,
+                {
+                    "@type": "Person",
+                    "name": f"Author {i % 11}",
+                    "jobTitle": "editor",
+                },
+            )
+        )
+    if i % 5 == 0:
+        anon = f'{{"@type": "Offer", "priceCurrency": "EUR{i % 2}"}}'
+        blocks.append(
+            (anon, {"@type": "Offer", "priceCurrency": f"EUR{i % 2}"})
+        )
+    if i % 7 == 0:
+        nested = (
+            f'{{"@type": "Organization", "name": "Org {i}", '
+            f'"address": {{"city": "Metropolis {i}"}}}}'
+        )
+        blocks.append(
+            (
+                nested,
+                {
+                    "@type": "Organization",
+                    "name": f"Org {i}",
+                    # Spark's from_json canonicalizes the nested value
+                    "address": f'{{"city":"Metropolis {i}"}}',
+                },
+            )
+        )
+    if i % 9 == 0:
+        blocks.append(('{bad json here}', None))
+    return blocks
+
+
+def _jsonld_url(i: int) -> str:
+    return f"https://shop{i % 6}.example.org/item/{i}"
+
+
+def jsonld_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the JSON-LD fixture."""
+    pages = []
+    for i in range(JSONLD_N_DOCS):
+        scripts = "".join(
+            f'<script type="application/ld+json">{raw}</script>'
+            for raw, _ in _jsonld_blocks_for(i)
+        )
+        html = (
+            f"<html><head>{scripts}</head>"
+            f"<body><p>Item {i}.</p></body></html>"
+        )
+        pages.append((_jsonld_url(i), html.encode()))
+    return pages
+
+
+def jsonld_oracle_sql() -> str:
+    """Re-derives the subject cascade (@id > name > url#b<idx>), rdf:type
+    routing and @-keyword dropping in SQL from the parsed-kv ground
+    truth (block indices count every regex-matched block, including the
+    malformed one the parse filter drops)."""
+    kv_rows = []
+    for i in range(JSONLD_N_DOCS):
+        url = _jsonld_url(i)
+        for b_idx, (_raw, kv) in enumerate(_jsonld_blocks_for(i)):
+            if kv is None:
+                continue
+            for k, v in kv.items():
+                kv_rows.append((url, b_idx, k, v))
+    vals = values_sql(kv_rows, ["url", "b_idx", "key", "value"])
+    return f"""
+WITH kv AS ({vals}),
+hdr AS (
+  SELECT url, b_idx,
+         COALESCE(
+           max(CASE WHEN key = '@id' THEN value END),
+           max(CASE WHEN key = 'name' THEN value END),
+           url || '#b' || CAST(b_idx AS VARCHAR)) AS subj
+  FROM kv GROUP BY url, b_idx
+)
+SELECT h.subj, 'rdf:type' AS pred, k.value AS obj,
+       k.url || '#b' || CAST(k.b_idx AS VARCHAR) AS prov
+FROM kv k JOIN hdr h ON k.url = h.url AND k.b_idx = h.b_idx
+WHERE k.key = '@type'
+UNION ALL
+SELECT h.subj, k.key AS pred, k.value AS obj,
+       k.url || '#b' || CAST(k.b_idx AS VARCHAR) AS prov
+FROM kv k JOIN hdr h ON k.url = h.url AND k.b_idx = h.b_idx
+WHERE k.key NOT LIKE '@%'
+"""

@@ -6616,6 +6616,45 @@ def _q_anchor_prior_link(spark, sf_dir):
     )
 
 
+def _q_webtable_cells(spark, sf_dir):
+    """Web-table parse stage (operators/webtables.py): ``<table>`` elements
+    → one row per cell, headers flagged — the WebTables-style structured
+    source the reference's curated-format pipeline never needed."""
+    from search_spark import oracles
+    from search_spark.operators.webtables import table_cells
+
+    pages = spark.createDataFrame(
+        oracles.webtable_pages(), schema="url string, html binary"
+    )
+    return table_cells(pages)
+
+
+def _q_webtable_triples(spark, sf_dir):
+    """Header-keyed triple-ification of web tables: subjects from body
+    column 0, predicates from the row-0 header, one triple per non-empty
+    body cell; headerless tables yield cells but no triples."""
+    from search_spark import oracles
+    from search_spark.operators.webtables import webtable_triples
+
+    pages = spark.createDataFrame(
+        oracles.webtable_pages(), schema="url string, html binary"
+    )
+    return webtable_triples(pages)
+
+
+def _q_jsonld_triples(spark, sf_dir):
+    """schema.org JSON-LD blocks → triples, all JVM codegen (regex block
+    scan + from_json map parse + subject cascade); malformed blocks are
+    filtered, nested values surface as canonical JSON strings."""
+    from search_spark import oracles
+    from search_spark.operators.jsonld import jsonld_triples
+
+    pages = spark.createDataFrame(
+        oracles.jsonld_pages(), schema="url string, html binary"
+    )
+    return jsonld_triples(pages)
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6667,6 +6706,15 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["anchor_prior_link"] = Q(
         _q_anchor_prior_link, oracles.anchor_prior_link_oracle_sql()
+    )
+    QUERIES["webtable_cells"] = Q(
+        _q_webtable_cells, oracles.webtable_cells_oracle_sql()
+    )
+    QUERIES["webtable_triples"] = Q(
+        _q_webtable_triples, oracles.webtable_triples_oracle_sql()
+    )
+    QUERIES["jsonld_triples"] = Q(
+        _q_jsonld_triples, oracles.jsonld_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

@@ -1,0 +1,94 @@
+"""Unit tests for web-table mining and JSON-LD extraction."""
+
+from search_spark.operators.jsonld import jsonld_blocks, jsonld_triples
+from search_spark.operators.webtables import (
+    cells_to_triples,
+    table_cells,
+    webtable_triples,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, schema="url string, html binary")
+
+
+def test_table_cells_header_and_body(spark):
+    html = (
+        b"<html><body><table>"
+        b"<tr><th>item</th><th>color</th></tr>"
+        b"<tr><td>apple</td><td>red</td></tr>"
+        b"<tr><td>sky</td><td>blue</td></tr>"
+        b"</table></body></html>"
+    )
+    cells = table_cells(_pages(spark, [("u", html)])).collect()
+    got = {(r.t_idx, r.r_idx, r.c_idx, r.is_header, r.text) for r in cells}
+    assert (0, 0, 0, True, "item") in got
+    assert (0, 1, 1, False, "red") in got
+    assert (0, 2, 0, False, "sky") in got
+    assert len(got) == 6
+
+
+def test_webtable_triples_shape(spark):
+    html = (
+        b"<table><tr><th>item</th><th>color</th><th>price</th></tr>"
+        b"<tr><td>apple</td><td>red</td><td></td></tr></table>"
+    )
+    triples = {
+        (r.subj, r.pred, r.obj, r.prov)
+        for r in webtable_triples(_pages(spark, [("u", html)])).collect()
+    }
+    # empty price cell drops its triple; color survives
+    assert triples == {("apple", "color", "red", "u#t0:r1")}
+
+
+def test_headerless_table_yields_cells_not_triples(spark):
+    html = b"<table><tr><td>a</td><td>b</td></tr></table>"
+    pages = _pages(spark, [("u", html)])
+    assert table_cells(pages).count() == 2
+    assert webtable_triples(pages).count() == 0
+
+
+def test_malformed_page_yields_no_cells(spark):
+    pages = _pages(spark, [("u", b"<table><tr><td>a</td>")])
+    assert table_cells(pages).count() == 0
+
+
+def test_cell_text_normalizes_whitespace_and_markup(spark):
+    html = b"<table><tr><th>k</th></tr><tr><td>  a  <b>b</b>\nc </td></tr></table>"
+    cells = {r.text for r in table_cells(_pages(spark, [("u", html)])).collect()}
+    assert "a b c" in cells
+
+
+def test_jsonld_subject_cascade(spark):
+    html = (
+        b'<html><head>'
+        b'<script type="application/ld+json">'
+        b'{"@type": "P", "@id": "x:1", "name": "N", "k": "v"}</script>'
+        b'<script type="application/ld+json">'
+        b'{"@type": "P", "name": "OnlyName"}</script>'
+        b'<script type="application/ld+json">{"@type": "P"}</script>'
+        b"</head></html>"
+    )
+    t = jsonld_triples(_pages(spark, [("u", html)])).collect()
+    subj_by_prov = {r.prov: r.subj for r in t}
+    assert subj_by_prov["u#b0"] == "x:1"
+    assert subj_by_prov["u#b1"] == "OnlyName"
+    assert subj_by_prov["u#b2"] == "u#b2"
+    # @-keys other than @type never become predicates
+    assert not any(r.pred.startswith("@") for r in t)
+    assert {r.pred for r in t if r.prov == "u#b0"} == {
+        "rdf:type",
+        "name",
+        "k",
+    }
+
+
+def test_jsonld_malformed_block_filtered_but_indexed(spark):
+    html = (
+        b'<script type="application/ld+json">{oops}</script>'
+        b'<script type="application/ld+json">{"@type": "T"}</script>'
+    )
+    pages = _pages(spark, [("u", html)])
+    assert jsonld_blocks(pages).count() == 2
+    t = jsonld_triples(pages).collect()
+    assert [(r.subj, r.obj) for r in t] == [("u#b1", "T")]
