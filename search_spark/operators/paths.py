@@ -129,7 +129,12 @@ def _eval(
             .distinct()
         )
     if isinstance(expr, Repeat):
-        acc = _eval(triples, expr.inner, sources).localCheckpoint()
+        # per-round truncation uses cache() rather than localCheckpoint():
+        # rounds are bounded by max_hops so lineage depth is bounded too,
+        # and on this Spark build localCheckpoint of the round plan trips
+        # an attribute-resolution error when the triple input is itself a
+        # cached/checkpointed relation (key not found: src#N).
+        acc = _eval(triples, expr.inner, sources).cache()
         delta = acc
         for _ in range(expr.max_hops - 1):
             frontier = delta.select(F.col("dst").alias("src")).distinct()
@@ -143,10 +148,10 @@ def _eval(
             )
             delta = new_pairs.join(
                 acc, on=["src", "dst"], how="left_anti"
-            ).localCheckpoint()
+            ).cache()
             if delta.isEmpty():
                 break
-            acc = acc.unionByName(delta).localCheckpoint()
+            acc = acc.unionByName(delta).cache()
         return acc
     raise TypeError(f"unknown path expression: {expr!r}")
 

@@ -1179,3 +1179,86 @@ SELECT h.subj, k.key AS pred, k.value AS obj,
 FROM kv k JOIN hdr h ON k.url = h.url AND k.b_idx = h.b_idx
 WHERE k.key NOT LIKE '@%'
 """
+
+
+# --------------------------------------------------------------------------
+# kg_fused_triples — multi-source knowledge fusion fixture + oracle
+# --------------------------------------------------------------------------
+
+FUSION_N_DOCS = 36
+_FUSE_COLORS = ["red", "green", "blue", "plaid"]
+
+
+def _fusion_entity(i: int) -> tuple[str, str, str, str]:
+    """``(subj, table color, jsonld color, price)`` for fixture page ``i``;
+    the JSON-LD color disagrees with the table on every 3rd page."""
+    subj = f"gadget{i}"
+    color_t = _FUSE_COLORS[i % 4]
+    color_j = "crimson" if i % 3 == 0 else color_t
+    price = f"{(i * 7) % 50}.00"
+    return subj, color_t, color_j, price
+
+
+def fusion_pages() -> list[tuple]:
+    """``(url, html)`` rows: each page carries BOTH a product table and a
+    JSON-LD block describing the same entity (same ``@id`` as the table's
+    key column), with a color conflict on every 3rd page."""
+    pages = []
+    for i in range(FUSION_N_DOCS):
+        subj, color_t, color_j, price = _fusion_entity(i)
+        table = (
+            "<table><tr><th>item</th><th>color</th><th>price</th></tr>"
+            f"<tr><td>{subj}</td><td>{color_t}</td><td>{price}</td></tr>"
+            "</table>"
+        )
+        block = (
+            f'{{"@type": "Product", "@id": "{subj}", '
+            f'"color": "{color_j}", "price": "{price}"}}'
+        )
+        html = (
+            f"<html><head><script type=\"application/ld+json\">{block}"
+            f"</script></head><body>{table}</body></html>"
+        )
+        pages.append((f"https://fuse{i % 4}.example.org/g/{i}", html.encode()))
+    return pages
+
+
+def fusion_oracle_sql() -> str:
+    """Ground-truth per-source triples as VALUES (mirroring the two
+    extractors' outputs on the fixture); the fusion evidence aggregation,
+    the exact-integer rank, and the two-step functional resolution are
+    re-derived in SQL."""
+    rows = []
+    for i in range(FUSION_N_DOCS):
+        subj, color_t, color_j, price = _fusion_entity(i)
+        rows.append((subj, "color", color_t, "webtable", 0))
+        rows.append((subj, "price", price, "webtable", 0))
+        rows.append((subj, "rdf:type", "Product", "jsonld", 1))
+        rows.append((subj, "color", color_j, "jsonld", 1))
+        rows.append((subj, "price", price, "jsonld", 1))
+    vals = values_sql(rows, ["subj", "pred", "obj", "source", "priority"])
+    return f"""
+WITH ev0 AS ({vals}),
+ev AS (
+  SELECT subj, pred, obj,
+         count(*) AS n_prov,
+         count(DISTINCT source) AS n_sources,
+         min(priority) AS priority
+  FROM ev0 GROUP BY subj, pred, obj
+),
+ranked AS (
+  SELECT *,
+         least(n_sources, 999999) * 1000000000
+         + least(n_prov, 999999) * 1000
+         + (999 - least(priority, 999)) AS rank
+  FROM ev
+),
+best AS (SELECT subj, pred, max(rank) AS rank FROM ranked
+         GROUP BY subj, pred)
+SELECT r.subj, r.pred, min(r.obj) AS obj,
+       CAST(r.n_sources AS BIGINT) AS n_sources,
+       CAST(r.n_prov AS BIGINT) AS n_prov
+FROM ranked r
+JOIN best b ON r.subj = b.subj AND r.pred = b.pred AND r.rank = b.rank
+GROUP BY r.subj, r.pred, r.rank, r.n_sources, r.n_prov
+"""

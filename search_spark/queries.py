@@ -6285,7 +6285,12 @@ def _q_kg_property_path(spark, sf_dir):
         eval_path,
     )
 
-    t = _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj")
+    # the evaluator scans the triple table once per leaf per round —
+    # materialize the (NER-derived) table once so every scan reads cached
+    # blocks, not a re-run of the extraction lineage (localCheckpoint here
+    # trips SPARK attribute resolution under the evaluator's self-joins)
+    t = _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj").cache()
+    t.count()
     seeds = (
         t.filter(F.col("subj").startswith("s"))
         .select(F.col("subj").alias("src"))
@@ -6655,6 +6660,25 @@ def _q_jsonld_triples(spark, sf_dir):
     return jsonld_triples(pages)
 
 
+def _q_kg_fused_triples(spark, sf_dir):
+    """Knowledge fusion (operators/fusion.py): the web-table and JSON-LD
+    extractors run over the same pages (same entities, conflicting color
+    on every 3rd page); evidence is unioned, scored by cross-source
+    agreement and resolved per (subj, pred) with the exact-integer rank —
+    more sources > more provenance > extractor priority > lexicographic."""
+    from search_spark import oracles
+    from search_spark.operators.fusion import fuse_and_resolve
+    from search_spark.operators.jsonld import jsonld_triples
+    from search_spark.operators.webtables import webtable_triples
+
+    pages = spark.createDataFrame(
+        oracles.fusion_pages(), schema="url string, html binary"
+    )
+    wt = webtable_triples(pages).select("subj", "pred", "obj")
+    jl = jsonld_triples(pages).select("subj", "pred", "obj")
+    return fuse_and_resolve([("webtable", wt), ("jsonld", jl)])
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6715,6 +6739,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["jsonld_triples"] = Q(
         _q_jsonld_triples, oracles.jsonld_oracle_sql()
+    )
+    QUERIES["kg_fused_triples"] = Q(
+        _q_kg_fused_triples, oracles.fusion_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,
