@@ -148,3 +148,104 @@ def link_by_anchor_prior(
     return m.join(
         dictionary, m["surface"] == dictionary["anchor"], "left"
     ).drop("anchor")
+
+
+# --------------------------------------------------------------------------
+# rel=canonical extraction + chain resolution
+# --------------------------------------------------------------------------
+
+_CANONICAL_RE = '<link\\s+rel="canonical"\\s+href="([^"]*)"\\s*/?>'
+
+
+def canonical_links(web_pages: DataFrame) -> DataFrame:
+    """``(url, canonical)`` from ``<link rel="canonical">`` headers — the
+    site-declared dedup signal Common-Crawl dedup keys on before any
+    content hashing.  Pure codegen (first match per page); root-relative
+    hrefs absolutize against the page host; pages without the tag or
+    self-canonical pages are omitted (they are their own key)."""
+    html_s = F.decode(F.col("html"), "UTF-8")
+    href = F.regexp_extract(html_s, _CANONICAL_RE, 1)
+    scheme = F.regexp_extract("url", "^([a-z][a-z0-9+.-]*)://", 1)
+    canonical = (
+        F.when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host_of("url"), href),
+        )
+        .otherwise(href)
+    )
+    return (
+        web_pages.select("url", canonical.alias("canonical"))
+        .filter((F.col("canonical") != "") & (F.col("canonical") != F.col("url")))
+    )
+
+
+def resolve_canonical_chains(
+    links: DataFrame, max_rounds: int = 6
+) -> DataFrame:
+    """Terminal canonical target per url via pointer jumping.
+
+    ``rel=canonical`` declarations chain in the wild (mirror -> master ->
+    preferred domain); dedup needs the *terminal* target.  Pointer
+    doubling (``ptr <- ptr o ptr``) resolves chains of length <= 2^k in k
+    self-joins — each round one equi-join + coalesce, no driver loop over
+    rows; the only driver-side state is the boolean convergence probe.
+
+    Cyclic declarations (invalid but present at web scale) are swept in
+    one pass after the loop: a row is cycle-involved when it still
+    advances (odd cycles), when it converged onto itself (even cycles —
+    self-links were filtered on input, so ``ptr == url`` can only arise
+    from a cycle), or when its resolved target is such a row (tails
+    draining into a cycle).  Those rows return ``resolved = NULL,
+    is_cycle = true`` so the dedup key falls back to the url itself;
+    the same flag also catches chains longer than ``2^max_rounds``.
+
+    Returns ``(url, resolved, is_cycle)`` for every url with an outgoing
+    canonical link.
+    """
+    ptr = links.select("url", F.col("canonical").alias("ptr")).cache()
+    for _ in range(max_rounds):
+        hop = ptr.select(
+            F.col("url").alias("p_url"), F.col("ptr").alias("p_ptr")
+        )
+        nxt = (
+            ptr.join(hop, ptr["ptr"] == hop["p_url"], "left")
+            .select(
+                ptr["url"],
+                F.coalesce(hop["p_ptr"], ptr["ptr"]).alias("ptr"),
+            )
+            .cache()
+        )
+        changed = not (
+            nxt.alias("n")
+            .join(ptr.alias("p"), on="url")
+            .filter(F.col("n.ptr") != F.col("p.ptr"))
+            .isEmpty()
+        )
+        ptr = nxt
+        if not changed:
+            break
+    hop = ptr.select(
+        F.col("url").alias("p_url"), F.col("ptr").alias("p_ptr")
+    )
+    probed = ptr.join(hop, ptr["ptr"] == hop["p_url"], "left").select(
+        ptr["url"],
+        "ptr",
+        (
+            (hop["p_ptr"].isNotNull() & (hop["p_ptr"] != ptr["ptr"]))
+            | (ptr["ptr"] == ptr["url"])
+        ).alias("cyc"),
+    )
+    cyc_urls = probed.filter(F.col("cyc")).select(
+        F.col("url").alias("cyc_url")
+    )
+    return (
+        probed.join(cyc_urls, probed["ptr"] == cyc_urls["cyc_url"], "left")
+        .select(
+            "url",
+            F.when(
+                ~F.col("cyc") & F.col("cyc_url").isNull(), F.col("ptr")
+            ).alias("resolved"),
+            (F.col("cyc") | F.col("cyc_url").isNotNull()).alias("is_cycle"),
+        )
+    )

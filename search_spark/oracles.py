@@ -1262,3 +1262,87 @@ FROM ranked r
 JOIN best b ON r.subj = b.subj AND r.pred = b.pred AND r.rank = b.rank
 GROUP BY r.subj, r.pred, r.rank, r.n_sources, r.n_prov
 """
+
+
+# --------------------------------------------------------------------------
+# canonical_links / canonical_resolution — rel=canonical fixture + oracles
+# --------------------------------------------------------------------------
+
+CANON_N_DOCS = 64
+
+
+def _canon_url(i: int) -> str:
+    return f"https://cano.example.org/c/{i}"
+
+
+def _canon_target(i: int) -> str | None:
+    """Declared canonical href of fixture page ``i`` (raw, pre-resolution):
+    pages chain inside 8-page groups with group-dependent chain length
+    2..8 (chains > 2^1 exercise the doubling), alternating absolute and
+    root-relative hrefs; chain terminals have no tag; off-chain pages are
+    self-canonical every 5th (filtered) or untagged."""
+    g, p = i // 8, i % 8
+    chain_len = (g % 7) + 2
+    if p < chain_len - 1:
+        nxt = i + 1
+        return (
+            _canon_url(nxt) if i % 2 == 0 else f"/c/{nxt}"
+        )
+    if p >= chain_len and i % 5 == 0:
+        return _canon_url(i)  # self-canonical — filtered on extraction
+    return None
+
+
+def canonical_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the canonical-chain fixture."""
+    pages = []
+    for i in range(CANON_N_DOCS):
+        href = _canon_target(i)
+        head = (
+            f'<link rel="canonical" href="{href}">' if href is not None else ""
+        )
+        html = (
+            f"<html><head>{head}</head>"
+            f"<body><p>Page {i}.</p></body></html>"
+        )
+        pages.append((_canon_url(i), html.encode()))
+    return pages
+
+
+def canonical_links_rows() -> list[tuple]:
+    """Ground-truth ``(url, canonical)`` edges after absolutization and
+    self-link filtering — pure Python, mirrors no Spark code."""
+    rows = []
+    for i in range(CANON_N_DOCS):
+        href = _canon_target(i)
+        if href is None:
+            continue
+        absolute = href if href.startswith("http") else (
+            "https://cano.example.org" + href
+        )
+        if absolute == _canon_url(i):
+            continue
+        rows.append((_canon_url(i), absolute))
+    return rows
+
+
+def canonical_links_oracle_sql() -> str:
+    return values_sql(canonical_links_rows(), ["url", "canonical"])
+
+
+def canonical_resolution_oracle_sql() -> str:
+    """Spec-level re-derivation: a recursive CTE follows each url's
+    pointer to the terminal target (the node with no outgoing canonical
+    link) — independent of the Spark side's pointer-doubling rounds.
+    The fixture is acyclic, so ``is_cycle`` is uniformly false."""
+    vals = values_sql(canonical_links_rows(), ["url", "canonical"])
+    return f"""
+WITH RECURSIVE links AS ({vals}),
+r(url, ptr) AS (
+  SELECT url, canonical FROM links
+  UNION ALL
+  SELECT r.url, l.canonical FROM r JOIN links l ON l.url = r.ptr
+)
+SELECT r.url, r.ptr AS resolved, false AS is_cycle
+FROM r WHERE r.ptr NOT IN (SELECT url FROM links)
+"""

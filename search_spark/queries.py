@@ -6679,6 +6679,36 @@ def _q_kg_fused_triples(spark, sf_dir):
     return fuse_and_resolve([("webtable", wt), ("jsonld", jl)])
 
 
+def _q_canonical_links(spark, sf_dir):
+    """rel=canonical extraction (operators/linkgraph.py): pure-codegen
+    regex scan, root-relative absolutization, self-link filter — the
+    site-declared dedup key Common-Crawl dedup applies before hashing."""
+    from search_spark import oracles
+    from search_spark.operators.linkgraph import canonical_links
+
+    pages = spark.createDataFrame(
+        oracles.canonical_pages(), schema="url string, html binary"
+    )
+    return canonical_links(pages)
+
+
+def _q_canonical_resolution(spark, sf_dir):
+    """Canonical-chain resolution by pointer doubling (ptr ← ptr∘ptr,
+    log₂ rounds of one equi-join each); the oracle re-derives terminal
+    targets with a recursive CTE — spec-level, not a trace of the
+    doubling."""
+    from search_spark import oracles
+    from search_spark.operators.linkgraph import (
+        canonical_links,
+        resolve_canonical_chains,
+    )
+
+    pages = spark.createDataFrame(
+        oracles.canonical_pages(), schema="url string, html binary"
+    )
+    return resolve_canonical_chains(canonical_links(pages))
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6742,6 +6772,12 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["kg_fused_triples"] = Q(
         _q_kg_fused_triples, oracles.fusion_oracle_sql()
+    )
+    QUERIES["canonical_links"] = Q(
+        _q_canonical_links, oracles.canonical_links_oracle_sql()
+    )
+    QUERIES["canonical_resolution"] = Q(
+        _q_canonical_resolution, oracles.canonical_resolution_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

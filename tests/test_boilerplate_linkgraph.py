@@ -217,3 +217,66 @@ def test_link_by_anchor_prior_unlinkable_is_null(spark):
     }
     assert rows[0].dst == "https://x.org/A" and rows[0].prior_ppm == 1000000
     assert rows[1].dst is None and rows[1].prior_ppm is None
+
+
+def _canon_pages(spark, tags):
+    rows = [
+        (url, f'<html><head><link rel="canonical" href="{href}"></head>'
+              f"<body><p>x</p></body></html>".encode())
+        if href is not None
+        else (url, b"<html><head></head><body><p>x</p></body></html>")
+        for url, href in tags
+    ]
+    return spark.createDataFrame(rows, schema="url string, html binary")
+
+
+def test_canonical_links_absolutize_and_self_filter(spark):
+    from search_spark.operators.linkgraph import canonical_links
+
+    pages = _canon_pages(
+        spark,
+        [
+            ("https://a.org/p1", "https://a.org/master"),
+            ("https://a.org/p2", "/master"),
+            ("https://a.org/p3", "https://a.org/p3"),  # self → dropped
+            ("https://a.org/p4", None),                # untagged → dropped
+        ],
+    )
+    got = {(r.url, r.canonical) for r in canonical_links(pages).collect()}
+    assert got == {
+        ("https://a.org/p1", "https://a.org/master"),
+        ("https://a.org/p2", "https://a.org/master"),
+    }
+
+
+def test_canonical_chain_resolution_long_chain(spark):
+    from search_spark.operators.linkgraph import resolve_canonical_chains
+
+    # chain of 9 pointers needs >3 doubling rounds (2^3 = 8 < 9)
+    links = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(9)],
+        schema="url string, canonical string",
+    )
+    out = {r.url: (r.resolved, r.is_cycle)
+           for r in resolve_canonical_chains(links, max_rounds=4).collect()}
+    assert all(v == ("u9", False) for v in out.values())
+    assert len(out) == 9
+
+
+def test_canonical_cycles_flagged_with_null_resolution(spark):
+    from search_spark.operators.linkgraph import resolve_canonical_chains
+
+    links = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # even cycle
+            ("p", "q"), ("q", "r"), ("r", "p"),  # odd cycle
+            ("tail", "a"),                   # drains into the even cycle
+            ("x", "y"),                      # clean 1-hop chain
+        ],
+        schema="url string, canonical string",
+    )
+    out = {r.url: (r.resolved, r.is_cycle)
+           for r in resolve_canonical_chains(links).collect()}
+    for u in ("a", "b", "p", "q", "r", "tail"):
+        assert out[u] == (None, True), (u, out[u])
+    assert out["x"] == ("y", False)
