@@ -68,6 +68,12 @@ class PipelineConfig:
     # output (one giant document no longer serializes a downstream task)
     # and co-locates paragraphs by url for everything downstream.
     rebalance_after_extract: bool = True
+    # also mine structured data (web tables, JSON-LD blocks) from the same
+    # pages and union the triples into the output, tagged via
+    # ontology_source ('webtable' / 'jsonld') with NULL NER-only columns.
+    # Off by default: the text path's contracts/oracles see an identical
+    # stream; on, the KG fuses running text with the structured sources.
+    structured_sources: bool = False
 
 
 def build_triples(
@@ -197,7 +203,27 @@ def build_triples(
             .drop("_subj_form", "_obj_form")
         )
 
-    return triples_stage(specs)
+    out = triples_stage(specs)
+    if cfg.structured_sources:
+        from search_spark.operators.jsonld import jsonld_triples
+        from search_spark.operators.webtables import webtable_triples
+
+        def _tag(df: DataFrame, source: str) -> DataFrame:
+            return df.select(
+                "subj",
+                "pred",
+                "obj",
+                "prov",
+                F.lit(source).alias("ontology_source"),
+                # prov is url#<locator> for both structured extractors
+                F.regexp_extract("prov", "^(.*)#", 1).alias("url"),
+            )
+
+        structured = _tag(webtable_triples(web_pages), "webtable").unionByName(
+            _tag(jsonld_triples(web_pages), "jsonld")
+        )
+        out = out.unionByName(structured, allowMissingColumns=True)
+    return out
 
 
 def run_to_snapshot(

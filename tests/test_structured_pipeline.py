@@ -1,0 +1,55 @@
+"""E2E: structured sources (web tables, JSON-LD) fused into the pipeline."""
+
+from pyspark.sql import functions as F
+
+from search_spark.pipeline import PipelineConfig, build_triples
+
+
+def _page(spark):
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type": "Drug", "@id": "drug:glc", "name": "Glucose", '
+        '"dosage": "5mg"}</script></head>'
+        "<body><h2>S</h2><p>Glucose level rises in Diabetes patients.</p>"
+        "<table><tr><th>item</th><th>class</th></tr>"
+        "<tr><td>Glucose</td><td>sugar</td></tr></table>"
+        "</body></html>"
+    )
+    return spark.createDataFrame(
+        [("https://x.org/p1", html.encode(), "en")],
+        schema="url string, html binary, lang string",
+    )
+
+
+def test_structured_sources_are_additive(spark):
+    pages = _page(spark)
+    base = build_triples(spark, pages, PipelineConfig())
+    fused = build_triples(
+        spark, pages, PipelineConfig(structured_sources=True)
+    )
+    key = ["subj", "pred", "obj", "prov"]
+    base_rows = {tuple(r) for r in base.select(key).collect()}
+    fused_rows = {tuple(r) for r in fused.select(key).collect()}
+    # text-path triples unchanged, structured rows strictly added
+    assert base_rows <= fused_rows
+    added = fused.join(base.select(key), on=key, how="left_anti")
+    tags = {r.ontology_source for r in added.select("ontology_source").collect()}
+    assert tags == {"webtable", "jsonld"}
+    # structured rows carry the page url and NULL NER-only columns
+    s = added.filter(F.col("ontology_source") == "webtable").collect()
+    assert s and all(r.url == "https://x.org/p1" for r in s)
+    assert all(r.entity_type is None for r in s)
+    got = {(r.subj, r.pred, r.obj) for r in added.collect()}
+    assert ("Glucose", "class", "sugar") in got
+    assert ("drug:glc", "dosage", "5mg") in got
+    assert ("drug:glc", "rdf:type", "Drug") in got
+
+
+def test_structured_off_by_default_schema_stable(spark):
+    pages = _page(spark)
+    base = build_triples(spark, pages, PipelineConfig())
+    assert "ontology_source" in base.columns
+    assert {r.ontology_source for r in base.collect()} & {
+        "webtable",
+        "jsonld",
+    } == set()
