@@ -1,0 +1,150 @@
+"""Pattern bootstrap (DIPRE/Snowball) — induce relation patterns from seeds.
+
+The classic web-scale relation bootstrap (Brin, "Extracting Patterns and
+Relations from the WWW", 1998): given a small set of seed ``(subj, obj)``
+facts, find the textual contexts that connect them in the corpus, keep the
+contexts supported by several *distinct* seeds (the DIPRE confidence
+filter — one prolific page can't mint a pattern), then apply those
+patterns corpus-wide to harvest new pairs.  This is how a KG constructor
+grows text extraction from a structured nucleus (e.g. web-table/JSON-LD
+triples as seeds) without any labeled data.
+
+Spark shape — every stage is joins + hash aggregations:
+
+* :func:`pair_contexts` — the mention-pair self-join keyed on ``doc_id``
+  (never cross-document; same discipline as relation_stage) with the
+  token-window guard bounding fan-out, then one equi-join back to the
+  token table to assemble the middle context via an ordered
+  ``collect_list`` (no array slicing — identical semantics to the
+  oracle's ordered ``string_agg``).
+* :func:`induce_patterns` — support = ``countDistinct(subj, obj)`` over
+  seed-matching contexts, map-side partial-aggregated; deterministic
+  top-k by (support, occurrences, pattern) — pattern is the group key, so
+  the order is total and the cut is stable.
+* :func:`apply_patterns` — pattern table joins the context stream (top-k
+  sized → AQE broadcast, unhinted), seeds anti-joined out.
+
+Skew: hot mentions pair with everything near them, but the pair join is
+(doc_id)-local and window-bounded; pattern keys are near-uniform middles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_contexts(
+    tokens: DataFrame, mentions: DataFrame, window: int = 4
+) -> DataFrame:
+    """Ordered same-document mention pairs with their middle token context.
+
+    ``tokens`` is ``(doc_id, tpos, tok)``; ``mentions`` is
+    ``(doc_id, tpos, mention, …)``.  Returns one row per pair occurrence:
+    ``(doc_id, a_tpos, b_tpos, subj, obj, middle)`` where ``middle`` is
+    the space-joined tokens strictly between the two mentions ('' when
+    adjacent).
+    """
+    a = mentions.select(
+        "doc_id",
+        F.col("tpos").alias("a_tpos"),
+        F.col("mention").alias("subj"),
+    )
+    b = mentions.select(
+        "doc_id",
+        F.col("tpos").alias("b_tpos"),
+        F.col("mention").alias("obj"),
+    )
+    pairs = a.join(b, on="doc_id").filter(
+        (F.col("b_tpos") - F.col("a_tpos") >= 1)
+        & (F.col("b_tpos") - F.col("a_tpos") <= window)
+    )
+    # rename the token side first — mentions usually derive from the same
+    # token frame, and qualified refs on a self-joined lineage are ambiguous
+    t = tokens.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("tpos").alias("m_tpos"),
+        F.col("tok").alias("m_tok"),
+    )
+    mid_toks = pairs.join(
+        t,
+        on=(
+            (pairs["doc_id"] == t["t_doc"])
+            & (t["m_tpos"] > pairs["a_tpos"])
+            & (t["m_tpos"] < pairs["b_tpos"])
+        ),
+        how="left",
+    ).select("doc_id", "a_tpos", "b_tpos", "subj", "obj", "m_tpos", "m_tok")
+    return mid_toks.groupBy("doc_id", "a_tpos", "b_tpos", "subj", "obj").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("m_tok").isNotNull(),
+                            F.struct("m_tpos", "m_tok"),
+                        )
+                    )
+                ),
+                lambda s: s["m_tok"],
+            ),
+            " ",
+        ).alias("middle")
+    )
+
+
+def induce_patterns(
+    contexts: DataFrame,
+    seeds: DataFrame,
+    min_support: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Patterns (middle contexts) connecting ≥ ``min_support`` distinct
+    seed pairs, top-k by (support, occurrences, pattern)."""
+    seeded = contexts.join(seeds, on=["subj", "obj"], how="left_semi")
+    return (
+        seeded.groupBy("middle")
+        .agg(
+            F.countDistinct("subj", "obj").alias("support"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), F.desc("n_occ"), F.asc("middle"))
+        .limit(top_k)
+        .select(
+            F.col("middle").alias("pattern"),
+            F.col("support").cast("long").alias("support"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
+def apply_patterns(
+    contexts: DataFrame, patterns: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """Harvest non-seed pairs matched by induced patterns.
+
+    Returns ``(subj, obj, pattern, n_occ)`` — one row per new pair per
+    matching pattern with its occurrence count.
+    """
+    matched = contexts.join(
+        patterns.select(F.col("pattern").alias("middle")), on="middle"
+    )
+    fresh = matched.join(seeds, on=["subj", "obj"], how="left_anti")
+    return fresh.groupBy("subj", "obj", "middle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    ).select("subj", "obj", F.col("middle").alias("pattern"), "n_occ")
+
+
+def bootstrap_round(
+    tokens: DataFrame,
+    mentions: DataFrame,
+    seeds: DataFrame,
+    window: int = 4,
+    min_support: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """One full DIPRE round: contexts → patterns → harvested pairs."""
+    contexts = pair_contexts(tokens, mentions, window)
+    patterns = induce_patterns(contexts, seeds, min_support, top_k)
+    return apply_patterns(contexts, patterns, seeds)

@@ -6329,7 +6329,84 @@ FROM rep r JOIN t ON t.subj = r.dst AND t.pred = 'has_type'
 """
 
 
+_BOOT_WINDOW = 4
+_BOOT_SEED_DOCS = 5
+_BOOT_MIN_SUPPORT = 2
+_BOOT_TOP_K = 10
+
+
+def _q_kg_pattern_bootstrap(spark, sf_dir):
+    """One DIPRE/Snowball bootstrap round (operators/bootstrap.py): seed
+    pairs = co-occurrences in the first few documents, patterns = middle
+    contexts supported by ≥2 distinct seeds (top-10 deterministic), then
+    the patterns harvest non-seed pairs corpus-wide."""
+    from search_spark.operators.bootstrap import (
+        apply_patterns,
+        induce_patterns,
+        pair_contexts,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    m = _doc_mentions(spark, sf_dir)
+    # contexts feed seed derivation, induction AND application — one
+    # cached pass instead of three token-join recomputes
+    contexts = pair_contexts(toks, m, _BOOT_WINDOW).cache()
+    seeds = (
+        contexts.filter(F.col("doc_id") < _BOOT_SEED_DOCS)
+        .select("subj", "obj")
+        .distinct()
+    )
+    patterns = induce_patterns(
+        contexts, seeds, _BOOT_MIN_SUPPORT, _BOOT_TOP_K
+    )
+    return apply_patterns(contexts, patterns, seeds)
+
+
+_SQL_KG_PATTERN_BOOTSTRAP = f"""
+{_MENTIONS_SQL},
+pairs AS (
+  SELECT a.doc_id, a.tpos AS a_tpos, b.tpos AS b_tpos,
+         a.mention AS subj, b.mention AS obj
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id
+   AND b.tpos - a.tpos BETWEEN 1 AND {_BOOT_WINDOW}
+),
+ctx AS (
+  SELECT p.doc_id, p.a_tpos, p.b_tpos, p.subj, p.obj,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.tpos), '') AS middle
+  FROM pairs p LEFT JOIN toks t
+    ON t.doc_id = p.doc_id AND t.tpos > p.a_tpos AND t.tpos < p.b_tpos
+  GROUP BY p.doc_id, p.a_tpos, p.b_tpos, p.subj, p.obj
+),
+seeds AS (
+  SELECT DISTINCT subj, obj FROM ctx WHERE doc_id < {_BOOT_SEED_DOCS}
+),
+pat AS (
+  SELECT middle, count(DISTINCT (c.subj, c.obj)) AS support,
+         count(*) AS n_occ
+  FROM ctx c JOIN seeds s ON c.subj = s.subj AND c.obj = s.obj
+  GROUP BY middle
+  HAVING count(DISTINCT (c.subj, c.obj)) >= {_BOOT_MIN_SUPPORT}
+),
+top AS (
+  SELECT middle FROM pat
+  ORDER BY support DESC, n_occ DESC, middle ASC LIMIT {_BOOT_TOP_K}
+),
+harvest AS (
+  SELECT c.subj, c.obj, c.middle AS pattern, count(*) AS n_occ
+  FROM ctx c JOIN top ON c.middle = top.middle
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seeds s WHERE s.subj = c.subj AND s.obj = c.obj)
+  GROUP BY c.subj, c.obj, c.middle
+)
+SELECT subj, obj, pattern, CAST(n_occ AS BIGINT) AS n_occ FROM harvest
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "kg_pattern_bootstrap": Q(
+        _q_kg_pattern_bootstrap, _SQL_KG_PATTERN_BOOTSTRAP
+    ),
     "kg_property_path": Q(_q_kg_property_path, _SQL_KG_PROPERTY_PATH),
     "kg_doc_mentions": Q(_q_kg_doc_mentions, _SQL_KG_DOC_MENTIONS),
     "kg_link_prediction": Q(_q_kg_link_prediction, _SQL_KG_LINK_PREDICTION),
