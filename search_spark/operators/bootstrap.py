@@ -148,3 +148,48 @@ def bootstrap_round(
     contexts = pair_contexts(tokens, mentions, window)
     patterns = induce_patterns(contexts, seeds, min_support, top_k)
     return apply_patterns(contexts, patterns, seeds)
+
+
+def bootstrap_iterate(
+    tokens: DataFrame,
+    mentions: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    window: int = 4,
+    min_support: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Iterative Snowball: each round's harvest joins the seed set for the
+    next round's pattern induction.
+
+    Returns ``(subj, obj, round)`` — the round (1-based) at which each new
+    pair was first harvested; rounds are disjoint by construction (the
+    growing seed set is anti-joined out), so no min-round pass is needed.
+    Patterns are re-induced per round against the grown seeds — the loop
+    is monotone (seed set only grows), so an early exit on an empty
+    harvest equals the fixed unroll, same discipline as the property-path
+    and forward-chain fixpoints.  The context table is computed once and
+    cached; per-round state (the seed set) is pair-vocabulary sized.
+    """
+    contexts = pair_contexts(tokens, mentions, window).cache()
+    cur_seeds = seeds.select("subj", "obj").distinct().cache()
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        patterns = induce_patterns(contexts, cur_seeds, min_support, top_k)
+        new_pairs = (
+            apply_patterns(contexts, patterns, cur_seeds)
+            .select("subj", "obj")
+            .distinct()
+            .withColumn("round", F.lit(r).cast("long"))
+            .cache()
+        )
+        if new_pairs.isEmpty():
+            break
+        out = new_pairs if out is None else out.unionByName(new_pairs)
+        cur_seeds = cur_seeds.unionByName(
+            new_pairs.select("subj", "obj")
+        ).cache()
+    if out is None:
+        schema = "subj string, obj string, round long"
+        return tokens.sparkSession.createDataFrame([], schema=schema)
+    return out

@@ -6403,7 +6403,96 @@ SELECT subj, obj, pattern, CAST(n_occ AS BIGINT) AS n_occ FROM harvest
 """
 
 
+_BOOT_ROUNDS = 2
+
+
+def _q_kg_bootstrap_iterate(spark, sf_dir):
+    """Iterative Snowball (operators/bootstrap.py): round 1's harvested
+    pairs join the seed set, patterns re-induce against the grown seeds,
+    round 2 harvests again; output = (subj, obj, first-harvest round).
+    Monotone loop with early exit — identical to the oracle's unroll."""
+    from search_spark.operators.bootstrap import bootstrap_iterate
+
+    toks = _tokens(spark, sf_dir)
+    m = _doc_mentions(spark, sf_dir)
+    seeds = (
+        m.alias("a")
+        .join(m.alias("b"), on="doc_id")
+        .filter(
+            (F.col("b.tpos") - F.col("a.tpos") >= 1)
+            & (F.col("b.tpos") - F.col("a.tpos") <= _BOOT_WINDOW)
+            & (F.col("doc_id") < _BOOT_SEED_DOCS)
+        )
+        .select(
+            F.col("a.mention").alias("subj"), F.col("b.mention").alias("obj")
+        )
+        .distinct()
+    )
+    return bootstrap_iterate(
+        toks,
+        m,
+        seeds,
+        rounds=_BOOT_ROUNDS,
+        window=_BOOT_WINDOW,
+        min_support=_BOOT_MIN_SUPPORT,
+        top_k=_BOOT_TOP_K,
+    )
+
+
+def _bootstrap_iterate_oracle_sql() -> str:
+    """Fixed 2-round unroll; every reused CTE MATERIALIZED."""
+    head = f"""
+{_MENTIONS_SQL},
+pairs AS (
+  SELECT a.doc_id, a.tpos AS a_tpos, b.tpos AS b_tpos,
+         a.mention AS subj, b.mention AS obj
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id
+   AND b.tpos - a.tpos BETWEEN 1 AND {_BOOT_WINDOW}
+),
+ctx AS MATERIALIZED (
+  SELECT p.doc_id, p.a_tpos, p.b_tpos, p.subj, p.obj,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.tpos), '') AS middle
+  FROM pairs p LEFT JOIN toks t
+    ON t.doc_id = p.doc_id AND t.tpos > p.a_tpos AND t.tpos < p.b_tpos
+  GROUP BY p.doc_id, p.a_tpos, p.b_tpos, p.subj, p.obj
+),
+seeds0 AS MATERIALIZED (
+  SELECT DISTINCT subj, obj FROM ctx WHERE doc_id < {_BOOT_SEED_DOCS}
+)"""
+    rounds = []
+    for r in range(1, _BOOT_ROUNDS + 1):
+        prev = f"seeds{r - 1}"
+        rounds.append(f""",
+top{r} AS MATERIALIZED (
+  SELECT middle FROM (
+    SELECT middle, count(DISTINCT (c.subj, c.obj)) AS support,
+           count(*) AS n_occ
+    FROM ctx c JOIN {prev} s ON c.subj = s.subj AND c.obj = s.obj
+    GROUP BY middle
+    HAVING count(DISTINCT (c.subj, c.obj)) >= {_BOOT_MIN_SUPPORT})
+  ORDER BY support DESC, n_occ DESC, middle ASC LIMIT {_BOOT_TOP_K}
+),
+new{r} AS MATERIALIZED (
+  SELECT DISTINCT c.subj, c.obj
+  FROM ctx c JOIN top{r} ON c.middle = top{r}.middle
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} s WHERE s.subj = c.subj AND s.obj = c.obj)
+),
+seeds{r} AS MATERIALIZED (
+  SELECT subj, obj FROM {prev} UNION SELECT subj, obj FROM new{r}
+)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT subj, obj, CAST({r} AS BIGINT) AS round FROM new{r}"
+        for r in range(1, _BOOT_ROUNDS + 1)
+    )
+    return head + "".join(rounds) + "\n" + tail
+
+
 QUERIES: dict[str, Q] = {
+    "kg_bootstrap_iterate": Q(
+        _q_kg_bootstrap_iterate, _bootstrap_iterate_oracle_sql()
+    ),
     "kg_pattern_bootstrap": Q(
         _q_kg_pattern_bootstrap, _SQL_KG_PATTERN_BOOTSTRAP
     ),

@@ -93,3 +93,51 @@ def test_min_support_needs_distinct_seeds(spark):
     ).collect()
     assert [p.pattern for p in pats] == ["works at"]
     assert pats[0].support == 2 and pats[0].n_occ == 4
+
+
+def test_bootstrap_iterate_rounds_grow_seeds(spark):
+    # round 1: seeds (alice,acme)+(bob,hooli) give 'works at' support 2 →
+    # harvests (carol,initech); 'boss of' is support 1 → filtered.
+    # round 2: carol joins the seeds, 'boss of' reaches support 2 →
+    # harvests (dave,globex) — reachable only through the grown seed set.
+    docs = [
+        "alice works at acme",
+        "bob works at hooli",
+        "carol works at initech",
+        "alice boss of acme",
+        "carol boss of initech",
+        "dave boss of globex",
+    ]
+    toks = _corpus(spark, docs)
+    m = _mentions(
+        spark,
+        toks,
+        ["alice", "acme", "bob", "hooli", "carol", "initech", "dave",
+         "globex"],
+    )
+    seeds = spark.createDataFrame(
+        [("alice", "acme"), ("bob", "hooli")],
+        schema="subj string, obj string",
+    )
+    from search_spark.operators.bootstrap import bootstrap_iterate
+
+    out = {
+        (r.subj, r.obj): r.round
+        for r in bootstrap_iterate(
+            toks, m, seeds, rounds=2, min_support=2, top_k=10
+        ).collect()
+    }
+    assert out == {("carol", "initech"): 1, ("dave", "globex"): 2}
+
+
+def test_bootstrap_iterate_early_exit_empty_harvest(spark):
+    toks = _corpus(spark, ["alice works at acme"])
+    m = _mentions(spark, toks, ["alice", "acme"])
+    seeds = spark.createDataFrame(
+        [("alice", "acme")], schema="subj string, obj string"
+    )
+    from search_spark.operators.bootstrap import bootstrap_iterate
+
+    # the only pair IS the seed → nothing to harvest, loop exits round 1
+    out = bootstrap_iterate(toks, m, seeds, rounds=5, min_support=1)
+    assert out.count() == 0
