@@ -249,3 +249,51 @@ def resolve_canonical_chains(
             (F.col("cyc") | F.col("cyc_url").isNotNull()).alias("is_cycle"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hreflang translation clusters
+# --------------------------------------------------------------------------
+
+_HREFLANG_RE = (
+    '<link\\s+rel="alternate"\\s+hreflang="([a-zA-Z-]+)"'
+    '\\s+href="([^"]*)"\\s*/?>'
+)
+
+
+def hreflang_edges(web_pages: DataFrame) -> DataFrame:
+    """``(url, hreflang, alt_url)`` from ``<link rel="alternate">``
+    declarations — the language-variant signal that groups translations of
+    one page.  Pure codegen; self-declarations (``alt_url == url``, the
+    spec-required self row) are dropped; hreflang is lowercased (BCP-47 is
+    case-insensitive)."""
+    html_s = F.decode(F.col("html"), "UTF-8")
+    tags = F.regexp_extract_all(
+        html_s, F.lit(_HREFLANG_RE.replace("([a-zA-Z-]+)", "[a-zA-Z-]+")
+                      .replace('([^"]*)', '[^"]*')), F.lit(0)
+    )
+    e = web_pages.select("url", F.explode(tags).alias("tag"))
+    lang = F.lower(F.regexp_extract("tag", 'hreflang="([a-zA-Z-]+)"', 1))
+    href = F.regexp_extract("tag", 'href="([^"]*)"', 1)
+    return e.select(
+        "url", lang.alias("hreflang"), href.alias("alt_url")
+    ).filter((F.col("alt_url") != "") & (F.col("alt_url") != F.col("url")))
+
+
+def hreflang_groups(web_pages: DataFrame) -> DataFrame:
+    """``(url, group_id)`` translation clusters via connected components.
+
+    Sites declare alternates inconsistently (partial sets, one-directional
+    chains); the union of declarations is an undirected graph whose
+    components are the translation sets — the same large-star/small-star
+    machinery (with the driver union-find short-circuit) the alias
+    canonicalizer uses, group id = lexicographic-min url.
+    """
+    from search_spark.operators.canonicalize import connected_components
+
+    edges = hreflang_edges(web_pages).select(
+        F.col("url").alias("src"), F.col("alt_url").alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("url"), F.col("component").alias("group_id")
+    )

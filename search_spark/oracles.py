@@ -1346,3 +1346,91 @@ r(url, ptr) AS (
 SELECT r.url, r.ptr AS resolved, false AS is_cycle
 FROM r WHERE r.ptr NOT IN (SELECT url FROM links)
 """
+
+
+# --------------------------------------------------------------------------
+# hreflang_clusters — translation-set fixture + recursive-CC oracle
+# --------------------------------------------------------------------------
+
+HREFLANG_N_GROUPS = 12
+_HL_LANGS = ["en", "fr", "de", "ja"]
+
+
+def _hl_url(g: int, lang: str) -> str:
+    return f"https://ml{g % 3}.example.org/{lang}/{g}"
+
+
+def _hl_declarations(g: int) -> list[tuple[str, list[tuple[str, str]]]]:
+    """Per-page ``(url, [(hreflang, href), ...])`` for group ``g``; three
+    declaration styles: full clique, hub-and-spoke, one-directional chain
+    — CC must recover the same 4-url set from each."""
+    urls = {l: _hl_url(g, l) for l in _HL_LANGS}
+    style = g % 3
+    pages = []
+    for l in _HL_LANGS:
+        decls: list[tuple[str, str]] = []
+        if style == 0:
+            decls = [(l2, urls[l2]) for l2 in _HL_LANGS]  # incl. self row
+        elif style == 1:
+            if l == "en":
+                decls = [(l2, urls[l2]) for l2 in _HL_LANGS if l2 != "en"]
+            else:
+                decls = [("en", urls["en"])]
+        else:
+            chain = dict(zip(_HL_LANGS, _HL_LANGS[1:]))
+            if l in chain:
+                decls = [(chain[l], urls[chain[l]])]
+        pages.append((urls[l], decls))
+    return pages
+
+
+def hreflang_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the hreflang fixture."""
+    rows = []
+    for g in range(HREFLANG_N_GROUPS):
+        for url, decls in _hl_declarations(g):
+            head = "".join(
+                f'<link rel="alternate" hreflang="{hl}" href="{href}">'
+                for hl, href in decls
+            )
+            rows.append(
+                (url, f"<html><head>{head}</head><body><p>x</p></body>"
+                      f"</html>".encode())
+            )
+    return rows
+
+
+def hreflang_edge_rows() -> list[tuple]:
+    """Ground-truth ``(url, hreflang, alt_url)`` after the self-row drop."""
+    rows = []
+    for g in range(HREFLANG_N_GROUPS):
+        for url, decls in _hl_declarations(g):
+            for hl, href in decls:
+                if href != url:
+                    rows.append((url, hl, href))
+    return rows
+
+
+def hreflang_clusters_oracle_sql() -> str:
+    """Connected components over the declaration graph as a recursive CTE
+    (same shape as the kg_components oracle), group id = min url."""
+    vals = values_sql(
+        [(u, a) for u, _hl, a in hreflang_edge_rows()], ["src", "dst"]
+    )
+    return f"""
+WITH RECURSIVE edges AS ({vals}),
+csym AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION ALL SELECT dst, src FROM edges WHERE src <> dst) s0),
+creach(a, b) AS (
+  SELECT a, b FROM csym
+  UNION
+  SELECT r.a, s.b FROM creach r JOIN csym s ON r.b = s.a),
+cnodes AS (SELECT DISTINCT entity FROM (
+  SELECT src AS entity FROM edges
+  UNION ALL SELECT dst FROM edges) n0),
+ccomp AS (SELECT a AS entity, least(a, min(b)) AS component
+          FROM creach GROUP BY a)
+SELECT n.entity AS url, COALESCE(c.component, n.entity) AS group_id
+FROM cnodes n LEFT JOIN ccomp c ON c.entity = n.entity
+"""

@@ -6875,6 +6875,21 @@ def _q_canonical_resolution(spark, sf_dir):
     return resolve_canonical_chains(canonical_links(pages))
 
 
+def _q_hreflang_clusters(spark, sf_dir):
+    """Translation-set clustering (operators/linkgraph.py): hreflang
+    alternate declarations (full cliques, hub-and-spoke, one-directional
+    chains in the fixture) → undirected CC via the canonicalizer's
+    large-star/small-star machinery; group id = min url. The oracle is a
+    recursive-CTE CC over the ground-truth declaration edges."""
+    from search_spark import oracles
+    from search_spark.operators.linkgraph import hreflang_groups
+
+    pages = spark.createDataFrame(
+        oracles.hreflang_pages(), schema="url string, html binary"
+    )
+    return hreflang_groups(pages)
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6944,6 +6959,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["canonical_resolution"] = Q(
         _q_canonical_resolution, oracles.canonical_resolution_oracle_sql()
+    )
+    QUERIES["hreflang_clusters"] = Q(
+        _q_hreflang_clusters, oracles.hreflang_clusters_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

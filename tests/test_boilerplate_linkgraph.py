@@ -280,3 +280,53 @@ def test_canonical_cycles_flagged_with_null_resolution(spark):
     for u in ("a", "b", "p", "q", "r", "tail"):
         assert out[u] == (None, True), (u, out[u])
     assert out["x"] == ("y", False)
+
+
+def test_hreflang_edges_drop_self_and_lowercase(spark):
+    from search_spark.operators.linkgraph import hreflang_edges
+
+    html = (
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="en" href="https://a.org/en">'
+        b'<link rel="alternate" hreflang="FR" href="https://a.org/fr">'
+        b"</head></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.org/en", html)], schema="url string, html binary"
+    )
+    got = {
+        (r.hreflang, r.alt_url) for r in hreflang_edges(pages).collect()
+    }
+    assert got == {("fr", "https://a.org/fr")}  # self row dropped, lang lc
+
+
+def test_hreflang_groups_distributed_path(spark):
+    # chain declarations: en→fr→de; force the distributed CC path
+    from search_spark.operators.canonicalize import connected_components
+    from search_spark.operators.linkgraph import hreflang_edges
+
+    def page(url, href):
+        return (
+            url,
+            f'<html><head><link rel="alternate" hreflang="x" '
+            f'href="{href}"></head></html>'.encode(),
+        )
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.org/en", "https://a.org/fr"),
+            page("https://a.org/fr", "https://a.org/de"),
+            page("https://b.org/1", "https://b.org/2"),
+        ],
+        schema="url string, html binary",
+    )
+    edges = hreflang_edges(pages).select(
+        F.col("url").alias("src"), F.col("alt_url").alias("dst")
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert comp["https://a.org/en"] == "https://a.org/de"
+    assert comp["https://a.org/de"] == "https://a.org/de"
+    assert comp["https://b.org/2"] == "https://b.org/1"
