@@ -53,3 +53,24 @@ def test_structured_off_by_default_schema_stable(spark):
         "webtable",
         "jsonld",
     } == set()
+
+
+def test_run_to_snapshot_with_structured_sources_resumes(spark, tmp_path):
+    from search_spark.pipeline import run_to_snapshot
+
+    root = str(tmp_path / "snap")
+    cfg = PipelineConfig(structured_sources=True)
+    m1 = run_to_snapshot(spark, _page(spark), root, cfg)
+    assert m1["n_docs"] == 1 and m1["n_triples"] > 0
+    # structured rows landed in the snapshot with their tags
+    written = spark.read.option("basePath", f"{root}/data").parquet(
+        f"{root}/data"
+    )
+    tags = {
+        r.ontology_source
+        for r in written.select("ontology_source").distinct().collect()
+    }
+    assert {"webtable", "jsonld"} <= tags
+    # second run over the same corpus is a pure resume
+    m2 = run_to_snapshot(spark, _page(spark), root, cfg)
+    assert m2 == {"resumed": True, "n_docs": 0, "n_triples": 0}
