@@ -6890,6 +6890,68 @@ def _q_hreflang_clusters(spark, sf_dir):
     return hreflang_groups(pages)
 
 
+def _q_schema_induction(spark, sf_dir):
+    """Predicate datatype induction (operators/schema_induction.py) over
+    the union of the two structured extractors' triples — per-predicate
+    majority lexical shape with exact-ppm agreement."""
+    from search_spark import oracles
+    from search_spark.operators.jsonld import jsonld_triples
+    from search_spark.operators.schema_induction import (
+        induce_predicate_types,
+    )
+    from search_spark.operators.webtables import webtable_triples
+
+    wt = webtable_triples(
+        spark.createDataFrame(
+            oracles.webtable_pages(), schema="url string, html binary"
+        )
+    )
+    jl = jsonld_triples(
+        spark.createDataFrame(
+            oracles.jsonld_pages(), schema="url string, html binary"
+        )
+    )
+    both = wt.select("pred", "obj").unionByName(jl.select("pred", "obj"))
+    return induce_predicate_types(both)
+
+
+def _schema_induction_oracle_sql() -> str:
+    from search_spark import oracles
+
+    return f"""
+WITH wt AS ({oracles.webtable_triples_oracle_sql()}),
+jl AS ({oracles.jsonld_oracle_sql()}),
+t AS (SELECT pred, obj FROM wt UNION ALL SELECT pred, obj FROM jl),
+typed AS (
+  SELECT pred,
+         CASE
+           WHEN regexp_matches(obj, '^-?\\d+$') THEN 'integer'
+           WHEN regexp_matches(obj, '^-?\\d+\\.\\d+$') THEN 'decimal'
+           WHEN regexp_matches(obj, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+             THEN 'date'
+           WHEN regexp_matches(obj, '^https?://') THEN 'url'
+           ELSE 'text'
+         END AS vtype
+  FROM t
+),
+counts AS (SELECT pred, vtype, count(*) AS n FROM typed
+           GROUP BY pred, vtype),
+totals AS (SELECT pred, sum(n) AS n_values FROM counts GROUP BY pred),
+best AS (
+  SELECT c.pred, c.n, min(c.vtype) AS inferred_type
+  FROM counts c
+  JOIN (SELECT pred, max(n) AS n FROM counts GROUP BY pred) mx
+    ON c.pred = mx.pred AND c.n = mx.n
+  GROUP BY c.pred, c.n
+)
+SELECT b.pred, b.inferred_type,
+       CAST(b.n AS BIGINT) AS n_majority,
+       CAST(t2.n_values AS BIGINT) AS n_values,
+       CAST(b.n * 1000000 // t2.n_values AS BIGINT) AS agreement_ppm
+FROM best b JOIN totals t2 ON b.pred = t2.pred
+"""
+
+
 def _register_python_derived_oracles() -> None:
     """Attach the pure-Python-derived VALUES oracles (oracles.py) for the
     pipeline/UDF-stage queries. Built lazily-at-import so the (tiny)
@@ -6962,6 +7024,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["hreflang_clusters"] = Q(
         _q_hreflang_clusters, oracles.hreflang_clusters_oracle_sql()
+    )
+    QUERIES["schema_induction"] = Q(
+        _q_schema_induction, _schema_induction_oracle_sql()
     )
     QUERIES["bpe_merges"] = Q(
         _q_bpe_merges,

@@ -92,3 +92,36 @@ def test_jsonld_malformed_block_filtered_but_indexed(spark):
     assert jsonld_blocks(pages).count() == 2
     t = jsonld_triples(pages).collect()
     assert [(r.subj, r.obj) for r in t] == [("u#b1", "T")]
+
+
+def test_schema_induction_majority_and_ties(spark):
+    from search_spark.operators.schema_induction import (
+        induce_predicate_types,
+        value_type_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("p_price", "12.50"), ("p_price", "3.99"), ("p_price", "oops"),
+        ("p_year", "2024"), ("p_year", "1999"),
+        ("p_when", "2024-01-31"),
+        ("p_link", "https://x.org/a"),
+        ("p_mixed", "1"), ("p_mixed", "x"),  # 1-1 tie → lexicographic min
+    ]
+    t = spark.createDataFrame(rows, schema="pred string, obj string")
+    out = {
+        r.pred: (r.inferred_type, r.n_majority, r.n_values, r.agreement_ppm)
+        for r in induce_predicate_types(t).collect()
+    }
+    assert out["p_price"] == ("decimal", 2, 3, 666666)
+    assert out["p_year"] == ("integer", 2, 2, 1000000)
+    assert out["p_when"] == ("date", 1, 1, 1000000)
+    assert out["p_link"] == ("url", 1, 1, 1000000)
+    assert out["p_mixed"][0] == "integer"  # 'integer' < 'text'
+    # classifier sanity: negative decimal, bare text
+    got = (
+        spark.createDataFrame([("-4.2",), ("n/a",)], schema="obj string")
+        .select(value_type_col("obj").alias("t"))
+        .collect()
+    )
+    assert [r.t for r in got] == ["decimal", "text"]
