@@ -1434,3 +1434,267 @@ ccomp AS (SELECT a AS entity, least(a, min(b)) AS component
 SELECT n.entity AS url, COALESCE(c.component, n.entity) AS group_id
 FROM cnodes n LEFT JOIN ccomp c ON c.entity = n.entity
 """
+
+
+# -- crawl scheduling: sitemap frontier + robots exclusion -------------------
+#
+# Fixture + independent SQL re-derivation for operators/crawl.py. Inputs are
+# VALUES rows (the fixture); the frontier anti-join / staleness logic and the
+# longest-prefix robots evaluation are re-derived in DuckDB SQL, not
+# precomputed, so the oracle checks the operator logic end to end.
+
+SITEMAP_HOSTS = 4
+SITEMAP_URLS_PER_HOST = 12
+
+
+def _sitemap_host(h: int) -> str:
+    return f"site{h}.example.org"
+
+
+def sitemap_fixture_pages() -> list[tuple]:
+    """``(url, html)`` rows: one sitemap XML document per host. Every third
+    url omits ``<priority>`` (defaults 0.5); every fourth omits
+    ``<lastmod>`` (never stale)."""
+    rows = []
+    for h in range(SITEMAP_HOSTS):
+        host = _sitemap_host(h)
+        recs = []
+        for i in range(SITEMAP_URLS_PER_HOST):
+            loc = f"https://{host}/page/{i}"
+            lastmod = (
+                ""
+                if i % 4 == 3
+                else f"<lastmod>2026-01-{(i % 27) + 1:02d}</lastmod>"
+            )
+            prio = (
+                ""
+                if i % 3 == 2
+                else f"<priority>0.{(i % 9) + 1}</priority>"
+            )
+            recs.append(f"<url><loc>{loc}</loc>{lastmod}{prio}</url>")
+        xml = (
+            '<?xml version="1.0"?><urlset>' + "".join(recs) + "</urlset>"
+        )
+        rows.append((f"https://{host}/sitemap.xml", xml.encode()))
+    return rows
+
+
+def sitemap_crawled_rows() -> list[tuple[str, str]]:
+    """``(url, warc_ts)`` capture rows (ts as ISO string; Spark input casts
+    to timestamp). Even-indexed urls are crawled; half of those with a
+    capture *older* than their sitemap lastmod (stale), half newer."""
+    rows = []
+    for h in range(SITEMAP_HOSTS):
+        host = _sitemap_host(h)
+        for i in range(SITEMAP_URLS_PER_HOST):
+            if i % 2 == 1:
+                continue  # odd urls never crawled -> 'new'
+            day = 2 if i % 4 == 0 else 27  # before vs after lastmod
+            rows.append(
+                (f"https://{host}/page/{i}", f"2026-01-{day:02d} 12:00:00")
+            )
+            if i % 4 == 0:  # a second, still-stale capture
+                rows.append(
+                    (f"https://{host}/page/{i}", "2026-01-01 06:00:00")
+                )
+    return rows
+
+
+def sitemap_frontier_oracle_sql() -> str:
+    sm = values_sql(
+        [(u, h.decode()) for u, h in sitemap_fixture_pages()],
+        ["url", "xml"],
+    )
+    cr = values_sql(sitemap_crawled_rows(), ["url", "warc_ts"])
+    return f"""
+WITH sm AS ({sm}),
+recs AS (SELECT unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS rec
+         FROM sm),
+e AS (SELECT regexp_extract(rec, '<loc>([^<]*)</loc>', 1) AS loc,
+             nullif(regexp_extract(rec, '<lastmod>([^<]*)</lastmod>', 1),
+                    '') AS lastmod_s,
+             nullif(regexp_extract(rec, '<priority>([^<]*)</priority>', 1),
+                    '') AS prio_s
+      FROM recs),
+ee AS (SELECT loc, CAST(lastmod_s AS TIMESTAMP) AS lastmod,
+              COALESCE(CAST(prio_s AS DOUBLE), 0.5) AS priority
+       FROM e WHERE loc <> ''),
+cr AS ({cr}),
+latest AS (SELECT url AS loc, max(CAST(warc_ts AS TIMESTAMP)) AS last_fetch
+           FROM cr GROUP BY url)
+SELECT ee.loc, CAST(priority AS DOUBLE) AS priority,
+       CASE WHEN last_fetch IS NULL THEN 'new'
+            WHEN lastmod IS NOT NULL AND lastmod > last_fetch THEN 'stale'
+       END AS reason
+FROM ee LEFT JOIN latest USING (loc)
+WHERE (last_fetch IS NULL)
+   OR (lastmod IS NOT NULL AND lastmod > last_fetch)
+"""
+
+
+ROBOTS_HOSTS = 3
+ROBOTS_CANDIDATES = 40
+
+
+def robots_fixture_pages() -> list[tuple]:
+    """``(url, html)`` rows: one robots.txt body per host. Host 0 blocks
+    /private/ but re-allows /private/pub/ (longer Allow override); host 1
+    blocks /tmp/ and /private/ with a bare-comment noise line; host 2 has
+    no Disallow (allow-all). A 4th host has no robots row at all."""
+    bodies = [
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        "Disallow: /search\n",
+        "# crawl policy\nUser-agent: *\nDisallow: /tmp/\n"
+        "Disallow: /private/\nDisallow:\n",
+        "User-agent: *\nAllow: /\n",
+    ]
+    return [
+        (f"https://h{h}.example.net/robots.txt", bodies[h].encode())
+        for h in range(ROBOTS_HOSTS)
+    ]
+
+
+def robots_candidate_rows() -> list[tuple[str]]:
+    """Candidate urls across 4 hosts (3 with robots, 1 without), cycling
+    through allowed, blocked, re-allowed, and root paths."""
+    paths = [
+        "/",
+        "/index.html",
+        "/private/a",
+        "/private/pub/b",
+        "/search?q=x",
+        "/tmp/scratch",
+        "/public/c",
+        "/private/",
+    ]
+    rows = []
+    for i in range(ROBOTS_CANDIDATES):
+        h = i % 4  # h3 has no robots.txt
+        rows.append((f"https://h{h}.example.net{paths[i % len(paths)]}",))
+    return rows
+
+
+def robots_allowed_oracle_sql() -> str:
+    rb = values_sql(
+        [(u, b.decode()) for u, b in robots_fixture_pages()],
+        ["url", "body"],
+    )
+    cand = values_sql(robots_candidate_rows(), ["url"])
+    return f"""
+WITH rb AS ({rb}),
+lines AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 unnest(string_split(body, chr(10))) AS line
+          FROM rb),
+parsed AS (
+  SELECT host,
+         regexp_extract(lower(line), '^\\s*(allow|disallow)\\s*:', 1)
+           AS kind,
+         trim(regexp_extract(line, '^\\s*[A-Za-z]+\\s*:\\s*(\\S*)', 1))
+           AS prefix
+  FROM lines),
+rules AS (SELECT * FROM parsed WHERE kind <> '' AND prefix <> ''),
+cand AS ({cand}),
+cp AS (SELECT url,
+              COALESCE(nullif(regexp_extract(
+                url, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1), ''), '/')
+                AS path,
+              regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+       FROM cand),
+matched AS (
+  SELECT cp.url, r.kind, r.prefix,
+         row_number() OVER (
+           PARTITION BY cp.url
+           ORDER BY len(r.prefix) DESC, (r.kind = 'allow') DESC) AS rn
+  FROM cp JOIN rules r
+    ON cp.host = r.host AND starts_with(cp.path, r.prefix)),
+best AS (SELECT url, kind, prefix FROM matched WHERE rn = 1)
+SELECT cp.url, b.prefix AS matched_prefix
+FROM cp LEFT JOIN best b USING (url)
+WHERE b.url IS NULL OR b.kind = 'allow'
+"""
+
+
+# -- pronoun coreference fixture ---------------------------------------------
+
+COREF_N_DOCS = 30
+
+_COREF_PEOPLE = ["Alice", "Bob", "Carol", "Dan", "Eve"]
+_COREF_ORGS = ["Acme", "Globex", "Initech"]
+_COREF_TEAMS = ["Ants", "Bees", "Crows"]  # plural entities
+
+
+def coref_fixture() -> tuple[list[tuple], list[tuple]]:
+    """Deterministic ``(sentences, mentions)`` fixture.
+
+    sentences: ``(doc_id, sent_pos, text)``; mentions:
+    ``(doc_id, sent_pos, tok_pos, entity, is_plural)``. Each doc opens with
+    a person + org sentence, continues with singular and plural pronoun
+    sentences, and every 5th doc *starts* with a pronoun (no antecedent —
+    must be dropped)."""
+    sents, ments = [], []
+    for d in range(COREF_N_DOCS):
+        p = _COREF_PEOPLE[d % len(_COREF_PEOPLE)]
+        o = _COREF_ORGS[d % len(_COREF_ORGS)]
+        t = _COREF_TEAMS[d % len(_COREF_TEAMS)]
+        pos = 0
+        if d % 5 == 0:
+            sents.append((d, pos, "They had no antecedent yet."))
+            pos += 1
+        # tok: 0=P 1=founded 2=O 3=in 4=year.
+        sents.append((d, pos, f"{p} founded {o} in {2000 + d}."))
+        ments.append((d, pos, 0, p, False))
+        ments.append((d, pos, 2, o, False))
+        pos += 1
+        pron = ["He", "She", "It"][d % 3]
+        sents.append((d, pos, f"{pron} grew quickly after that."))
+        pos += 1
+        sents.append((d, pos, f"The {t} joined {o} later."))
+        ments.append((d, pos, 1, t, True))
+        ments.append((d, pos, 3, o, False))
+        pos += 1
+        sents.append((d, pos, f"They hired {p} and praised it."))
+        ments.append((d, pos, 2, p, False))
+    return sents, ments
+
+
+def coref_oracle_sql() -> str:
+    """Independent SQL re-derivation: token explode + IGNORE NULLS window
+    over the document token stream, number-agreement dispatch."""
+    sents, ments = coref_fixture()
+    sv = values_sql(sents, ["doc_id", "sent_pos", "text"])
+    mv = values_sql(
+        ments, ["doc_id", "sent_pos", "tok_pos", "entity", "is_plural"]
+    )
+    singular = ", ".join(f"'{w}'" for w in
+                         ("he", "she", "it", "him", "her", "its",
+                          "his", "hers"))
+    plural = ", ".join(f"'{w}'" for w in
+                       ("they", "them", "their", "theirs"))
+    return f"""
+WITH sents AS ({sv}), ments AS ({mv}),
+toks AS (SELECT doc_id, sent_pos,
+                generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS tok_pos,
+                unnest(string_split(text, ' ')) AS tok
+         FROM sents),
+ev AS (SELECT t.doc_id, t.sent_pos, t.tok_pos,
+              lower(regexp_replace(t.tok, '[.,;:!?]+$', '')) AS word,
+              m.entity AS m_entity, m.is_plural AS m_plural
+       FROM toks t LEFT JOIN ments m
+         ON t.doc_id = m.doc_id AND t.sent_pos = m.sent_pos
+        AND t.tok_pos = m.tok_pos),
+r AS (SELECT doc_id, sent_pos, tok_pos, word,
+             last_value(CASE WHEN NOT m_plural THEN m_entity END
+                        IGNORE NULLS) OVER w AS last_singular,
+             last_value(CASE WHEN m_plural THEN m_entity END
+                        IGNORE NULLS) OVER w AS last_plural
+      FROM ev
+      WINDOW w AS (PARTITION BY doc_id ORDER BY sent_pos, tok_pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT doc_id, sent_pos, tok_pos, word AS pronoun,
+       CASE WHEN word IN ({singular}) THEN last_singular
+            WHEN word IN ({plural}) THEN last_plural END AS antecedent
+FROM r
+WHERE (word IN ({singular}) AND last_singular IS NOT NULL)
+   OR (word IN ({plural}) AND last_plural IS NOT NULL)
+"""

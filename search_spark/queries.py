@@ -7041,3 +7041,122 @@ def _register_python_derived_oracles() -> None:
 
 
 _register_python_derived_oracles()
+
+
+# -- crawl scheduling, coreference, KG-embedding scoring (round 3) -----------
+
+def _q_sitemap_frontier(spark, sf_dir):
+    """Crawl frontier (operators/crawl.py): sitemap XML parse (JVM regex)
+    → per-url latest-capture aggregate → left join → new/stale dispatch.
+    The ingest-side complement of latest_capture/dedup_incremental."""
+    from search_spark import oracles
+    from search_spark.operators.crawl import sitemap_frontier
+
+    sitemaps = spark.createDataFrame(
+        oracles.sitemap_fixture_pages(), schema="url string, html binary"
+    )
+    crawled = spark.createDataFrame(
+        oracles.sitemap_crawled_rows(), schema="url string, warc_ts string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    return sitemap_frontier(sitemaps, crawled)
+
+
+def _q_robots_filter(spark, sf_dir):
+    """Robots-exclusion filter (operators/crawl.py): per-host rule arrays
+    (broadcast) → codegen longest-prefix-match aggregate over candidates.
+    Allow overrides Disallow on equal length; ruleless hosts pass."""
+    from search_spark import oracles
+    from search_spark.operators.crawl import robots_allowed
+
+    robots = spark.createDataFrame(
+        oracles.robots_fixture_pages(), schema="url string, html binary"
+    )
+    cand = spark.createDataFrame(
+        oracles.robots_candidate_rows(), schema="url string"
+    )
+    return robots_allowed(cand, robots)
+
+
+def _q_coref_pronouns(spark, sf_dir):
+    """Recency coreference (operators/coref.py): pronoun tokens resolve to
+    the nearest preceding number-agreeing mention via one IGNORE NULLS
+    window over the doc token stream — mention-recall recovery the
+    reference's NER-only pipeline drops (mining/pipeline.py)."""
+    from search_spark import oracles
+    from search_spark.operators.coref import resolve_pronouns
+
+    sents, ments = oracles.coref_fixture()
+    sentences = spark.createDataFrame(
+        sents, schema="doc_id int, sent_pos int, text string"
+    )
+    mentions = spark.createDataFrame(
+        ments,
+        schema="doc_id int, sent_pos int, tok_pos int, entity string,"
+        " is_plural boolean",
+    )
+    return resolve_pronouns(sentences, mentions)
+
+
+def _q_kg_transe_rank(spark, sf_dir):
+    """TransE link-prediction ranking (operators/kge.py) over the distinct
+    relation triples: deterministic md5-digit embeddings, codegen L1
+    energy, broadcast candidate corruption, one hash agg per triple."""
+    from search_spark.operators.kge import rank_tails
+
+    pos = _doc_relations(spark, sf_dir).select(
+        "subj", "pred", "obj"
+    ).distinct()
+    cand = pos.select(F.col("obj").alias("entity")).distinct()
+    return rank_tails(pos, cand)
+
+
+_TRANSE_DIGIT = (
+    "(strpos('0123456789abcdef', substr(md5({x}), CAST(i AS INT), 1)) - 1)"
+)
+
+
+def _transe_energy_sql(x: str, y: str, z: str) -> str:
+    dx = _TRANSE_DIGIT.format(x=x)
+    dy = _TRANSE_DIGIT.format(x=y)
+    dz = _TRANSE_DIGIT.format(x=z)
+    return (
+        "list_aggregate(list_transform(range(1, 17), i -> "
+        f"abs({dx} + {dy} - {dz})), 'sum')"
+    )
+
+
+_SQL_KG_TRANSE_RANK = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pos AS (SELECT DISTINCT subj, pred, obj FROM relations),
+cand AS (SELECT DISTINCT obj AS cand FROM relations),
+scored AS (SELECT subj, pred, obj,
+                  {_transe_energy_sql('subj', 'pred', 'obj')} AS energy
+           FROM pos),
+x AS (SELECT s.subj, s.pred, s.obj, s.energy, c.cand,
+             {_transe_energy_sql('s.subj', 's.pred', 'c.cand')} AS c_energy
+      FROM scored s JOIN cand c ON c.cand <> s.obj)
+SELECT subj, pred, obj, CAST(energy AS INT) AS energy,
+       CAST(1 + sum(CASE WHEN c_energy < energy
+                         OR (c_energy = energy AND cand < obj)
+                    THEN 1 ELSE 0 END) AS INT) AS rank,
+       CAST(count(*) AS INT) AS n_candidates
+FROM x GROUP BY subj, pred, obj, energy
+"""
+
+
+def _register_crawl_coref_kge() -> None:
+    from search_spark import oracles
+
+    QUERIES["sitemap_frontier"] = Q(
+        _q_sitemap_frontier, oracles.sitemap_frontier_oracle_sql()
+    )
+    QUERIES["robots_filter"] = Q(
+        _q_robots_filter, oracles.robots_allowed_oracle_sql()
+    )
+    QUERIES["coref_pronouns"] = Q(
+        _q_coref_pronouns, oracles.coref_oracle_sql()
+    )
+    QUERIES["kg_transe_rank"] = Q(_q_kg_transe_rank, _SQL_KG_TRANSE_RANK)
+
+
+_register_crawl_coref_kge()

@@ -1,0 +1,213 @@
+"""Crawl-scheduling, coreference, and KG-embedding-scoring operators:
+behavior plus the plan properties their 10^12-row story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_plans import SF_DIR, plan_of
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# -- robots ------------------------------------------------------------------
+
+def test_robots_longest_prefix_and_allow_override(spark):
+    from search_spark.operators.crawl import robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "https://h.example/robots.txt",
+                b"User-agent: *\nDisallow: /private/\n"
+                b"Allow: /private/pub/\nDisallow:\n",
+            )
+        ],
+        schema="url string, html binary",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h.example/private/a",),       # blocked
+            ("https://h.example/private/pub/b",),   # re-allowed (longer)
+            ("https://h.example/open/c",),          # no rule matches
+            ("https://other.example/private/a",),   # host without robots
+        ],
+        schema="url string",
+    )
+    got = _rows(robots_allowed(cand, robots))
+    assert got == {
+        ("https://h.example/private/pub/b", "/private/pub/"),
+        ("https://h.example/open/c", None),
+        ("https://other.example/private/a", None),
+    }
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    from search_spark import oracles
+    from search_spark.operators.crawl import robots_allowed
+
+    robots = spark.createDataFrame(
+        oracles.robots_fixture_pages(), schema="url string, html binary"
+    )
+    cand = spark.createDataFrame(
+        oracles.robots_candidate_rows(), schema="url string"
+    )
+    plan = plan_of(robots_allowed(cand, robots))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# -- sitemap -----------------------------------------------------------------
+
+def test_sitemap_frontier_reasons(spark):
+    from search_spark.operators.crawl import sitemap_frontier
+
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "https://s.example/sitemap.xml",
+                b'<urlset><url><loc>https://s.example/new</loc></url>'
+                b"<url><loc>https://s.example/stale</loc>"
+                b"<lastmod>2026-02-01</lastmod>"
+                b"<priority>0.9</priority></url>"
+                b"<url><loc>https://s.example/fresh</loc>"
+                b"<lastmod>2026-01-01</lastmod></url></urlset>",
+            )
+        ],
+        schema="url string, html binary",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("https://s.example/stale", "2026-01-15 00:00:00"),
+            ("https://s.example/fresh", "2026-01-20 00:00:00"),
+        ],
+        schema="url string, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = _rows(sitemap_frontier(sitemaps, crawled))
+    assert got == {
+        ("https://s.example/new", 0.5, "new"),
+        ("https://s.example/stale", 0.9, "stale"),
+    }
+
+
+def test_sitemap_parse_is_pure_codegen(spark):
+    from search_spark import oracles
+    from search_spark.operators.crawl import sitemap_entries
+
+    sitemaps = spark.createDataFrame(
+        oracles.sitemap_fixture_pages(), schema="url string, html binary"
+    )
+    plan = plan_of(sitemap_entries(sitemaps))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- coref -------------------------------------------------------------------
+
+def test_coref_number_agreement_and_drop(spark):
+    from search_spark.operators.coref import resolve_pronouns
+
+    sentences = spark.createDataFrame(
+        [
+            (1, 0, "It starts unresolved."),
+            (1, 1, "Alice founded Acme."),
+            (1, 2, "She grew it with the Ants."),
+            (1, 3, "They hired Bob."),
+        ],
+        schema="doc_id int, sent_pos int, text string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (1, 1, 0, "Alice", False),
+            (1, 1, 2, "Acme", False),
+            (1, 2, 5, "Ants", True),
+            (1, 3, 2, "Bob", False),
+        ],
+        schema="doc_id int, sent_pos int, tok_pos int, entity string,"
+        " is_plural boolean",
+    )
+    got = _rows(resolve_pronouns(sentences, mentions))
+    # sentence-0 "it" has no antecedent -> dropped; "she"/"it" -> nearest
+    # singular (Acme, after the mention at tok 2 of sent 1); "they" -> Ants
+    assert got == {
+        (1, 2, 0, "she", "Acme"),
+        (1, 2, 2, "it", "Acme"),
+        (1, 3, 0, "they", "Ants"),
+    }
+
+
+def test_coref_single_doc_shuffle(spark):
+    from search_spark import oracles
+    from search_spark.operators.coref import resolve_pronouns
+
+    sents, ments = oracles.coref_fixture()
+    sentences = spark.createDataFrame(
+        sents, schema="doc_id int, sent_pos int, text string"
+    )
+    mentions = spark.createDataFrame(
+        ments,
+        schema="doc_id int, sent_pos int, tok_pos int, entity string,"
+        " is_plural boolean",
+    )
+    plan = plan_of(resolve_pronouns(sentences, mentions))
+    # the window and the mention join share the doc-grained partitioning;
+    # no Python operator anywhere
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- kge ---------------------------------------------------------------------
+
+def test_transe_energy_identity(spark):
+    from search_spark.operators.kge import embed, transe_energy
+
+    df = spark.range(1).select(
+        transe_energy(
+            embed(F.lit("a")), embed(F.lit("zero")), embed(F.lit("a"))
+        ).alias("e_self"),
+    )
+    # h + r - t with h == t leaves Σ|r_i| = the digit sum of md5('zero')
+    import hashlib
+
+    digits = [int(c, 16) for c in hashlib.md5(b"zero").hexdigest()[:16]]
+    assert df.collect()[0].e_self == sum(digits)
+
+
+def test_rank_tails_true_tail_rank_one_when_best(spark):
+    from search_spark.operators.kge import rank_tails, score_triples
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o1")], schema="subj string, pred string, obj string"
+    )
+    cands = spark.createDataFrame(
+        [("o1",), ("o2",), ("o3",), ("o4",)], schema="entity string"
+    )
+    row = rank_tails(triples, cands).collect()[0]
+    assert row.n_candidates == 3  # true tail excluded
+    # recompute expected rank from the scored corruptions
+    energies = {
+        r.obj: r.energy
+        for r in score_triples(
+            spark.createDataFrame(
+                [("s", "p", c) for c in ("o1", "o2", "o3", "o4")],
+                schema="subj string, pred string, obj string",
+            )
+        ).collect()
+    }
+    e_true = energies.pop("o1")
+    expected = 1 + sum(
+        1
+        for c, e in energies.items()
+        if e < e_true or (e == e_true and c < "o1")
+    )
+    assert row.rank == expected
+
+
+def test_rank_tails_candidate_join_is_broadcast(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_transe_rank"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
