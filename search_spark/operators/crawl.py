@@ -26,7 +26,7 @@ on the url side and rule arrays are tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_spark.joins import maybe_broadcast
@@ -180,3 +180,42 @@ def robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         .withColumn("matched_prefix", F.col("_best")["prefix"])
         .drop("_host", "_path", "_best", "site_host", "rules")
     )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    crawl_delay_s: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Assign per-host fetch slots to a crawl frontier.
+
+    Politeness is inherently per-host serial: within one host, fetches are
+    spaced ``crawl_delay_s`` apart in priority order (ties break on url).
+    Returns ``(loc, host, slot, fetch_offset_s)`` — ``slot`` is the 0-based
+    per-host position, ``fetch_offset_s`` its start offset; a scheduler
+    drains all hosts concurrently. ``max_per_host`` caps a mega-host's
+    share of the wave (the standard frontier-politeness budget).
+
+    One shuffle on the host key; the per-host window is the semantics, not
+    an accident — a host's slots must serialize. The cap bounds hot-host
+    task size when set; uncapped, a host's frontier rows sort within one
+    task (bounded in practice by per-wave frontier slicing upstream).
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("loc")
+    )
+    out = (
+        frontier.withColumn("host", host_of("loc"))
+        .withColumn("slot", F.row_number().over(w) - 1)
+        .select(
+            "loc",
+            "host",
+            "slot",
+            (F.col("slot") * F.lit(float(crawl_delay_s))).alias(
+                "fetch_offset_s"
+            ),
+        )
+    )
+    if max_per_host is not None:
+        out = out.filter(F.col("slot") < max_per_host)
+    return out

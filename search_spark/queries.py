@@ -7160,3 +7160,227 @@ def _register_crawl_coref_kge() -> None:
 
 
 _register_crawl_coref_kge()
+
+
+# -- blocking, crawl scheduling, KG summarization (round 3, batch 2) ---------
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/blocking.py): scalable
+    two-pass global rank (range partition + local row_number + broadcast
+    offsets), then offset-explode equi-join — never a single-partition
+    window, never an inequality self-join."""
+    from search_spark.operators.blocking import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 16).alias("block_key")
+    )
+    return sorted_neighborhood_pairs(docs, "doc_id", "block_key", window=3)
+
+
+_SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (SELECT doc_id, substr(text, 1, 16) AS k,
+                  row_number() OVER (ORDER BY substr(text, 1, 16), doc_id)
+                    AS rank
+           FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.k AS a_key, b.k AS b_key,
+       CAST(b.rank - a.rank AS INT) AS rank_gap
+FROM r a JOIN r b ON b.rank - a.rank IN (1, 2)
+"""
+
+
+def _q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling (operators/crawl.py) over the sitemap
+    frontier: per-host serial slots (priority order), capped per host,
+    fetch offsets spaced by the crawl delay."""
+    from search_spark import oracles
+    from search_spark.operators.crawl import (
+        politeness_schedule,
+        sitemap_frontier,
+    )
+
+    sitemaps = spark.createDataFrame(
+        oracles.sitemap_fixture_pages(), schema="url string, html binary"
+    )
+    crawled = spark.createDataFrame(
+        oracles.sitemap_crawled_rows(), schema="url string, warc_ts string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    return politeness_schedule(
+        sitemap_frontier(sitemaps, crawled),
+        crawl_delay_s=0.5,
+        max_per_host=5,
+    )
+
+
+def _crawl_schedule_oracle_sql() -> str:
+    from search_spark import oracles
+
+    frontier = oracles.sitemap_frontier_oracle_sql()
+    return f"""
+WITH f AS ({frontier}),
+s AS (SELECT loc, regexp_extract(loc, '^[a-z]+://([^/]+)', 1) AS host,
+             CAST(row_number() OVER (
+               PARTITION BY regexp_extract(loc, '^[a-z]+://([^/]+)', 1)
+               ORDER BY priority DESC, loc ASC) - 1 AS INT) AS slot
+      FROM f)
+SELECT loc, host, slot, CAST(slot * 0.5 AS DOUBLE) AS fetch_offset_s
+FROM s WHERE slot < 5
+"""
+
+
+def _q_kg_entity_summary(spark, sf_dir):
+    """Entity summarization: per subject, the top-3 facts ranked by
+    predicate informativeness (rarest predicate first — the integer-exact
+    equivalent of IDF ordering), ties on pred/obj. Fact table and pred
+    stats are both one hash agg; the per-entity top-k is a bounded window
+    (entity-grained partitioning, k rows out per entity)."""
+    rel = (
+        _doc_relations(spark, sf_dir).select("subj", "pred", "obj")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    # pred stats are predicate-vocabulary sized; unhinted — AQE broadcasts
+    stats = rel.groupBy("pred").agg(F.count("*").alias("pred_count"))
+    w = Window.partitionBy("subj").orderBy(
+        F.asc("pred_count"), F.asc("pred"), F.asc("obj")
+    )
+    return (
+        rel.join(stats, "pred")
+        .withColumn("fact_rank", F.row_number().over(w))
+        .filter(F.col("fact_rank") <= 3)
+        .select("subj", "pred", "obj", "pred_count", "fact_rank")
+    )
+
+
+_SQL_KG_ENTITY_SUMMARY = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pos AS (SELECT DISTINCT subj, pred, obj FROM relations),
+stats AS (SELECT pred, CAST(count(*) AS BIGINT) AS pred_count
+          FROM pos GROUP BY pred),
+ranked AS (
+  SELECT p.subj, p.pred, p.obj, s.pred_count,
+         CAST(row_number() OVER (
+           PARTITION BY p.subj
+           ORDER BY s.pred_count ASC, p.pred ASC, p.obj ASC) AS INT)
+           AS fact_rank
+  FROM pos p JOIN stats s USING (pred))
+SELECT subj, pred, obj, pred_count, fact_rank
+FROM ranked WHERE fact_rank <= 3
+"""
+
+
+def _q_kg_bgp_aggregate(spark, sf_dir):
+    """SPARQL aggregate shape: GROUP BY over BGP bindings (SELECT ?t
+    (COUNT(DISTINCT ?m) ...) WHERE { ?m has_type ?t }) — the bindings come
+    from the real match_bgp evaluator, the aggregate is a plain hash agg
+    on top (exactly how a SPARQL engine lowers it)."""
+    from search_spark.operators.bgp import match_bgp
+
+    triples = _q_kg_doc_triples(spark, sf_dir)
+    bindings = match_bgp(triples, [("?m", "has_type", "?t")])
+    return bindings.groupBy(F.col("t").alias("entity_type")).agg(
+        F.countDistinct("m").alias("n_entities")
+    )
+
+
+_SQL_KG_BGP_AGGREGATE = f"""
+{_MENTIONS_SQL}
+SELECT entity_type, CAST(COUNT(DISTINCT mention) AS BIGINT) AS n_entities
+FROM mentions GROUP BY entity_type
+"""
+
+
+def _q_kg_components_incremental(spark, sf_dir):
+    """Warm-start connected components: CC of the even-doc edge batch
+    first, then the odd-doc delta edges union the prior (entity →
+    component) assignment edges — the incremental maintenance shape (old
+    assignment rows stand in for the already-contracted subgraph, so the
+    second run's input is |delta| + |nodes|, not |all edges|). Final
+    labels provably equal the full-graph CC (each assignment edge stays
+    inside its true component)."""
+    from search_spark.operators.canonicalize import connected_components
+
+    e0 = _kg_edge_instances(spark, sf_dir, parity=0).localCheckpoint(
+        eager=True
+    )
+    cc0 = connected_components(e0).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    e1 = _kg_edge_instances(spark, sf_dir, parity=1)
+    combined = cc0.unionByName(e1.select("src", "dst")).localCheckpoint(
+        eager=True
+    )
+    return connected_components(combined).select(
+        F.col("id").alias("entity"), "component"
+    )
+
+
+# oracle: full-graph CC over all edges — the equivalence the query claims
+_SQL_KG_COMPONENTS_INCREMENTAL = _SQL_KG_COMPONENTS
+
+
+def _register_round3_batch2() -> None:
+    QUERIES["sorted_neighborhood"] = Q(
+        _q_sorted_neighborhood, _SQL_SORTED_NEIGHBORHOOD
+    )
+    QUERIES["crawl_schedule"] = Q(
+        _q_crawl_schedule, _crawl_schedule_oracle_sql()
+    )
+    QUERIES["kg_entity_summary"] = Q(
+        _q_kg_entity_summary, _SQL_KG_ENTITY_SUMMARY
+    )
+    QUERIES["kg_bgp_aggregate"] = Q(
+        _q_kg_bgp_aggregate, _SQL_KG_BGP_AGGREGATE
+    )
+    QUERIES["kg_components_incremental"] = Q(
+        _q_kg_components_incremental, _SQL_KG_COMPONENTS_INCREMENTAL
+    )
+
+
+_register_round3_batch2()
+
+
+def _q_kg_fact_history(spark, sf_dir):
+    """Fact history / valid-time rollup: each (subj, pred, obj) with its
+    provenance breadth (supporting docs) and observation interval
+    (first/last capture, active span) — the temporal-KG metadata a
+    10^12-page crawl KG keeps per fact. Capture time derives
+    deterministically from doc_id (the fixture's stand-in for warc_ts).
+    One hash aggregate over the triple stream; map-side partial, so a
+    head fact (millions of supports) costs one partial row per task."""
+    rel = _doc_relations(spark, sf_dir).select(
+        "subj",
+        "pred",
+        "obj",
+        "doc_id",
+        F.timestamp_add(
+            "DAY",
+            (F.col("doc_id") % 30).cast("int"),
+            F.to_timestamp(F.lit("2026-01-01")),
+        ).alias("seen_ts"),
+    )
+    return rel.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("seen_ts").alias("first_seen"),
+        F.max("seen_ts").alias("last_seen"),
+        (
+            F.datediff(F.max("seen_ts"), F.min("seen_ts")) + 1
+        ).alias("active_days"),
+    )
+
+
+_SQL_KG_FACT_HISTORY = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+obs AS (SELECT subj, pred, obj, doc_id,
+               TIMESTAMP '2026-01-01' +
+                 INTERVAL (doc_id % 30) DAY AS seen_ts
+        FROM relations)
+SELECT subj, pred, obj,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(seen_ts) AS first_seen, MAX(seen_ts) AS last_seen,
+       CAST(date_diff('day', MIN(seen_ts), MAX(seen_ts)) + 1 AS INT)
+         AS active_days
+FROM obs GROUP BY subj, pred, obj
+"""
+
+QUERIES["kg_fact_history"] = Q(_q_kg_fact_history, _SQL_KG_FACT_HISTORY)
