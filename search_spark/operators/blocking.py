@@ -100,3 +100,43 @@ def sorted_neighborhood_pairs(
     return a.join(b, "b_rank").select(
         "a_id", "b_id", "a_key", "b_key", F.col("gap").alias("rank_gap")
     )
+
+
+def ifp_candidates(
+    triples: DataFrame,
+    ifp_preds: list[str],
+    max_group: int = 50,
+) -> DataFrame:
+    """sameAs candidates from inverse-functional predicates.
+
+    If ``pred`` is inverse-functional (an email, an ISBN, a profile url),
+    two subjects sharing the same ``(pred, obj)`` denote the same entity —
+    the classic web-data identity heuristic. Emits each unordered subject
+    pair once: ``(a, b, pred, obj)`` with ``a < b``, DISTINCT.
+
+    Scale shape: group sizes are counted first and keys with more than
+    ``max_group`` subjects are *purged* before the pair join (the standard
+    blocking-purge step — a hot key like an empty-string email would
+    otherwise fan out |group|² pairs). The join is then a self-equi-join
+    on (pred, obj) with per-key work bounded by ``max_group``².
+    """
+    t = (
+        triples.filter(
+            F.col("pred").isin(*ifp_preds) & (F.col("obj") != "")
+        )
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    sizes = t.groupBy("pred", "obj").agg(F.count("*").alias("_n"))
+    kept = t.join(
+        sizes.filter(F.col("_n") <= max_group).select("pred", "obj"),
+        ["pred", "obj"],
+    )
+    a = kept.select("pred", "obj", F.col("subj").alias("a"))
+    b = kept.select("pred", "obj", F.col("subj").alias("b"))
+    return (
+        a.join(b, ["pred", "obj"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pred", "obj")
+        .distinct()
+    )

@@ -132,3 +132,91 @@ def cells_to_triples(cells: DataFrame) -> DataFrame:
 def webtable_triples(web_pages: DataFrame) -> DataFrame:
     """End-to-end: pages → cells → header-keyed triples."""
     return cells_to_triples(table_cells(web_pages))
+
+
+_INT_RE = r"^-?[0-9]+$"
+_DEC_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def column_types(cells: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+    """Semantic table interpretation (lite): per-column datatype + optional
+    semantic-type annotation.
+
+    For every (url, t_idx, c_idx) column of body cells:
+
+    * ``datatype`` — ``'integer'`` if every non-empty value is an integer
+      literal, else ``'decimal'`` if every value is numeric, else
+      ``'string'`` (the same all-values rule as schema_induction's
+      per-predicate datatypes).
+    * ``header`` — the row-0 ``<th>`` text (NULL for headerless tables).
+    * ``sem_type`` — with a ``vocab(value, sem_type)`` dim (broadcast-
+      joined on the lower-cased cell), the type matched by a strict
+      majority of the column's values; NULL when none reaches majority.
+      Ties cannot occur (two types cannot each hold > half).
+
+    One hash aggregate per column plus a vocabulary dim join — the
+    standard web-table annotation shape; hot columns (many rows) collapse
+    map-side.
+    """
+    body = cells.filter(~F.col("is_header") & (F.col("text") != ""))
+    typed = body.withColumn(
+        "_is_int", F.col("text").rlike(_INT_RE)
+    ).withColumn("_is_num", F.col("text").rlike(_DEC_RE))
+    if vocab is not None:
+        typed = typed.join(
+            F.broadcast(
+                vocab.select(
+                    F.lower("value").alias("_v"),
+                    F.col("sem_type").alias("_sem"),
+                )
+            ),
+            F.lower(typed.text) == F.col("_v"),
+            "left",
+        )
+    else:
+        typed = typed.withColumn("_sem", F.lit(None).cast("string"))
+    col_stats = typed.groupBy("url", "t_idx", "c_idx").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.every("_is_int").alias("_all_int"),
+        F.every("_is_num").alias("_all_num"),
+    )
+    sem_votes = (
+        typed.filter(F.col("_sem").isNotNull())
+        .groupBy("url", "t_idx", "c_idx", "_sem")
+        .agg(F.count("*").alias("_votes"))
+    )
+    top_sem = (
+        sem_votes.groupBy("url", "t_idx", "c_idx")
+        .agg(F.max(F.struct("_votes", "_sem")).alias("_top"))
+        .select(
+            "url",
+            "t_idx",
+            "c_idx",
+            F.col("_top._sem").alias("_sem"),
+            F.col("_top._votes").alias("_votes"),
+        )
+    )
+    headers = cells.filter(
+        F.col("is_header") & (F.col("r_idx") == 0) & (F.col("text") != "")
+    ).select("url", "t_idx", "c_idx", F.col("text").alias("header"))
+    out = (
+        col_stats.join(headers, ["url", "t_idx", "c_idx"], "left")
+        .join(top_sem, ["url", "t_idx", "c_idx"], "left")
+    )
+    datatype = (
+        F.when(F.col("_all_int"), F.lit("integer"))
+        .when(F.col("_all_num"), F.lit("decimal"))
+        .otherwise(F.lit("string"))
+    )
+    sem = F.when(
+        F.col("_votes") * 2 > F.col("n_values"), F.col("_sem")
+    )
+    return out.select(
+        "url",
+        "t_idx",
+        "c_idx",
+        "header",
+        "n_values",
+        datatype.alias("datatype"),
+        sem.alias("sem_type"),
+    )

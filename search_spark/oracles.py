@@ -1698,3 +1698,140 @@ FROM r
 WHERE (word IN ({singular}) AND last_singular IS NOT NULL)
    OR (word IN ({plural}) AND last_plural IS NOT NULL)
 """
+
+
+# -- webtable column types ----------------------------------------------------
+
+def webtable_vocab_rows() -> list[tuple[str, str]]:
+    """``(value, sem_type)`` dim for column annotation: the fixture colors."""
+    return [(c, "COLOR") for c in _WT_COLORS]
+
+
+def webtable_column_types_oracle_sql() -> str:
+    """Independent SQL re-derivation of column annotation from the cell
+    ground truth: all-values datatype rule + strict-majority vocab vote."""
+    cells = webtable_cells_oracle_sql()
+    vocab = values_sql(webtable_vocab_rows(), ["value", "sem_type"])
+    return f"""
+WITH cells AS ({cells}), vocab AS ({vocab}),
+body AS (SELECT url, t_idx, c_idx, text FROM cells
+         WHERE NOT is_header AND text <> ''),
+stats AS (
+  SELECT url, t_idx, c_idx, CAST(count(*) AS BIGINT) AS n_values,
+         bool_and(regexp_matches(text, '^-?[0-9]+$')) AS all_int,
+         bool_and(regexp_matches(text, '^-?[0-9]+(\\.[0-9]+)?$')) AS all_num
+  FROM body GROUP BY url, t_idx, c_idx),
+votes AS (
+  SELECT b.url, b.t_idx, b.c_idx, v.sem_type, count(*) AS n_votes
+  FROM body b JOIN vocab v ON lower(b.text) = v.value
+  GROUP BY b.url, b.t_idx, b.c_idx, v.sem_type),
+top AS (
+  SELECT url, t_idx, c_idx, sem_type, n_votes,
+         row_number() OVER (PARTITION BY url, t_idx, c_idx
+                            ORDER BY n_votes DESC, sem_type DESC) AS rn
+  FROM votes),
+hdr AS (SELECT url, t_idx, c_idx, text AS header FROM cells
+        WHERE is_header AND r_idx = 0 AND text <> '')
+SELECT s.url, s.t_idx, s.c_idx, h.header, s.n_values,
+       CASE WHEN all_int THEN 'integer'
+            WHEN all_num THEN 'decimal'
+            ELSE 'string' END AS datatype,
+       CASE WHEN t.n_votes * 2 > s.n_values THEN t.sem_type END AS sem_type
+FROM stats s
+LEFT JOIN hdr h ON s.url = h.url AND s.t_idx = h.t_idx
+                AND s.c_idx = h.c_idx
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+  ON s.url = t.url AND s.t_idx = t.t_idx AND s.c_idx = t.c_idx
+"""
+
+
+# -- inverse-functional-property sameAs ---------------------------------------
+
+IFP_N_RECORDS = 40
+IFP_PREDS = ("email", "phone", "homepage")
+IFP_MAX_GROUP = 10
+
+
+def ifp_fixture_rows() -> list[tuple[str, str, str]]:
+    """``(subj, pred, obj)`` records: emails collide in groups of 3-4,
+    phones in groups of 2-3, every record shares one hot ``homepage``
+    (group size 40 > max_group — must be purged), and ``name`` rows are
+    present but not inverse-functional (must be ignored)."""
+    rows = []
+    for i in range(IFP_N_RECORDS):
+        subj = f"rec{i:02d}"
+        rows.append((subj, "email", f"user{i % 12}@mail.example"))
+        rows.append((subj, "phone", f"+1-555-{i % 15:04d}"))
+        rows.append((subj, "homepage", "https://hub.example/"))
+        rows.append((subj, "name", f"name{i % 5}"))
+        if i % 7 == 0:
+            rows.append((subj, "email", ""))  # empty obj -> ignored
+    return rows
+
+
+def ifp_oracle_sql() -> str:
+    vals = values_sql(ifp_fixture_rows(), ["subj", "pred", "obj"])
+    preds = ", ".join(f"'{p}'" for p in IFP_PREDS)
+    return f"""
+WITH t0 AS ({vals}),
+t AS (SELECT DISTINCT subj, pred, obj FROM t0
+      WHERE pred IN ({preds}) AND obj <> ''),
+sizes AS (SELECT pred, obj, count(*) AS n FROM t GROUP BY pred, obj),
+kept AS (SELECT t.* FROM t JOIN sizes USING (pred, obj)
+         WHERE sizes.n <= {IFP_MAX_GROUP})
+SELECT DISTINCT a.subj AS a, b.subj AS b, a.pred, a.obj
+FROM kept a JOIN kept b ON a.pred = b.pred AND a.obj = b.obj
+WHERE a.subj < b.subj
+"""
+
+
+# -- RAKE keywords ------------------------------------------------------------
+
+def rake_oracle_sql(stopwords: tuple[str, ...], top_k: int = 3,
+                    min_len: int = 2) -> str:
+    stops = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(lower(text), ' '), 1) - 1
+              AS BIGINT) AS tpos,
+         unnest(string_split(lower(text), ' ')) AS rawtok
+  FROM documents),
+toks AS (SELECT doc_id, tpos,
+                regexp_replace(rawtok, '[.,;:!?]+$', '') AS tok
+         FROM toks0),
+flagged AS (SELECT doc_id, tpos, tok,
+                   (tok IN ({stops}) OR tok = '') AS stop
+            FROM toks),
+runs AS (
+  SELECT doc_id, tpos, tok,
+         sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY tpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id,
+         stop
+  FROM flagged),
+pw AS (SELECT doc_id, phrase_id, tpos, tok FROM runs WHERE NOT stop),
+plen AS (SELECT doc_id, phrase_id, count(*) AS p_len
+         FROM pw GROUP BY doc_id, phrase_id),
+wl AS (SELECT pw.*, plen.p_len FROM pw
+       JOIN plen USING (doc_id, phrase_id)),
+deg AS (SELECT tok, CAST(sum(p_len) AS BIGINT) AS deg
+        FROM wl GROUP BY tok),
+phrases AS (
+  SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY tpos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM pw GROUP BY doc_id, phrase_id),
+scores AS (
+  SELECT wl.doc_id, wl.phrase_id, CAST(sum(deg.deg) AS BIGINT) AS score
+  FROM wl JOIN deg USING (tok) GROUP BY wl.doc_id, wl.phrase_id),
+cand AS (
+  SELECT p.doc_id, p.phrase, p.n_words, s.score
+  FROM phrases p JOIN scores s USING (doc_id, phrase_id)
+  WHERE p.n_words >= {min_len}),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS INT) AS kw_rank
+  FROM cand)
+SELECT doc_id, phrase, n_words, score, kw_rank
+FROM ranked WHERE kw_rank <= {top_k}
+"""

@@ -7384,3 +7384,105 @@ FROM obs GROUP BY subj, pred, obj
 """
 
 QUERIES["kg_fact_history"] = Q(_q_kg_fact_history, _SQL_KG_FACT_HISTORY)
+
+
+# -- round-3 batch 3: table annotation, IFP sameAs, keywords, histograms -----
+
+def _q_webtable_column_types(spark, sf_dir):
+    """Semantic table interpretation (operators/webtables.py): per-column
+    all-values datatype + strict-majority vocab vote, headers joined back —
+    the annotation step between raw web tables and triple-ification."""
+    from search_spark import oracles
+    from search_spark.operators.webtables import column_types, table_cells
+
+    pages = spark.createDataFrame(
+        oracles.webtable_pages(), schema="url string, html binary"
+    )
+    vocab = spark.createDataFrame(
+        oracles.webtable_vocab_rows(), schema="value string, sem_type string"
+    )
+    return column_types(table_cells(pages), vocab)
+
+
+def _q_kg_ifp_sameas(spark, sf_dir):
+    """Identity inference from inverse-functional predicates
+    (operators/blocking.py): shared (email|phone) values → sameAs
+    candidate pairs, with the blocking purge dropping the hot shared
+    homepage key before any pair fan-out."""
+    from search_spark import oracles
+    from search_spark.operators.blocking import ifp_candidates
+
+    triples = spark.createDataFrame(
+        oracles.ifp_fixture_rows(),
+        schema="subj string, pred string, obj string",
+    )
+    return ifp_candidates(
+        triples, list(oracles.IFP_PREDS), max_group=oracles.IFP_MAX_GROUP
+    )
+
+
+def _q_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction (operators/keywords.py): stopword-delimited
+    phrase runs, corpus-wide integer word degrees, per-doc top-3 — the
+    keyphrase column a web-KG attaches to entity home documents."""
+    from search_spark.operators.keywords import rake_keywords
+
+    return rake_keywords(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        STOPWORDS,
+        top_k=3,
+        min_len=2,
+    )
+
+
+def _q_kg_degree_histogram(spark, sf_dir):
+    """Log2-binned degree distribution of the co-occurrence multigraph —
+    the power-law diagnostic read before choosing skew strategy. Bin id is
+    the binary-string length (integer-exact floor(log2), no float log)."""
+    edges = _kg_edge_instances(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("entity")).unionAll(
+        edges.select(F.col("dst").alias("entity"))
+    )
+    deg = nodes.groupBy("entity").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    binned = deg.withColumn(
+        "bin_id", (F.length(F.bin("degree")) - 1).cast("int")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+_SQL_KG_DEGREE_HISTOGRAM = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+deg AS (SELECT entity, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT src AS entity FROM edges
+              UNION ALL SELECT dst FROM edges) e
+        GROUP BY entity)
+SELECT CAST(length(bin(degree)) - 1 AS INT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       MIN(degree) AS min_degree, MAX(degree) AS max_degree
+FROM deg GROUP BY bin_id
+"""
+
+
+def _register_round3_batch3() -> None:
+    from search_spark import oracles
+
+    QUERIES["webtable_column_types"] = Q(
+        _q_webtable_column_types,
+        oracles.webtable_column_types_oracle_sql(),
+    )
+    QUERIES["kg_ifp_sameas"] = Q(_q_kg_ifp_sameas, oracles.ifp_oracle_sql())
+    QUERIES["keyword_rake"] = Q(
+        _q_keyword_rake, oracles.rake_oracle_sql(STOPWORDS, 3, 2)
+    )
+    QUERIES["kg_degree_histogram"] = Q(
+        _q_kg_degree_histogram, _SQL_KG_DEGREE_HISTOGRAM
+    )
+
+
+_register_round3_batch3()

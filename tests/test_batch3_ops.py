@@ -1,0 +1,106 @@
+"""Webtable column annotation, IFP sameAs, RAKE keywords, degree
+histogram — behavior edges beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_plans import SF_DIR, plan_of
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_ifp_purge_drops_hot_key(spark):
+    from search_spark.operators.blocking import ifp_candidates
+
+    triples = spark.createDataFrame(
+        [
+            ("r1", "email", "x@e"),
+            ("r2", "email", "x@e"),
+            ("r1", "homepage", "hub"),
+            ("r2", "homepage", "hub"),
+            ("r3", "homepage", "hub"),
+            ("r1", "name", "n"),  # not inverse-functional
+            ("r2", "name", "n"),
+            ("r4", "email", ""),  # empty obj ignored
+            ("r5", "email", ""),
+        ],
+        schema="subj string, pred string, obj string",
+    )
+    got = _rows(
+        ifp_candidates(triples, ["email", "homepage"], max_group=2)
+    )
+    # homepage group size 3 > max_group -> purged; name not IFP; '' ignored
+    assert got == {("r1", "r2", "email", "x@e")}
+
+
+def test_column_types_datatypes_and_majority(spark):
+    from search_spark.operators.webtables import column_types
+
+    cells = spark.createDataFrame(
+        [
+            # header
+            ("u", 0, 0, 0, True, "n"),
+            ("u", 0, 0, 1, True, "mixed"),
+            # column 0: all integers; column 1: 2/3 colors (majority)
+            ("u", 0, 1, 0, False, "1"),
+            ("u", 0, 1, 1, False, "red"),
+            ("u", 0, 2, 0, False, "-7"),
+            ("u", 0, 2, 1, False, "blue"),
+            ("u", 0, 3, 0, False, "12"),
+            ("u", 0, 3, 1, False, "3.5"),
+        ],
+        schema="url string, t_idx int, r_idx int, c_idx int,"
+        " is_header boolean, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("red", "COLOR"), ("blue", "COLOR")],
+        schema="value string, sem_type string",
+    )
+    got = _rows(column_types(cells, vocab))
+    assert got == {
+        ("u", 0, 0, "n", 3, "integer", None),
+        ("u", 0, 1, "mixed", 3, "string", "COLOR"),
+    }
+
+
+def test_rake_degree_scoring(spark):
+    from search_spark.operators.keywords import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "fast spark engine beats the slow engine a lot")],
+        schema="doc_id int, text string",
+    )
+    got = {r.phrase: (r.score, r.n_words) for r in
+           rake_keywords(docs, ("the", "a"), top_k=5, min_len=2).collect()}
+    # phrases: 'fast spark engine beats' (len 4), 'slow engine' (len 2),
+    # 'lot' (len 1, dropped by min_len). deg: engine 4+2=6, others = own
+    # phrase len. scores: 4+4+6+4=18; 2+6=8.
+    assert got == {
+        "fast spark engine beats": (18, 4),
+        "slow engine": (8, 2),
+    }
+
+
+def test_degree_histogram_bins_are_log2_exact(spark):
+    from search_spark.queries import QUERIES
+
+    df = QUERIES["kg_degree_histogram"].spark(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("min_degree") < F.pow(F.lit(2.0), F.col("bin_id")))
+        | (
+            F.col("max_degree")
+            >= F.pow(F.lit(2.0), F.col("bin_id") + 1)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_rake_plan_has_no_python(spark):
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["keyword_rake"].spark(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
