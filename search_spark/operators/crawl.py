@@ -52,13 +52,16 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
     loc = F.regexp_extract("rec", "<loc>([^<]*)</loc>", 1)
     lastmod = F.regexp_extract("rec", "<lastmod>([^<]*)</lastmod>", 1)
     prio = F.regexp_extract("rec", "<priority>([^<]*)</priority>", 1)
+    # try_* variants: a malformed lastmod/priority in one crawled sitemap
+    # must degrade that field (NULL lastmod = never stale; default
+    # priority), never abort the scan (ANSI mode would throw on cast)
     return e.select(
         "site_host",
         loc.alias("loc"),
-        F.when(lastmod != "", F.to_timestamp(lastmod)).alias("lastmod"),
-        F.when(prio != "", prio.cast("double"))
-        .otherwise(F.lit(0.5))
-        .alias("priority"),
+        F.when(lastmod != "", F.try_to_timestamp(lastmod)).alias("lastmod"),
+        F.coalesce(
+            F.when(prio != "", prio.try_cast("double")), F.lit(0.5)
+        ).alias("priority"),
     ).filter(loc != "")
 
 

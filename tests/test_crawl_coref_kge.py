@@ -211,3 +211,25 @@ def test_rank_tails_candidate_join_is_broadcast(spark):
     plan = plan_of(QUERIES["kg_transe_rank"].spark(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sitemap_malformed_fields_degrade_not_throw(spark):
+    from search_spark.operators.crawl import sitemap_entries
+
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "https://m.example/sitemap.xml",
+                b"<urlset><url><loc>https://m.example/ok</loc>"
+                b"<lastmod>not-a-date</lastmod>"
+                b"<priority>high</priority></url></urlset>",
+            )
+        ],
+        schema="url string, html binary",
+    )
+    rows = sitemap_entries(sitemaps).collect()
+    # ANSI mode must not abort: malformed lastmod -> NULL (never stale),
+    # malformed priority -> protocol default
+    assert len(rows) == 1
+    assert rows[0].lastmod is None
+    assert rows[0].priority == 0.5
