@@ -233,3 +233,32 @@ def test_sitemap_malformed_fields_degrade_not_throw(spark):
     assert len(rows) == 1
     assert rows[0].lastmod is None
     assert rows[0].priority == 0.5
+
+
+def test_cli_crawl_subcommand(spark, tmp_path):
+    import subprocess
+    import sys
+
+    from search_spark import oracles
+
+    spark.createDataFrame(
+        oracles.sitemap_fixture_pages(), schema="url string, html binary"
+    ).write.parquet(str(tmp_path / "sitemaps"))
+    spark.createDataFrame(
+        oracles.sitemap_crawled_rows(), schema="url string, warc_ts string"
+    ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts").write.parquet(
+        str(tmp_path / "crawled")
+    )
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "crawl",
+         "--sitemaps", str(tmp_path / "sitemaps"),
+         "--crawled", str(tmp_path / "crawled"),
+         "--delay", "0.5", "--max-per-host", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l]
+    assert lines[0] == "loc,host,slot,fetch_offset_s"
+    # 4 hosts x 5-slot cap
+    assert len(lines) == 1 + 20

@@ -237,6 +237,20 @@ def main() -> int:
     p_search.add_argument("--strength", default="Mild")
     p_search.add_argument("--id-cols", default="url,ppos,spos")
 
+    p_crawl = sub.add_parser(
+        "crawl",
+        help="sitemaps (+ optional robots, capture table) -> polite "
+        "fetch schedule CSV",
+    )
+    p_crawl.add_argument("--sitemaps", required=True,
+                         help="parquet with (url, html) sitemap bodies")
+    p_crawl.add_argument("--crawled", default=None,
+                         help="parquet capture table (url, warc_ts)")
+    p_crawl.add_argument("--robots", default=None,
+                         help="parquet with (url, html) robots.txt bodies")
+    p_crawl.add_argument("--delay", type=float, default=1.0)
+    p_crawl.add_argument("--max-per-host", type=int, default=None)
+
     args = ap.parse_args()
 
     from search_spark import surfaces
@@ -281,6 +295,35 @@ def main() -> int:
             args.limit
         )
         print(df.drop("bucket").toPandas().to_csv(index=False), end="")
+    elif args.cmd == "crawl":
+        from search_spark.operators.crawl import (
+            politeness_schedule,
+            robots_allowed,
+            sitemap_frontier,
+        )
+
+        sitemaps = spark.read.parquet(args.sitemaps)
+        if args.crawled:
+            crawled = spark.read.parquet(args.crawled)
+        else:
+            crawled = spark.createDataFrame(
+                [], schema="url string, warc_ts timestamp"
+            )
+        frontier = sitemap_frontier(sitemaps, crawled)
+        if args.robots:
+            robots = spark.read.parquet(args.robots)
+            kept = robots_allowed(
+                frontier.withColumnRenamed("loc", "url"), robots
+            ).withColumnRenamed("url", "loc").drop("matched_prefix")
+        else:
+            kept = frontier
+        out = politeness_schedule(
+            kept, crawl_delay_s=args.delay, max_per_host=args.max_per_host
+        )
+        print(
+            out.orderBy("host", "slot").toPandas().to_csv(index=False),
+            end="",
+        )
     elif args.cmd == "bm25":
         from search_spark.operators.ranking import bm25_topk
 
