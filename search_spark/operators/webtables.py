@@ -157,6 +157,11 @@ def column_types(cells: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
     One hash aggregate per column plus a vocabulary dim join — the
     standard web-table annotation shape; hot columns (many rows) collapse
     map-side.
+
+    The cell table is consumed three ways (datatype stats, vocab votes,
+    headers): persist/checkpoint ``cells`` before calling when it comes
+    straight from the Arrow parse, or the extraction runs once per
+    consumer.
     """
     body = cells.filter(~F.col("is_header") & (F.col("text") != ""))
     typed = body.withColumn(

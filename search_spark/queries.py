@@ -7401,7 +7401,12 @@ def _q_webtable_column_types(spark, sf_dir):
     vocab = spark.createDataFrame(
         oracles.webtable_vocab_rows(), schema="value string, sem_type string"
     )
-    return column_types(table_cells(pages), vocab)
+    # the annotation consumes the cell table three ways (stats, votes,
+    # headers); materialize the Arrow parse once instead of 3× (plan audit
+    # showed 6 python ops without this — at 10^12 pages you'd persist the
+    # parsed cells table anyway)
+    cells = table_cells(pages).localCheckpoint(eager=False)
+    return column_types(cells, vocab)
 
 
 def _q_kg_ifp_sameas(spark, sf_dir):
