@@ -82,6 +82,13 @@ def main() -> int:
             t0 = time.time()
             _run_to_noop(q.spark(spark, sf_dir))
             walls.append(round(time.time() - t0, 3))
+            # queries that cache/persist (kg_property_path's triples,
+            # column_types' cell checkpoint) must not leak blocks into
+            # later measurements: Spark's cache manager matches by plan
+            # equality, so an identical subtree in a LATER query would
+            # silently read this query's cache — timings stay independent
+            # only if the cache is dropped between runs
+            spark.catalog.clearCache()
         timings[name] = min(walls)
         rep_walls[name] = walls
 
