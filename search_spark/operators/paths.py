@@ -97,6 +97,35 @@ def _restrict(pairs: DataFrame, sources: DataFrame | None) -> DataFrame:
     return pairs.join(sources, on="src", how="left_semi")
 
 
+def _is_leafy(expr: PathExpr) -> bool:
+    """True when ``expr`` is built from Pred/Alt only (no Seq/Repeat) —
+    the shape whose unrestricted pair relation is a single union of leaf
+    scans and can be materialized once per Repeat instead of re-evaluated
+    every round."""
+    if isinstance(expr, Pred):
+        return True
+    if isinstance(expr, Alt):
+        return _is_leafy(expr.left) and _is_leafy(expr.right)
+    return False
+
+
+def _step_pairs(triples: DataFrame, expr: PathExpr) -> DataFrame:
+    """Unrestricted ``(src, dst)`` relation of a leafy expression with NO
+    per-leaf distinct — callers apply one distinct over the whole union."""
+    if isinstance(expr, Pred):
+        pairs = triples.filter(F.col("pred") == expr.name)
+        if expr.inverted:
+            return pairs.select(
+                F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+        return pairs.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    return _step_pairs(triples, expr.left).unionByName(
+        _step_pairs(triples, expr.right)
+    )
+
+
 def _eval(
     triples: DataFrame, expr: PathExpr, sources: DataFrame | None
 ) -> DataFrame:
@@ -134,6 +163,39 @@ def _eval(
         # and on this Spark build localCheckpoint of the round plan trips
         # an attribute-resolution error when the triple input is itself a
         # cached/checkpointed relation (key not found: src#N).
+        if _is_leafy(expr.inner):
+            # build the step relation's plan ONCE — a pure union of leaf
+            # scans with NO distinct and NO cache (duplicates collapse in
+            # the per-round new_pairs distinct; nothing beyond the deltas
+            # is ever materialized, preserving the module's
+            # seeded-never-materializes-the-full-relation guarantee) —
+            # and join the delta against it each round.  The general path
+            # below re-evaluates the expression tree per round, paying
+            # 2 leaf scans + 3 distinct shuffles per hop for an
+            # Alt(Pred, Inv(Pred)) body; joining the delta on dst
+            # directly also drops the per-round frontier distinct.
+            base = _step_pairs(triples, expr.inner)
+            # delta shares lineage with the step scan (acc derives from
+            # it), so rename step's columns outright to dodge Spark's
+            # ambiguous-self-join detection
+            step = base.select(
+                F.col("src").alias("mid"), F.col("dst").alias("step_dst")
+            )
+            acc = _restrict(base, sources).distinct().cache()
+            delta = acc
+            for _ in range(expr.max_hops - 1):
+                new_pairs = (
+                    delta.join(step, delta["dst"] == step["mid"])
+                    .select(delta["src"], F.col("step_dst").alias("dst"))
+                    .distinct()
+                )
+                delta = new_pairs.join(
+                    acc, on=["src", "dst"], how="left_anti"
+                ).cache()
+                if delta.isEmpty():
+                    break
+                acc = acc.unionByName(delta).cache()
+            return acc
         acc = _eval(triples, expr.inner, sources).cache()
         delta = acc
         for _ in range(expr.max_hops - 1):
