@@ -59,22 +59,29 @@ def pair_contexts(
         (F.col("b_tpos") - F.col("a_tpos") >= 1)
         & (F.col("b_tpos") - F.col("a_tpos") <= window)
     )
-    # rename the token side first — mentions usually derive from the same
-    # token frame, and qualified refs on a self-joined lineage are ambiguous
+    # middle positions span at most window-1 slots, so enumerate them and
+    # equi-join tokens on (doc_id, tpos) — a range join (equi doc_id +
+    # tpos-between post-filter) pairs every token of a doc with every
+    # pair of the doc before filtering: per-doc quadratic, and a skew
+    # hazard on long documents at web scale.  explode_outer keeps
+    # adjacent pairs (no middle) as a single null-position row.
+    mid_pos = pairs.withColumn(
+        "m_tpos",
+        F.explode_outer(
+            F.when(
+                F.col("b_tpos") - F.col("a_tpos") > 1,
+                F.sequence(F.col("a_tpos") + 1, F.col("b_tpos") - 1),
+            )
+        ),
+    )
     t = tokens.select(
-        F.col("doc_id").alias("t_doc"),
+        "doc_id",
         F.col("tpos").alias("m_tpos"),
         F.col("tok").alias("m_tok"),
     )
-    mid_toks = pairs.join(
-        t,
-        on=(
-            (pairs["doc_id"] == t["t_doc"])
-            & (t["m_tpos"] > pairs["a_tpos"])
-            & (t["m_tpos"] < pairs["b_tpos"])
-        ),
-        how="left",
-    ).select("doc_id", "a_tpos", "b_tpos", "subj", "obj", "m_tpos", "m_tok")
+    mid_toks = mid_pos.join(t, on=["doc_id", "m_tpos"], how="left").select(
+        "doc_id", "a_tpos", "b_tpos", "subj", "obj", "m_tpos", "m_tok"
+    )
     return mid_toks.groupBy("doc_id", "a_tpos", "b_tpos", "subj", "obj").agg(
         F.array_join(
             F.transform(
