@@ -32,8 +32,9 @@ from pyspark.sql import functions as F
 from search_spark.joins import maybe_broadcast
 from search_spark.operators.boilerplate import host_of
 
-# one full <url>...</url> record per array element
-_URL_REC_RE = "<url>.*?</url>"
+# one full <url>...</url> record per array element; (?s) because real
+# sitemaps pretty-print records across lines and `.` stops at \n otherwise
+_URL_REC_RE = "(?s)<url>.*?</url>"
 
 
 def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
@@ -103,21 +104,55 @@ def robots_rules(robots: DataFrame) -> DataFrame:
     from robots.txt bodies, one row per host.
 
     ``robots`` needs ``(url:string, html:binary)`` with the robots.txt body
-    in the binary column. Only ``User-agent: *`` groups' simple
-    ``Allow:`` / ``Disallow:`` path-prefix lines are evaluated (no
+    in the binary column. Only ``Allow:`` / ``Disallow:`` path-prefix lines
+    in groups whose ``User-agent`` header includes ``*`` are evaluated (no
     wildcards), which covers the original robots-exclusion standard; an
-    empty ``Disallow:`` line is a no-op (allow-all), per the spec.
+    empty ``Disallow:`` line is a no-op (allow-all), per the spec. A group
+    is a run of consecutive ``User-agent:`` lines plus the rule lines that
+    follow it; rules before any ``User-agent`` line belong to no group and
+    are ignored, rules in agent-specific groups (e.g. a ``Googlebot``-only
+    block) don't apply to us.
     """
     body = F.decode(F.col("html"), "UTF-8")
     lines = F.split(body, "\n")
     r = robots.select(
-        host_of("url").alias("site_host"), F.explode(lines).alias("line")
+        host_of("url").alias("site_host"),
+        F.posexplode(lines).alias("pos", "line"),
     )
+    is_ua = F.regexp_extract(F.lower("line"), r"^\s*user-agent\s*:", 0) != ""
     kind = F.regexp_extract(F.lower("line"), r"^\s*(allow|disallow)\s*:", 1)
-    prefix = F.trim(F.regexp_extract("line", r"^\s*[A-Za-z]+\s*:\s*(\S*)", 1))
-    parsed = r.select(
-        "site_host", kind.alias("kind"), prefix.alias("prefix")
-    ).filter((F.col("kind") != "") & (F.col("prefix") != ""))
+    prefix = F.trim(F.regexp_extract("line", r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1))
+    marked = r.select(
+        "site_host",
+        "pos",
+        is_ua.alias("is_ua"),
+        kind.alias("kind"),
+        prefix.alias("prefix"),
+    )
+    # group id = running count of group *openers* (a User-agent line whose
+    # predecessor is not one); per-host window — robots bodies are tiny
+    # and already host-grouped, so this is one shuffle on the host key
+    w = Window.partitionBy("site_host").orderBy("pos")
+    opener = F.col("is_ua") & ~F.coalesce(
+        F.lag("is_ua").over(w), F.lit(False)
+    )
+    grouped = marked.withColumn(
+        "gid", F.sum(opener.cast("int")).over(w)
+    )
+    wg = Window.partitionBy("site_host", "gid")
+    star = F.max(
+        (F.col("is_ua") & (F.col("prefix") == "*")).cast("int")
+    ).over(wg)
+    parsed = (
+        grouped.withColumn("for_us", star == 1)
+        .filter(
+            F.col("for_us")
+            & (F.col("gid") > 0)
+            & (F.col("kind") != "")
+            & (F.col("prefix") != "")
+        )
+        .select("site_host", "kind", "prefix")
+    )
     return parsed.groupBy("site_host").agg(
         F.collect_list(
             F.struct(

@@ -1538,15 +1538,18 @@ ROBOTS_CANDIDATES = 40
 
 def robots_fixture_pages() -> list[tuple]:
     """``(url, html)`` rows: one robots.txt body per host. Host 0 blocks
-    /private/ but re-allows /private/pub/ (longer Allow override); host 1
-    blocks /tmp/ and /private/ with a bare-comment noise line; host 2 has
-    no Disallow (allow-all). A 4th host has no robots row at all."""
+    /private/ but re-allows /private/pub/ (longer Allow override) and has
+    a trailing strictbot-only group whose ``Disallow: /`` must NOT apply
+    to ``*``; host 1 blocks /tmp/ and /private/ with a bare-comment noise
+    line; host 2 has no Disallow (allow-all) and a stray pre-group
+    ``Disallow:`` line that belongs to no group (ignored). A 4th host has
+    no robots row at all."""
     bodies = [
         "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
-        "Disallow: /search\n",
+        "Disallow: /search\n\nUser-agent: strictbot\nDisallow: /\n",
         "# crawl policy\nUser-agent: *\nDisallow: /tmp/\n"
         "Disallow: /private/\nDisallow:\n",
-        "User-agent: *\nAllow: /\n",
+        "Disallow: /early/\nUser-agent: *\nAllow: /\n",
     ]
     return [
         (f"https://h{h}.example.net/robots.txt", bodies[h].encode())
@@ -1583,16 +1586,31 @@ def robots_allowed_oracle_sql() -> str:
     return f"""
 WITH rb AS ({rb}),
 lines AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-                 unnest(string_split(body, chr(10))) AS line
+                 unnest(string_split(body, chr(10))) AS line,
+                 generate_subscripts(string_split(body, chr(10)), 1) AS pos
           FROM rb),
-parsed AS (
-  SELECT host,
+marked AS (
+  SELECT host, pos,
+         regexp_matches(lower(line), '^\\s*user-agent\\s*:') AS is_ua,
          regexp_extract(lower(line), '^\\s*(allow|disallow)\\s*:', 1)
            AS kind,
-         trim(regexp_extract(line, '^\\s*[A-Za-z]+\\s*:\\s*(\\S*)', 1))
+         trim(regexp_extract(line, '^\\s*[A-Za-z-]+\\s*:\\s*(\\S*)', 1))
            AS prefix
   FROM lines),
-rules AS (SELECT * FROM parsed WHERE kind <> '' AND prefix <> ''),
+openers AS (
+  SELECT *, CASE WHEN is_ua AND NOT coalesce(
+           lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+         THEN 1 ELSE 0 END AS opener
+  FROM marked),
+grp AS (
+  SELECT *, sum(opener) OVER (PARTITION BY host ORDER BY pos) AS gid
+  FROM openers),
+starred AS (
+  SELECT *, max(CASE WHEN is_ua AND prefix = '*' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host, gid) AS star
+  FROM grp),
+rules AS (SELECT host, kind, prefix FROM starred
+          WHERE star = 1 AND gid > 0 AND kind <> '' AND prefix <> ''),
 cand AS ({cand}),
 cp AS (SELECT url,
               COALESCE(nullif(regexp_extract(

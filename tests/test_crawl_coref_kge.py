@@ -44,6 +44,38 @@ def test_robots_longest_prefix_and_allow_override(spark):
     }
 
 
+def test_robots_user_agent_groups(spark):
+    from search_spark.operators.crawl import robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "https://h.example/robots.txt",
+                # pre-group rule (no User-agent yet): ignored;
+                # specialbot-only Disallow-all: not for us;
+                # multi-header group that includes *: applies
+                b"Disallow: /pregroup/\n"
+                b"User-agent: specialbot\nDisallow: /\n\n"
+                b"User-agent: a\nUser-agent: *\nDisallow: /private/\n",
+            )
+        ],
+        schema="url string, html binary",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h.example/pregroup/x",),
+            ("https://h.example/anything",),
+            ("https://h.example/private/a",),
+        ],
+        schema="url string",
+    )
+    got = _rows(robots_allowed(cand, robots))
+    assert got == {
+        ("https://h.example/pregroup/x", None),
+        ("https://h.example/anything", None),
+    }
+
+
 def test_robots_rules_join_is_broadcast(spark):
     from search_spark import oracles
     from search_spark.operators.crawl import robots_allowed
@@ -90,6 +122,29 @@ def test_sitemap_frontier_reasons(spark):
     assert got == {
         ("https://s.example/new", 0.5, "new"),
         ("https://s.example/stale", 0.9, "stale"),
+    }
+
+
+def test_sitemap_parse_handles_multiline_records(spark):
+    from search_spark.operators.crawl import sitemap_entries
+
+    xml = (
+        b'<?xml version="1.0"?>\n<urlset>\n'
+        b" <url>\n  <loc>https://s.example/a</loc>\n"
+        b"  <priority>0.9</priority>\n </url>\n"
+        b" <url><loc>https://s.example/b</loc></url>\n</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("https://s.example/sitemap.xml", xml)],
+        schema="url string, html binary",
+    )
+    got = {
+        (r.loc, r.priority)
+        for r in sitemap_entries(sitemaps).collect()
+    }
+    assert got == {
+        ("https://s.example/a", 0.9),
+        ("https://s.example/b", 0.5),
     }
 
 
