@@ -45,21 +45,23 @@ def global_rank(
     )
     wp = Window.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_lrank", F.row_number().over(wp))
-    sizes = sorted(
-        local.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    # cumulative predecessor counts, computed IN-PLAN (not collected):
+    # range partitioning samples with an RDD-id-derived seed, so a
+    # separate collect action could land on different bounds than the
+    # final job and corrupt the offsets — one action means the range
+    # exchange is planned once and reused (ReusedExchange/stage cache)
+    # by both the aggregate and the join. The offsets window is
+    # single-partition over #shuffle-partitions rows — request-sized.
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    wo = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, acc = {}, 0
-    for r in sizes:
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    spark = records.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            list(offsets.items()), schema="_pid int, _off long"
-        )
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
     )
     return (
-        local.join(off_df, "_pid")
+        local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrank", "_off")
     )
