@@ -62,19 +62,58 @@ def _cell_text(el: ElementTree.Element) -> str:
 def _iter_cells(html_doc: bytes | str) -> Iterator[tuple]:
     """``(t_idx, r_idx, c_idx, is_header, text)`` for one page; malformed
     pages yield nothing (the text path already has the lossy fallback —
-    tables in tag soup are not recoverable cell-exactly)."""
+    tables in tag soup are not recoverable cell-exactly).
+
+    Rows attach to their *nearest enclosing* table: a table nested inside
+    a cell gets its own ``t_idx`` (document order) and its rows never leak
+    into the outer table's row numbering — ``root.iter("table")`` +
+    ``table.iter("tr")`` would count inner rows in both tables. The outer
+    cell's text still flattens the nested content (``itertext``), matching
+    the text path's behavior for markup inside cells."""
     if isinstance(html_doc, bytes):
         html_doc = html_doc.decode("utf-8", errors="replace")
     try:
         root = ElementTree.fromstring(html_doc)
     except ElementTree.ParseError:
         return
-    for t_idx, table in enumerate(root.iter("table")):
-        for r_idx, row in enumerate(table.iter("tr")):
-            for c_idx, cell in enumerate(
-                c for c in row if c.tag in ("td", "th")
-            ):
-                yield t_idx, r_idx, c_idx, cell.tag == "th", _cell_text(cell)
+    out: list[tuple] = []
+    t_count = 0
+
+    def walk(el: ElementTree.Element, table_state: dict | None) -> None:
+        nonlocal t_count
+        if el.tag == "table":
+            state = {"tid": t_count, "r": 0}
+            t_count += 1
+            for ch in el:
+                walk(ch, state)
+        elif el.tag == "tr" and table_state is not None:
+            r_idx = table_state["r"]
+            table_state["r"] += 1
+            c_idx = 0
+            for ch in el:
+                if ch.tag in ("td", "th"):
+                    out.append(
+                        (
+                            table_state["tid"],
+                            r_idx,
+                            c_idx,
+                            ch.tag == "th",
+                            _cell_text(ch),
+                        )
+                    )
+                    c_idx += 1
+                    # nested tables under a cell start their own context
+                    for g in ch:
+                        walk(g, None)
+                else:
+                    walk(ch, table_state)
+        else:
+            # thead/tbody/etc. pass the enclosing table through
+            for ch in el:
+                walk(ch, table_state)
+
+    walk(root, None)
+    yield from out
 
 
 def table_cells(web_pages: DataFrame) -> DataFrame:

@@ -28,6 +28,29 @@ def test_table_cells_header_and_body(spark):
     assert len(got) == 6
 
 
+def test_nested_table_rows_stay_with_inner_table(spark):
+    # a table inside a cell: its rows must NOT inflate the outer table's
+    # row numbering, and it gets its own t_idx; the outer cell's text
+    # flattens the nested content
+    html = (
+        b"<html><body><table>"
+        b"<tr><th>k</th><th>v</th></tr>"
+        b"<tr><td>outer</td><td>"
+        b"<table><tr><td>inner</td></tr></table>"
+        b"</td></tr>"
+        b"<tr><td>last</td><td>x</td></tr>"
+        b"</table></body></html>"
+    )
+    cells = table_cells(_pages(spark, [("u", html)])).collect()
+    got = {(r.t_idx, r.r_idx, r.c_idx, r.text) for r in cells}
+    # outer table rows number 0,1,2 despite the nested <tr>
+    assert (0, 2, 0, "last") in got
+    # inner table is its own table 1, row 0
+    assert (1, 0, 0, "inner") in got
+    # the containing cell flattened the inner text
+    assert (0, 1, 1, "inner") in got
+
+
 def test_webtable_triples_shape(spark):
     html = (
         b"<table><tr><th>item</th><th>color</th><th>price</th></tr>"
