@@ -28,8 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# tolerate attribute order/extras and either quote style around the type —
+# real markup is <script async type='application/ld+json' nonce=...>
 _BLOCK_RE = (
-    '<script type="application/ld\\+json">\\s*(\\{[^<]*\\})\\s*</script>'
+    "<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>"
+    "\\s*(\\{[^<]*\\})\\s*</script>"
 )
 
 

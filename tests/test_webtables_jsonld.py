@@ -106,6 +106,23 @@ def test_jsonld_subject_cascade(spark):
     }
 
 
+def test_jsonld_script_attribute_variants(spark):
+    # extra attributes, single quotes, whitespace around '=' — all the
+    # forms live markup uses around the type attribute
+    html = (
+        b"<html><head>"
+        b"<script async type='application/ld+json' nonce=\"x\">"
+        b'{"@type": "Thing", "name": "a"}</script>'
+        b'<script type = "application/ld+json">'
+        b'{"@type": "Thing", "name": "b"}</script>'
+        b"</head></html>"
+    )
+    blocks = jsonld_blocks(_pages(spark, [("u", html)])).collect()
+    assert len(blocks) == 2
+    names = {r.b_idx for r in blocks}
+    assert names == {0, 1}
+
+
 def test_jsonld_malformed_block_filtered_but_indexed(spark):
     html = (
         b'<script type="application/ld+json">{oops}</script>'
