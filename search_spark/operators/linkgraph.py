@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from search_spark.operators.boilerplate import host_of
 
-# one full anchor tag per array element; href/text picked apart afterwards
-_TAG_RE = '<a\\s+[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+# one full anchor tag per array element; href/text picked apart afterwards.
+# Either quote style and any attribute order/extras around href.
+_TAG_RE = "<a\\s[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*')[^>]*>[^<]*</a>"
+_HREF_RE = "href\\s*=\\s*[\"']([^\"']*)[\"']"
 
 
 def anchor_edges(web_pages: DataFrame) -> DataFrame:
@@ -45,7 +47,7 @@ def anchor_edges(web_pages: DataFrame) -> DataFrame:
     e = web_pages.select(
         F.col("url").alias("src"), F.explode(tags).alias("tag")
     )
-    href = F.regexp_extract("tag", 'href="([^"]*)"', 1)
+    href = F.regexp_extract("tag", _HREF_RE, 1)
     anchor = F.regexp_extract("tag", ">([^<]*)</a>", 1)
     scheme = F.regexp_extract("src", "^([a-z][a-z0-9+.-]*)://", 1)
     base_dir = F.regexp_extract("src", "^(.*/)", 1)
@@ -154,17 +156,31 @@ def link_by_anchor_prior(
 # rel=canonical extraction + chain resolution
 # --------------------------------------------------------------------------
 
-_CANONICAL_RE = '<link\\s+rel="canonical"\\s+href="([^"]*)"\\s*/?>'
+# all <link ...> tags; rel/hreflang/href are picked out per tag so the
+# attribute ORDER never matters (live markup mixes it freely)
+_LINK_TAG_RE = "<link\\s[^>]*>"
+
+
+def _rel_is(tag_col, value: str):
+    return tag_col.rlike(f"rel\\s*=\\s*[\"']{value}[\"']")
 
 
 def canonical_links(web_pages: DataFrame) -> DataFrame:
     """``(url, canonical)`` from ``<link rel="canonical">`` headers — the
     site-declared dedup signal Common-Crawl dedup keys on before any
-    content hashing.  Pure codegen (first match per page); root-relative
+    content hashing.  Pure codegen (first canonical tag per page, found
+    array-natively: all ``<link>`` tags → ``filter`` on rel →
+    ``element_at(1)`` — attribute order/quoting free); root-relative
     hrefs absolutize against the page host; pages without the tag or
     self-canonical pages are omitted (they are their own key)."""
     html_s = F.decode(F.col("html"), "UTF-8")
-    href = F.regexp_extract(html_s, _CANONICAL_RE, 1)
+    tags = F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), F.lit(0))
+    # try_element_at: ANSI mode makes element_at throw on an empty array
+    # (pages with no canonical tag)
+    first = F.try_element_at(
+        F.filter(tags, lambda t: _rel_is(t, "canonical")), F.lit(1)
+    )
+    href = F.coalesce(F.regexp_extract(first, _HREF_RE, 1), F.lit(""))
     scheme = F.regexp_extract("url", "^([a-z][a-z0-9+.-]*)://", 1)
     canonical = (
         F.when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
@@ -255,26 +271,26 @@ def resolve_canonical_chains(
 # hreflang translation clusters
 # --------------------------------------------------------------------------
 
-_HREFLANG_RE = (
-    '<link\\s+rel="alternate"\\s+hreflang="([a-zA-Z-]+)"'
-    '\\s+href="([^"]*)"\\s*/?>'
-)
+_HREFLANG_ATTR_RE = "hreflang\\s*=\\s*[\"']([a-zA-Z-]+)[\"']"
 
 
 def hreflang_edges(web_pages: DataFrame) -> DataFrame:
     """``(url, hreflang, alt_url)`` from ``<link rel="alternate">``
     declarations — the language-variant signal that groups translations of
-    one page.  Pure codegen; self-declarations (``alt_url == url``, the
-    spec-required self row) are dropped; hreflang is lowercased (BCP-47 is
-    case-insensitive)."""
+    one page.  Pure codegen: all ``<link>`` tags → ``filter`` on
+    rel=alternate + an hreflang attribute (any attribute order, either
+    quote style) → per-tag extracts; self-declarations (``alt_url ==
+    url``, the spec-required self row) are dropped; hreflang is
+    lowercased (BCP-47 is case-insensitive)."""
     html_s = F.decode(F.col("html"), "UTF-8")
-    tags = F.regexp_extract_all(
-        html_s, F.lit(_HREFLANG_RE.replace("([a-zA-Z-]+)", "[a-zA-Z-]+")
-                      .replace('([^"]*)', '[^"]*')), F.lit(0)
+    tags = F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), F.lit(0))
+    alt = F.filter(
+        tags,
+        lambda t: _rel_is(t, "alternate") & t.rlike(_HREFLANG_ATTR_RE),
     )
-    e = web_pages.select("url", F.explode(tags).alias("tag"))
-    lang = F.lower(F.regexp_extract("tag", 'hreflang="([a-zA-Z-]+)"', 1))
-    href = F.regexp_extract("tag", 'href="([^"]*)"', 1)
+    e = web_pages.select("url", F.explode(alt).alias("tag"))
+    lang = F.lower(F.regexp_extract("tag", _HREFLANG_ATTR_RE, 1))
+    href = F.regexp_extract("tag", _HREF_RE, 1)
     return e.select(
         "url", lang.alias("hreflang"), href.alias("alt_url")
     ).filter((F.col("alt_url") != "") & (F.col("alt_url") != F.col("url")))

@@ -230,6 +230,38 @@ def _canon_pages(spark, tags):
     return spark.createDataFrame(rows, schema="url string, html binary")
 
 
+def test_tag_attribute_variants_single_quotes_and_order(spark):
+    # live markup: single quotes, extra attributes, rel AFTER href —
+    # all three extractors must still see the declarations
+    from search_spark.operators.linkgraph import (
+        anchor_edges,
+        canonical_links,
+        hreflang_edges,
+    )
+
+    html = (
+        b"<html><head>"
+        b"<link href='https://m.example/master' rel='canonical'>"
+        b"<link hreflang='DE' rel=\"alternate\" "
+        b"href='https://m.example/de'/>"
+        b"</head><body>"
+        b"<a class=x href='/about' id=y>About us</a>"
+        b"</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://m.example/page", html)], schema="url string, html binary"
+    )
+    assert {(r.url, r.canonical) for r in canonical_links(pages).collect()} == {
+        ("https://m.example/page", "https://m.example/master")
+    }
+    assert {
+        (r.hreflang, r.alt_url) for r in hreflang_edges(pages).collect()
+    } == {("de", "https://m.example/de")}
+    assert {(r.dst, r.anchor) for r in anchor_edges(pages).collect()} == {
+        ("https://m.example/about", "About us")
+    }
+
+
 def test_canonical_links_absolutize_and_self_filter(spark):
     from search_spark.operators.linkgraph import canonical_links
 
