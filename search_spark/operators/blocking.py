@@ -40,18 +40,21 @@ def global_rank(
     window but never funnels the data through one task.
     """
     cols = [F.col(c) for c in order_cols]
-    parts = records.repartitionByRange(*cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialize the range partitioning: its boundaries are SAMPLED per
+    # exchange instance (RDD-id-seeded), and this subtree feeds both the
+    # rank branch and the offsets branch — pin it so correctness never
+    # depends on Spark's exchange-reuse keeping the two instances
+    # identical (same discipline as sampling.global_index)
+    parts = (
+        records.repartitionByRange(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     wp = Window.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_lrank", F.row_number().over(wp))
     # cumulative predecessor counts, computed IN-PLAN (not collected):
-    # range partitioning samples with an RDD-id-derived seed, so a
-    # separate collect action could land on different bounds than the
-    # final job and corrupt the offsets — one action means the range
-    # exchange is planned once and reused (ReusedExchange/stage cache)
-    # by both the aggregate and the join. The offsets window is
-    # single-partition over #shuffle-partitions rows — request-sized.
+    # the offsets window is single-partition over #shuffle-partitions
+    # rows — request-sized.
     sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
     wo = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
