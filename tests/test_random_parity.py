@@ -77,6 +77,124 @@ def test_robots_random_rules_vs_python_reference(spark):
             assert url not in got, url
 
 
+def test_robots_random_user_agent_groups_vs_python_reference(spark):
+    # random MULTI-GROUP robots files: named groups must not apply to *,
+    # multi-header groups apply when any header is *, pre-group rules are
+    # ignored
+    from search_spark.operators.crawl import robots_allowed
+
+    rng = _mk_rng()
+    segs = ["a", "b", "pub", "private", "tmp", "x1"]
+    hosts = [f"g{i}.example" for i in range(6)]
+    agents = ["*", "alphabot", "betabot"]
+
+    def rand_path(depth):
+        return "/" + "/".join(rng.choice(segs) for _ in range(depth)) + (
+            "/" if rng.random() < 0.5 else ""
+        )
+
+    robots_rows, rules_by_host = [], {}
+    for h in hosts[:5]:
+        lines, star_rules = [], []
+        if rng.random() < 0.4:  # stray pre-group rule: must be ignored
+            lines.append(f"Disallow: {rand_path(1)}")
+        for _ in range(rng.randint(1, 3)):  # groups
+            headers = [rng.choice(agents) for _ in range(rng.randint(1, 2))]
+            lines += [f"User-agent: {a}" for a in headers]
+            for_us = "*" in headers
+            for _ in range(rng.randint(1, 4)):
+                kind = rng.choice(["Allow", "Disallow"])
+                prefix = rand_path(rng.randint(1, 3))
+                lines.append(f"{kind}: {prefix}")
+                if for_us:
+                    star_rules.append((kind == "Allow", prefix))
+        robots_rows.append(
+            (f"https://{h}/robots.txt", "\n".join(lines).encode())
+        )
+        rules_by_host[h] = star_rules
+    cand_rows = [
+        (f"https://{rng.choice(hosts)}{rand_path(rng.randint(1, 4))}",)
+        for _ in range(300)
+    ]
+
+    def ref_decision(url):
+        host = url.split("://")[1].split("/")[0]
+        rest = url.split("://")[1]
+        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+        best = None
+        for allow, prefix in rules_by_host.get(host, []):
+            if path.startswith(prefix):
+                n = len(prefix)
+                if best is None or n > best[0] or (
+                    n == best[0] and allow and not best[1]
+                ):
+                    best = (n, allow, prefix)
+        if best is None:
+            return True, None
+        return best[1], best[2]
+
+    robots = spark.createDataFrame(
+        robots_rows, schema="url string, html binary"
+    )
+    cand = spark.createDataFrame(cand_rows, schema="url string")
+    got = {
+        r.url: r.matched_prefix
+        for r in robots_allowed(cand, robots).collect()
+    }
+    for (url,) in set(cand_rows):
+        allowed, prefix = ref_decision(url)
+        if allowed:
+            assert url in got and got[url] == prefix, (url, prefix,
+                                                       got.get(url))
+        else:
+            assert url not in got, url
+
+
+def test_pair_contexts_random_vs_python_reference(spark):
+    # random token streams + mention positions: middles must be the exact
+    # strictly-between token runs, '' for adjacent pairs, one row per
+    # ordered pair within the window
+    from search_spark.operators.bootstrap import pair_contexts
+
+    rng = _mk_rng()
+    window = 4
+    vocab = ["t%d" % i for i in range(12)]
+    tok_rows, men_rows = [], []
+    mentions_by_doc = {}
+    toks_by_doc = {}
+    for d in range(25):
+        n = rng.randint(2, 18)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        toks_by_doc[d] = toks
+        tok_rows += [(d, i, t) for i, t in enumerate(toks)]
+        mpos = sorted(rng.sample(range(n), rng.randint(1, min(5, n))))
+        mentions_by_doc[d] = mpos
+        men_rows += [(d, p, toks[p].upper()) for p in mpos]
+
+    expected = set()
+    for d, mpos in mentions_by_doc.items():
+        toks = toks_by_doc[d]
+        for a in mpos:
+            for b in mpos:
+                if 1 <= b - a <= window:
+                    middle = " ".join(toks[a + 1:b])
+                    expected.add(
+                        (d, a, b, toks[a].upper(), toks[b].upper(), middle)
+                    )
+
+    tokens = spark.createDataFrame(
+        tok_rows, schema="doc_id int, tpos int, tok string"
+    )
+    mentions = spark.createDataFrame(
+        men_rows, schema="doc_id int, tpos int, mention string"
+    )
+    got = {
+        (r.doc_id, r.a_tpos, r.b_tpos, r.subj, r.obj, r.middle)
+        for r in pair_contexts(tokens, mentions, window).collect()
+    }
+    assert got == expected
+
+
 def test_global_rank_random_vs_sorted_enumerate(spark):
     from search_spark.operators.blocking import global_rank
 
