@@ -201,14 +201,19 @@ def negative_samples(
     is broadcast-eligible under AQE; the anti-join shuffles on the
     triple key only.
     """
-    t = triples.select("subj", "pred", "obj").distinct()
+    # cache: the distinct triple set feeds THREE consumers (the entity
+    # index, the candidate expansion, and the filtered-negatives
+    # anti-join) and the entity index two (lookup join + count) — without
+    # pinning, the upstream extraction lineage executes once per
+    # consumer. It is the algorithm's working set; Spark spills it.
+    t = triples.select("subj", "pred", "obj").distinct().cache()
     ents = global_index(
         t.select(F.col("subj").alias("entity")).unionByName(
             t.select(F.col("obj").alias("entity"))
         ),
         "entity",
         num_partitions,
-    )
+    ).cache()
     n = ents.agg(F.count(F.lit(1)).alias("__n"))
     expanded = t.withColumn(
         "sample_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
