@@ -3940,11 +3940,13 @@ def _q_kg_snapshot_diff(spark, sf_dir):
     cartesian; at scale both sides are bucket-co-partitioned snapshot
     reads, so the anti-joins shuffle nothing new."""
     key = ["subj", "pred", "obj", "prov"]
+    # pin: t feeds both versions and each version feeds both diff
+    # directions — uncached, the extraction lineage runs 4x
     t = _q_kg_doc_triples(spark, sf_dir).withColumn(
         "did", F.split("prov", ":").getItem(0).cast("long")
-    )
-    old = t.filter(F.col("did") % 3 != 0).select(*key).distinct()
-    new = t.filter(F.col("did") % 3 != 1).select(*key).distinct()
+    ).cache()
+    old = t.filter(F.col("did") % 3 != 0).select(*key).distinct().cache()
+    new = t.filter(F.col("did") % 3 != 1).select(*key).distinct().cache()
     added = new.join(old, key, "left_anti").withColumn("change", F.lit("added"))
     removed = old.join(new, key, "left_anti").withColumn(
         "change", F.lit("removed")
