@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 TRIPLE_KEY = ["subj", "pred", "obj"]
 
 
+def _current_state_path(state_dir: str) -> str | None:
+    """Resolve the CURRENT marker to the live fused-state directory
+    (None before the first commit)."""
+    marker = os.path.join(state_dir, "CURRENT")
+    if not os.path.isfile(marker):
+        return None
+    with open(marker) as fh:
+        name = fh.read().strip()
+    path = os.path.join(state_dir, name)
+    return path if os.path.isdir(path) else None
+
+
 def _fold(batch_df: DataFrame) -> DataFrame:
     """Partial fusion state for one batch of extraction rows
     ``(subj, pred, obj, p)`` with confidences in [0, 1)."""
@@ -51,11 +63,11 @@ def triple_confidence_stream(
 
     ``stream`` rows are per-extraction ``(subj, pred, obj, p)``.
     Returns one record per non-empty micro-batch:
-    ``{"batch_id", "n_rows", "n_triples"}``. State lives at
-    ``{state_dir}/fused`` (one row per distinct triple); read the
+    ``{"batch_id", "n_rows", "n_triples"}``. State lives in versioned
+    ``{state_dir}/fused_v<batch>`` directories behind an atomically-
+    swapped ``CURRENT`` marker (one row per distinct triple); read the
     current scores with :func:`read_triple_confidence`.
     """
-    fused_path = os.path.join(state_dir, "fused")
     commits: list[dict] = []
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -63,16 +75,31 @@ def triple_confidence_stream(
         if n_rows == 0:
             return
         merged = _fold(batch_df)
-        if os.path.isdir(fused_path):
-            old = spark.read.parquet(fused_path)
+        current = _current_state_path(state_dir)
+        if current is not None:
+            old = spark.read.parquet(current)
             merged = old.unionByName(merged).groupBy(*TRIPLE_KEY).agg(
                 F.sum("n_prov").alias("n_prov"),
                 F.sum("log1m_sum").alias("log1m_sum"),
                 F.max("max_p").alias("max_p"),
             )
-        merged = merged.localCheckpoint(eager=True)
         n_triples = merged.count()
-        merged.write.mode("overwrite").parquet(fused_path)
+        # versioned write + atomic marker swap: a plain overwrite of one
+        # state path deletes the old files BEFORE the new ones land, so a
+        # crash in between loses the fused state in a way checkpoint
+        # replay cannot heal (the folded-in extractions are gone from the
+        # source). Write the new version beside the old, flip CURRENT
+        # with os.replace (atomic), then best-effort-drop the old dir.
+        new_path = os.path.join(state_dir, f"fused_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        marker_tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(marker_tmp, "w") as fh:
+            fh.write(f"fused_v{batch_id}")
+        os.replace(marker_tmp, os.path.join(state_dir, "CURRENT"))
+        if current is not None and current != new_path:
+            import shutil
+
+            shutil.rmtree(current, ignore_errors=True)
         commits.append(
             {"batch_id": batch_id, "n_rows": n_rows, "n_triples": n_triples}
         )
@@ -93,7 +120,12 @@ def read_triple_confidence(
 ) -> DataFrame:
     """Current ``(subj, pred, obj, n_prov, noisy_or, max_p)`` from the
     maintained state — the same score the batch fusion computes."""
-    fused = spark.read.parquet(os.path.join(state_dir, "fused"))
+    current = _current_state_path(state_dir)
+    if current is None:
+        raise FileNotFoundError(
+            f"no committed confidence state under {state_dir}"
+        )
+    fused = spark.read.parquet(current)
     return fused.select(
         *TRIPLE_KEY,
         "n_prov",
