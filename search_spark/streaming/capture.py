@@ -17,10 +17,14 @@ processing-time trigger in production.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from search_spark.streaming.state import (
+    commit_state,
+    current_state_path,
+    read_state,
+)
 
 
 def _fold(batch_df: DataFrame) -> DataFrame:
@@ -43,10 +47,10 @@ def latest_capture_stream(
 
     ``stream`` rows are ``(canonical_url, doc_id, ts_epoch)``. Returns
     one record per non-empty micro-batch: ``{"batch_id", "n_rows",
-    "n_urls"}``. State lives at ``{state_dir}/latest``; read the
-    current winners with :func:`read_latest_captures`.
+    "n_urls"}``. State lives in atomically-swapped versioned dirs under
+    ``state_dir`` (streaming/state.py); read the current winners with
+    :func:`read_latest_captures`.
     """
-    state_path = os.path.join(state_dir, "latest")
     commits: list[dict] = []
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -54,15 +58,15 @@ def latest_capture_stream(
         if n_rows == 0:
             return
         merged = _fold(batch_df)
-        if os.path.isdir(state_path):
-            old = spark.read.parquet(state_path)
+        current = current_state_path(state_dir, "latest")
+        if current is not None:
+            old = spark.read.parquet(current)
             merged = old.unionByName(merged).groupBy("canonical_url").agg(
                 F.sum("n_captures").alias("n_captures"),
                 F.max("best").alias("best"),
             )
-        merged = merged.localCheckpoint(eager=True)
         n_urls = merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
+        commit_state(merged, state_dir, "latest", batch_id)
         commits.append(
             {"batch_id": batch_id, "n_rows": n_rows, "n_urls": n_urls}
         )
@@ -83,7 +87,7 @@ def read_latest_captures(
 ) -> DataFrame:
     """Current ``(canonical_url, n_captures, latest_epoch, keep_doc_id)``
     from the maintained state — the batch `latest_capture` shape."""
-    state = spark.read.parquet(os.path.join(state_dir, "latest"))
+    state = read_state(spark, state_dir, "latest")
     return state.select(
         "canonical_url",
         "n_captures",

@@ -22,24 +22,16 @@ when an approximate doc count is needed.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from search_spark.streaming.state import (
+    commit_state,
+    current_state_path,
+    read_state,
+)
+
 TRIPLE_KEY = ["subj", "pred", "obj"]
-
-
-def _current_state_path(state_dir: str) -> str | None:
-    """Resolve the CURRENT marker to the live fused-state directory
-    (None before the first commit)."""
-    marker = os.path.join(state_dir, "CURRENT")
-    if not os.path.isfile(marker):
-        return None
-    with open(marker) as fh:
-        name = fh.read().strip()
-    path = os.path.join(state_dir, name)
-    return path if os.path.isdir(path) else None
 
 
 def _fold(batch_df: DataFrame) -> DataFrame:
@@ -75,7 +67,7 @@ def triple_confidence_stream(
         if n_rows == 0:
             return
         merged = _fold(batch_df)
-        current = _current_state_path(state_dir)
+        current = current_state_path(state_dir, "fused")
         if current is not None:
             old = spark.read.parquet(current)
             merged = old.unionByName(merged).groupBy(*TRIPLE_KEY).agg(
@@ -84,22 +76,7 @@ def triple_confidence_stream(
                 F.max("max_p").alias("max_p"),
             )
         n_triples = merged.count()
-        # versioned write + atomic marker swap: a plain overwrite of one
-        # state path deletes the old files BEFORE the new ones land, so a
-        # crash in between loses the fused state in a way checkpoint
-        # replay cannot heal (the folded-in extractions are gone from the
-        # source). Write the new version beside the old, flip CURRENT
-        # with os.replace (atomic), then best-effort-drop the old dir.
-        new_path = os.path.join(state_dir, f"fused_v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        marker_tmp = os.path.join(state_dir, "CURRENT.tmp")
-        with open(marker_tmp, "w") as fh:
-            fh.write(f"fused_v{batch_id}")
-        os.replace(marker_tmp, os.path.join(state_dir, "CURRENT"))
-        if current is not None and current != new_path:
-            import shutil
-
-            shutil.rmtree(current, ignore_errors=True)
+        commit_state(merged, state_dir, "fused", batch_id)
         commits.append(
             {"batch_id": batch_id, "n_rows": n_rows, "n_triples": n_triples}
         )
@@ -120,12 +97,7 @@ def read_triple_confidence(
 ) -> DataFrame:
     """Current ``(subj, pred, obj, n_prov, noisy_or, max_p)`` from the
     maintained state — the same score the batch fusion computes."""
-    current = _current_state_path(state_dir)
-    if current is None:
-        raise FileNotFoundError(
-            f"no committed confidence state under {state_dir}"
-        )
-    fused = spark.read.parquet(current)
+    fused = read_state(spark, state_dir, "fused")
     return fused.select(
         *TRIPLE_KEY,
         "n_prov",

@@ -12,13 +12,15 @@ graph instead of a cold full run).
 
 State layout under ``state_dir``::
 
-    edges/   cumulative distinct-able edge appends (parquet)
-    ranks/   latest (entity, rank) vector, overwritten per batch
+    edges/          cumulative distinct-able edge appends (parquet)
+    ranks_v<id>/    (entity, rank) vector versions behind an atomic
+                    ranks.CURRENT marker (streaming/state.py)
 
 Both live on the same storage as the snapshot tables; together with the
 streaming checkpoint the state is restart-safe — a replayed batch appends
 duplicate edge rows, which the ``distinct`` inside ``pagerank`` collapses
-(idempotent), and ``ranks`` is always a whole-vector overwrite.
+(idempotent), and the rank vector commits via versioned write + marker
+swap (and is in any case recomputable cold from ``edges/``).
 
 ``Trigger.AvailableNow`` drains the source and stops (deterministic,
 batch-equivalent — what the test asserts); the identical code runs
@@ -32,12 +34,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from search_spark.operators.graph import LOCAL_PR_THRESHOLD, pagerank
-
-
-def _ranks_exist(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+from search_spark.streaming.state import (
+    commit_state,
+    current_state_path,
+    read_state,
+)
 
 
 def pagerank_stream(
@@ -54,10 +55,10 @@ def pagerank_stream(
 
     Returns one record per non-empty micro-batch:
     ``{"batch_id", "n_edge_rows", "n_vertices"}``. The final rank vector
-    is at ``{state_dir}/ranks`` (read it back with ``spark.read``).
+    lives in atomically-swapped versioned dirs under ``state_dir``
+    (streaming/state.py); read it back with :func:`read_ranks`.
     """
     edges_path = os.path.join(state_dir, "edges")
-    ranks_path = os.path.join(state_dir, "ranks")
     commits: list[dict] = []
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,11 +68,8 @@ def pagerank_stream(
             return
         batch_edges.write.mode("append").parquet(edges_path)
         cumulative = spark.read.parquet(edges_path)
-        init = (
-            spark.read.parquet(ranks_path)
-            if _ranks_exist(ranks_path)
-            else None
-        )
+        current = current_state_path(state_dir, "ranks")
+        init = spark.read.parquet(current) if current is not None else None
         ranks = pagerank(
             cumulative,
             n_iter=n_iter_per_batch,
@@ -79,12 +77,8 @@ def pagerank_stream(
             local_threshold=local_threshold,
             init_ranks=init,
         )
-        # materialize off the read path before overwriting it: the rank
-        # vector is vocabulary-sized, so an eager localCheckpoint is cheap
-        # and makes the overwrite safe against reading its own target
-        ranks = ranks.localCheckpoint(eager=True)
         n_vertices = ranks.count()
-        ranks.write.mode("overwrite").parquet(ranks_path)
+        commit_state(ranks, state_dir, "ranks", batch_id)
         commits.append(
             {
                 "batch_id": batch_id,
@@ -102,3 +96,8 @@ def pagerank_stream(
     else:  # pragma: no cover - unbounded production path
         query = writer.start()
     return commits
+
+
+def read_ranks(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current ``(entity, rank)`` vector from the maintained state."""
+    return read_state(spark, state_dir, "ranks")

@@ -16,8 +16,6 @@ processing-time trigger in production.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +23,11 @@ from search_spark.operators.sketches import (
     HASH_MOD,
     R_DEFAULT,
     sketch_mins,
+)
+from search_spark.streaming.state import (
+    commit_state,
+    current_state_path,
+    read_state,
 )
 
 
@@ -41,11 +44,11 @@ def distinct_sketch_stream(
     """Maintain per-group distinct-count sketches over a stream.
 
     Returns one record per non-empty micro-batch:
-    ``{"batch_id", "n_rows", "n_groups"}``. Sketch state lives at
-    ``{state_dir}/mins`` (one row of R minima per group); read the
-    current estimates with :func:`read_distinct_estimates`.
+    ``{"batch_id", "n_rows", "n_groups"}``. Sketch state (one row of R
+    minima per group) lives in atomically-swapped versioned dirs under
+    ``state_dir`` (streaming/state.py); read the current estimates with
+    :func:`read_distinct_estimates`.
     """
-    mins_path = os.path.join(state_dir, "mins")
     commits: list[dict] = []
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -54,14 +57,14 @@ def distinct_sketch_stream(
             return
         new = sketch_mins(batch_df, group, col, r)
         merged = new
-        if os.path.isdir(mins_path):
-            old = spark.read.parquet(mins_path)
+        current = current_state_path(state_dir, "mins")
+        if current is not None:
+            old = spark.read.parquet(current)
             merged = old.unionByName(new).groupBy(group).agg(
                 *[F.min(f"m{i}").alias(f"m{i}") for i in range(r)]
             )
-        merged = merged.localCheckpoint(eager=True)
         n_groups = merged.count()
-        merged.write.mode("overwrite").parquet(mins_path)
+        commit_state(merged, state_dir, "mins", batch_id)
         commits.append(
             {"batch_id": batch_id, "n_rows": n_rows, "n_groups": n_groups}
         )
@@ -86,7 +89,7 @@ def read_distinct_estimates(
     """Current ``(group, sum_min, est_distinct)`` from the maintained
     sketch state — the same exact-integer estimator as the batch
     operator."""
-    mins = spark.read.parquet(os.path.join(state_dir, "mins"))
+    mins = read_state(spark, state_dir, "mins")
     total = F.expr(" + ".join(f"m{i}" for i in range(r)))
     scale = (r - 1) * HASH_MOD
     return mins.select(F.col(group), total.alias("sum_min")).select(

@@ -9,7 +9,7 @@ import os
 import pytest
 
 from search_spark.operators.graph import incremental_pagerank
-from search_spark.streaming.graph import pagerank_stream
+from search_spark.streaming.graph import pagerank_stream, read_ranks
 
 BATCH_1 = [
     ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
@@ -56,7 +56,7 @@ def test_pagerank_stream_matches_batch_incremental(spark, tmp_path):
 
     got = {
         r["entity"]: r["rank"]
-        for r in spark.read.parquet(f"{state_dir}/ranks").collect()
+        for r in read_ranks(spark, state_dir).collect()
     }
     want = {
         r["entity"]: r["rank"]
@@ -97,7 +97,7 @@ def test_pagerank_stream_restart_is_idempotent(spark, tmp_path):
     assert len(first) == 1
     before = {
         r["entity"]: r["rank"]
-        for r in spark.read.parquet(f"{state_dir}/ranks").collect()
+        for r in read_ranks(spark, state_dir).collect()
     }
     second = pagerank_stream(
         spark, _stream(), state_dir=state_dir, checkpoint_dir=ckpt
@@ -105,6 +105,6 @@ def test_pagerank_stream_restart_is_idempotent(spark, tmp_path):
     assert second == []
     after = {
         r["entity"]: r["rank"]
-        for r in spark.read.parquet(f"{state_dir}/ranks").collect()
+        for r in read_ranks(spark, state_dir).collect()
     }
     assert after == before
