@@ -128,11 +128,20 @@ def compact_rollup(spark: SparkSession, state_dir: str) -> int:
     n = merged.count()
     import shutil
 
-    shutil.rmtree(partials_path)
+    # write-aside then swap: deleting the live partials before the
+    # compacted write lands would lose ALL state on a crash in between;
+    # with the aside write the crash window shrinks to two renames
+    tmp = partials_path + ".compact-tmp"
+    trash = partials_path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     (
         merged.withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("batch_id")
-        .parquet(partials_path)
+        .parquet(tmp)
     )
+    os.rename(partials_path, trash)
+    os.rename(tmp, partials_path)
+    shutil.rmtree(trash, ignore_errors=True)
     return n
