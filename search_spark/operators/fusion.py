@@ -74,6 +74,10 @@ def _priority_expr(names: list[str]):
 def resolve_functional(evidence: DataFrame) -> DataFrame:
     """One winning obj per ``(subj, pred)``: most sources, then most
     provenance, then best (lowest) priority, then lexicographic-min obj."""
+    # pin: ranked feeds both the per-key max aggregate and the join back
+    # onto it — uncached, the upstream extraction (e.g. the Arrow
+    # web-table walk) runs twice. Evidence is (subj, pred, obj)-distinct
+    # sized (the KG itself); Spark spills it.
     ranked = evidence.withColumn(
         "rank",
         (
@@ -83,7 +87,7 @@ def resolve_functional(evidence: DataFrame) -> DataFrame:
             + (F.lit(_PRIO_FIELD - 1) - F.least(F.col("priority"),
                                                 F.lit(_PRIO_FIELD - 1)))
         ).cast("long"),
-    )
+    ).cache()
     best = ranked.groupBy("subj", "pred").agg(F.max("rank").alias("rank"))
     return (
         ranked.join(best, ["subj", "pred", "rank"])
