@@ -114,7 +114,10 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
     """
     if not shapes:
         raise ValueError("no shapes to validate")
-    t = triples.select("subj", "pred", "obj")
+    # pin: every shape scans the triple set once or twice (edge side +
+    # typed side) — uncached, a derived input's lineage re-executes per
+    # scan. The set is KG-sized; Spark spills it.
+    t = triples.select("subj", "pred", "obj").cache()
     out = None
     for shape in shapes:
         v = _violations(t, shape)
