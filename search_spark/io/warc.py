@@ -140,37 +140,52 @@ def _warcinfo_record(filename: str) -> bytes:
 # --------------------------------------------------------------------------
 
 
+_GZ_CHUNK = 1 << 20  # feed the decompressor 1 MiB at a time
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Yield the decompressed payload of each gzip member in a multistream
-    file (Common Crawl framing: one member per record)."""
+    file (Common Crawl framing: one member per record).
+
+    Linear in the archive size: input is fed in fixed chunks off a
+    zero-copy memoryview — slicing ``data[pos:]`` per member (and letting
+    ``unused_data`` copy the whole tail) would be quadratic on an archive
+    with tens of thousands of members."""
+    view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        yield d.decompress(data[pos:])
-        tail = d.unused_data
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC file")
-        pos = len(data) - len(tail)
-        if not tail:
-            break
+        out = bytearray()
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member in WARC file")
+            chunk = view[pos : pos + _GZ_CHUNK]
+            out += d.decompress(chunk)
+            pos += len(chunk) - len(d.unused_data)
+        yield bytes(out)
 
 
-def _parse_record(raw: bytes) -> tuple[dict[str, str], bytes, int]:
-    """Parse one record at the head of ``raw``. Returns (headers, block,
-    bytes consumed including the trailing CRLF CRLF)."""
-    if not raw.startswith(b"WARC/"):
+def _parse_record(
+    data: bytes, pos: int
+) -> tuple[dict[str, str], bytes, int]:
+    """Parse one record starting at absolute offset ``pos``. Returns
+    (headers, block, next absolute offset past the trailing CRLF CRLF).
+    Absolute offsets keep the scan linear — re-slicing ``data[pos:]`` per
+    record would copy the remaining stream every record."""
+    if data[pos : pos + 5] != b"WARC/":
         raise ValueError(
             "bad WARC framing: record does not start with WARC/ "
-            f"(got {raw[:16]!r})"
+            f"(got {data[pos : pos + 16]!r})"
         )
-    head_end = raw.index(_CRLF + _CRLF)
+    head_end = data.index(_CRLF + _CRLF, pos)
     headers: dict[str, str] = {}
-    for line in raw[:head_end].split(_CRLF)[1:]:
+    for line in data[pos:head_end].split(_CRLF)[1:]:
         k, _, v = line.partition(b":")
         headers[k.decode().strip().lower()] = v.decode("utf-8", "replace").strip()
     n = int(headers["content-length"])
     block_start = head_end + 4
-    block = raw[block_start : block_start + n]
+    block = data[block_start : block_start + n]
     if len(block) != n:
         raise ValueError("truncated WARC record block")
     return headers, block, block_start + n + 4  # + record-final CRLF CRLF
@@ -186,9 +201,8 @@ def _iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             pos += 2
         if pos >= len(data):
             break
-        headers, block, consumed = _parse_record(data[pos:])
+        headers, block, pos = _parse_record(data, pos)
         yield headers, block
-        pos += consumed
 
 
 def _http_payload(block: bytes) -> bytes:
