@@ -188,8 +188,8 @@ def column_types(cells: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
       ``'string'`` (the same all-values rule as schema_induction's
       per-predicate datatypes).
     * ``header`` — the row-0 ``<th>`` text (NULL for headerless tables).
-    * ``sem_type`` — with a ``vocab(value, sem_type)`` dim (broadcast-
-      joined on the lower-cased cell), the type matched by a strict
+    * ``sem_type`` — with a ``vocab(value, sem_type)`` dim (size-gated
+      broadcast join on the lower-cased cell), the type matched by a strict
       majority of the column's values; NULL when none reaches majority.
       Ties cannot occur (two types cannot each hold > half).
 
@@ -207,13 +207,18 @@ def column_types(cells: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
         "_is_int", F.col("text").rlike(_INT_RE)
     ).withColumn("_is_num", F.col("text").rlike(_DEC_RE))
     if vocab is not None:
+        # the vocabulary is caller-supplied and vocabulary-sized: tiny for
+        # a curated type dictionary, 10^8+ surface forms on the open web —
+        # gate the broadcast hint on a measured count (same discipline as
+        # the pipeline's canonical-mapping join) instead of forcing it
+        from search_spark.joins import maybe_broadcast
+
+        dim = vocab.select(
+            F.lower("value").alias("_v"),
+            F.col("sem_type").alias("_sem"),
+        )
         typed = typed.join(
-            F.broadcast(
-                vocab.select(
-                    F.lower("value").alias("_v"),
-                    F.col("sem_type").alias("_sem"),
-                )
-            ),
+            maybe_broadcast(dim, dim.count()),
             F.lower(typed.text) == F.col("_v"),
             "left",
         )
