@@ -165,6 +165,7 @@ def bootstrap_iterate(
     window: int = 4,
     min_support: int = 2,
     top_k: int = 10,
+    contexts: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative Snowball: each round's harvest joins the seed set for the
     next round's pattern induction.
@@ -177,8 +178,14 @@ def bootstrap_iterate(
     harvest equals the fixed unroll, same discipline as the property-path
     and forward-chain fixpoints.  The context table is computed once and
     cached; per-round state (the seed set) is pair-vocabulary sized.
+
+    Pass a precomputed (ideally cached) ``contexts`` frame when the caller
+    already built the pair-context table — e.g. to derive the seed set
+    from it — so the mention self-join + token join subtree runs once, not
+    once per consumer.
     """
-    contexts = pair_contexts(tokens, mentions, window).cache()
+    if contexts is None:
+        contexts = pair_contexts(tokens, mentions, window).cache()
     cur_seeds = seeds.select("subj", "obj").distinct().cache()
     out: DataFrame | None = None
     for r in range(1, rounds + 1):

@@ -6413,21 +6413,21 @@ def _q_kg_bootstrap_iterate(spark, sf_dir):
     pairs join the seed set, patterns re-induce against the grown seeds,
     round 2 harvests again; output = (subj, obj, first-harvest round).
     Monotone loop with early exit — identical to the oracle's unroll."""
-    from search_spark.operators.bootstrap import bootstrap_iterate
+    from search_spark.operators.bootstrap import (
+        bootstrap_iterate,
+        pair_contexts,
+    )
 
     toks = _tokens(spark, sf_dir)
     m = _doc_mentions(spark, sf_dir)
+    # seeds = window-bounded mention pairs of the first few docs — exactly
+    # the contexts rows with doc_id < seed_docs (the oracle's seeds0 FROM
+    # ctx), so derive them from the cached context table instead of paying
+    # a second mention self-join subtree
+    contexts = pair_contexts(toks, m, _BOOT_WINDOW).cache()
     seeds = (
-        m.alias("a")
-        .join(m.alias("b"), on="doc_id")
-        .filter(
-            (F.col("b.tpos") - F.col("a.tpos") >= 1)
-            & (F.col("b.tpos") - F.col("a.tpos") <= _BOOT_WINDOW)
-            & (F.col("doc_id") < _BOOT_SEED_DOCS)
-        )
-        .select(
-            F.col("a.mention").alias("subj"), F.col("b.mention").alias("obj")
-        )
+        contexts.filter(F.col("doc_id") < _BOOT_SEED_DOCS)
+        .select("subj", "obj")
         .distinct()
     )
     return bootstrap_iterate(
@@ -6438,6 +6438,7 @@ def _q_kg_bootstrap_iterate(spark, sf_dir):
         window=_BOOT_WINDOW,
         min_support=_BOOT_MIN_SUPPORT,
         top_k=_BOOT_TOP_K,
+        contexts=contexts,
     )
 
 
