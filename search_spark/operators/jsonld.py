@@ -11,10 +11,14 @@ The whole extraction is codegen — no UDF touches the page bytes:
 
 1. ``decode`` + ``regexp_extract_all`` pulls the raw JSON blocks (one
    array element per block, multiple blocks per page supported),
-2. ``from_json(..., 'map<string,string>')`` parses each flat block into a
+2. ``from_json(..., 'map<string,string>')`` parses each block into a
    key→value map (schema.org markup in the wild is overwhelmingly one
-   entity of scalar properties per block; nested values fail the map cast
-   and the block is skipped — counted, not crashed),
+   entity of scalar properties per block); a *nested* value does NOT fail
+   the map cast — Spark surfaces it as its canonical-JSON text, so the
+   block's scalar properties still triple-ify and the nested one lands as
+   a JSON literal (schema induction / shape validation see it as text).
+   Only a syntactically malformed block parses to NULL and is skipped —
+   counted, not crashed,
 3. ``explode`` of the map emits property rows; ``@``-keys route to the
    entity header (``@id`` > ``name`` > url#block as the subject cascade)
    and the rest become triples with ``rdf:type`` from ``@type``.
@@ -54,8 +58,9 @@ def jsonld_triples(web_pages: DataFrame) -> DataFrame:
     ``url#b<idx>`` — the same deterministic-identifier discipline as the
     uid cascade in extraction/metadata.py.  ``@type`` emits an
     ``rdf:type`` triple; other ``@``-keys are JSON-LD keywords, not
-    properties, and are dropped.  Blocks that fail the flat-map parse
-    (nested JSON) are skipped.
+    properties, and are dropped.  Nested property values surface as
+    canonical-JSON string literals (see module docstring); only
+    syntactically malformed blocks are skipped.
     """
     blocks = jsonld_blocks(web_pages).withColumn(
         "kv", F.from_json("block", "map<string,string>")
