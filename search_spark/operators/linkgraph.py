@@ -271,7 +271,9 @@ def resolve_canonical_chains(
 # hreflang translation clusters
 # --------------------------------------------------------------------------
 
-_HREFLANG_ATTR_RE = "hreflang\\s*=\\s*[\"']([a-zA-Z-]+)[\"']"
+# BCP-47 subtags may be numeric (es-419, UN M.49 regions) — the class must
+# include digits or those declarations silently drop out of the clusters
+_HREFLANG_ATTR_RE = "hreflang\\s*=\\s*[\"']([a-zA-Z0-9-]+)[\"']"
 
 
 def hreflang_edges(web_pages: DataFrame) -> DataFrame:
