@@ -3869,6 +3869,43 @@ WHERE subj = 'spark' OR pred = 'spark' OR obj = 'spark'
 """
 
 
+def _q_sparql_select(spark, sf_dir):
+    """SPARQL SELECT string → DataFrame plan (operators/sparql.py): the
+    declarative query surface over the materialized triples. The compiler
+    targets match_bgp, so the physical plan is identical to the
+    hand-built BGP (pushed-down per-pattern scans, hash joins on shared
+    variables, anti-join for NOT EXISTS); the FILTER comparison lands as
+    a post-join Catalyst filter."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = f"""
+    SELECT DISTINCT ?a ?b ?bt WHERE {{
+      ?a <{DIFF}> ?b .
+      ?b <has_type> ?bt .
+      FILTER NOT EXISTS {{ ?x <{DIFF}> ?a . }}
+      FILTER(?a < ?b)
+    }}
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_SELECT = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT DISTINCT p1.subj AS a, p1.obj AS b, p3.obj AS bt
+FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p1
+JOIN (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'has_type') p3
+  ON p3.subj = p1.obj
+WHERE p1.subj < p1.obj
+  AND NOT EXISTS (SELECT 1 FROM triples t3
+                  WHERE t3.pred = '{DIFF}' AND t3.obj = p1.subj)
+"""
+
+
 def _q_kg_stats(spark, sf_dir):
     """Triple-store statistics (the RDF equivalent of table stats, what
     the BGP optimizer's selectivity estimates read): per-predicate triple
@@ -6544,6 +6581,7 @@ QUERIES: dict[str, Q] = {
         _q_kg_personalized_pagerank, _ppr_oracle_sql()
     ),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
+    "sparql_select": Q(_q_sparql_select, _SQL_SPARQL_SELECT),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),

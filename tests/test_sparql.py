@@ -1,0 +1,131 @@
+"""SPARQL SELECT compiler (operators/sparql.py) — parser unit tests plus
+DataFrame-level semantics against hand-computed bindings."""
+
+import pytest
+
+from search_spark.operators.sparql import SparqlError, parse_select, sparql_select
+
+
+def test_parse_basic():
+    q = parse_select(
+        'SELECT ?a ?b WHERE { ?a <knows> ?b . ?b <type> "Person" . }'
+    )
+    assert q["select"] == ["a", "b"]
+    assert q["patterns"] == [("?a", "knows", "?b"), ("?b", "type", "Person")]
+    assert not q["distinct"] and q["limit"] is None
+
+
+def test_parse_optional_not_exists_order_limit():
+    q = parse_select(
+        "SELECT DISTINCT ?a ?n WHERE { ?a <type> Person . "
+        "OPTIONAL { ?a <name> ?n . } "
+        "FILTER NOT EXISTS { ?a <banned> ?x . } } "
+        "ORDER BY DESC(?a) ?n LIMIT 5"
+    )
+    assert q["distinct"] is True
+    assert q["optional"] == [("?a", "name", "?n")]
+    assert q["not_exists"] == [("?a", "banned", "?x")]
+    assert q["order"] == [("a", True), ("n", False)]
+    assert q["limit"] == 5
+
+
+def test_parse_filter_not_iri_confusion():
+    # `< ?b` inside FILTER must lex as comparison, not as an IRI
+    q = parse_select(
+        "SELECT ?a WHERE { ?a <p> ?b . FILTER(?a < ?b && ?b != ?a) }"
+    )
+    assert len(q["filters"]) == 1
+
+
+def test_parse_literal_escapes():
+    q = parse_select(r'SELECT ?a WHERE { ?a <says> "he said \"hi\"" . }')
+    assert q["patterns"][0][2] == 'he said "hi"'
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT WHERE { ?a <p> ?b . }",
+        "SELECT ?a { ?a <p> ?b . }",  # missing WHERE
+        "SELECT ?a WHERE { }",
+        "SELECT ?a WHERE { ?a <p> ?b . FILTER(?a ~ ?b) }",
+        "SELECT ?a WHERE { ?a <p> ?b ",
+    ],
+)
+def test_parse_rejects(bad):
+    with pytest.raises(SparqlError):
+        parse_select(bad)
+
+
+def test_unbound_select_var_raises_at_compile(spark):
+    with pytest.raises(SparqlError):
+        sparql_select(_triples(spark), "SELECT ?zzz WHERE { ?a <p> ?b . }")
+
+
+def _triples(spark):
+    rows = [
+        ("alice", "knows", "bob"),
+        ("alice", "knows", "carol"),
+        ("bob", "knows", "carol"),
+        ("alice", "type", "Person"),
+        ("bob", "type", "Person"),
+        ("carol", "type", "Robot"),
+        ("bob", "name", "Bobby"),
+        ("carol", "banned", "spam"),
+        # duplicate provenance row — set semantics must collapse it
+        ("alice", "knows", "bob"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_select_basic(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . } ORDER BY ?a',
+    )
+    assert [r.a for r in out.collect()] == ["alice", "bob"]
+
+
+def test_select_join_filter(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . ?b <type> Person . "
+        "FILTER(?a != ?b) }",
+    )
+    assert sorted((r.a, r.b) for r in out.collect()) == [("alice", "bob")]
+
+
+def test_select_optional_and_not_exists(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?n WHERE { ?a <type> ?t . "
+        "OPTIONAL { ?a <name> ?n . } "
+        "FILTER NOT EXISTS { ?a <banned> ?x . } } ORDER BY ?a",
+    )
+    got = [(r.a, r.n) for r in out.collect()]
+    assert got == [("alice", None), ("bob", "Bobby")]
+
+
+def test_select_distinct_projection(spark):
+    # both alice and bob are Person; projecting ?t with DISTINCT → one row
+    out = sparql_select(
+        _triples(spark),
+        'SELECT DISTINCT ?t WHERE { ?a <type> ?t . ?a <knows> ?b . }',
+    )
+    assert [r.t for r in out.collect()] == ["Person"]
+
+
+def test_select_limit_orderby(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?b WHERE { ?a <knows> ?b . } ORDER BY DESC(?b) LIMIT 1",
+    )
+    assert [r.b for r in out.collect()] == ["carol"]
+
+
+def test_disconnected_bgp_raises(spark):
+    with pytest.raises(ValueError):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?a ?c WHERE { ?a <knows> ?b . ?c <banned> ?d . }",
+        ).collect()
