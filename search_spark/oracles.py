@@ -1853,3 +1853,158 @@ ranked AS (
 SELECT doc_id, phrase, n_words, score, kw_rank
 FROM ranked WHERE kw_rank <= {top_k}
 """
+
+
+# --------------------------------------------------------------------------
+# microdata_triples — schema.org microdata fixture + oracle
+# --------------------------------------------------------------------------
+
+MICRODATA_N_DOCS = 40
+
+
+def _microdata_items_for(i: int) -> list[dict]:
+    """Item specs for fixture page ``i``: ``itemtype``/``itemid`` plus
+    ``props`` as ``(name, kind, value)`` where kind picks the HTML value
+    carrier (text / meta-content / a-href / img-src). ``value is None``
+    or '' exercises the drop rules. Quote style and attribute order vary
+    deterministically in the HTML renderer, not here."""
+    items: list[dict] = [
+        {
+            "itemtype": "https://schema.org/Product",
+            "itemid": f"urn:prod:{i}" if i % 4 == 0 else None,
+            "props": [
+                ("name", "text", f"Gadget {i}"),
+                ("sku", "meta", f"SKU-{i:04d}"),
+                ("url", "href", f"/products/{i}"),
+                ("image", "src", f"/img/{i}.png"),
+                ("note", "text", ""),  # empty inner text -> dropped
+            ],
+        }
+    ]
+    if i % 3 == 0:
+        items.append(
+            {
+                "itemtype": "https://schema.org/Review",
+                "itemid": None,
+                "props": [
+                    ("reviewBody", "text", f"Works great {i} stars"),
+                    ("ratingValue", "meta", str(i % 5 + 1)),
+                    ("empty", "meta", ""),  # content="" -> dropped
+                ],
+            }
+        )
+    if i % 6 == 0:
+        # item with no itemtype: props still triple-ify, no rdf:type row
+        items.append(
+            {
+                "itemtype": None,
+                "itemid": None,
+                "props": [("label", "text", f"untyped {i}")],
+            }
+        )
+    return items
+
+
+def _microdata_url(i: int) -> str:
+    return f"https://store{i % 7}.example.net/p/{i}"
+
+
+def _microdata_prop_html(name: str, kind: str, value: str, q: str) -> str:
+    if kind == "meta":
+        return f"<meta itemprop={q}{name}{q} content={q}{value}{q}>"
+    if kind == "href":
+        return f'<a class="lnk" itemprop={q}{name}{q} href={q}{value}{q}>see</a>'
+    if kind == "src":
+        return f"<img itemprop={q}{name}{q} src={q}{value}{q}>"
+    return f"<span itemprop={q}{name}{q}>{value}</span>"
+
+
+def microdata_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the microdata fixture. Every
+    3rd page opens with non-item markup (so the preamble-segment filter
+    is exercised); quote style alternates per page; one page in 10 also
+    carries a nested-linkage tag (itemprop+itemscope) that must be
+    dropped, whose own props attach to the nested item."""
+    pages = []
+    for i in range(MICRODATA_N_DOCS):
+        q = '"' if i % 2 == 0 else "'"
+        parts = []
+        if i % 3 != 0:
+            parts.append(f"<html><body><h1>Page {i}</h1>")
+        for spec in _microdata_items_for(i):
+            attrs = ["itemscope"]
+            if spec["itemtype"]:
+                attrs.append(f"itemtype={q}{spec['itemtype']}{q}")
+            if spec["itemid"]:
+                attrs.append(f"itemid={q}{spec['itemid']}{q}")
+            # attribute order varies: itemscope first on even pages
+            if i % 2 == 1:
+                attrs = attrs[1:] + attrs[:1]
+            parts.append(f"<div {' '.join(attrs)}>")
+            for name, kind, value in spec["props"]:
+                parts.append(_microdata_prop_html(name, kind, value, q))
+                parts.append("<br>")
+            parts.append("</div>")
+        if i % 10 == 0:
+            # nested linkage: child item named as a parent property —
+            # the linkage tag is dropped; the child's own prop lands on
+            # the child subject (next item index)
+            parts.append(
+                f"<div itemprop={q}manufacturer{q} itemscope "
+                f"itemtype={q}https://schema.org/Organization{q}>"
+                f"<span itemprop={q}name{q}>Maker {i}</span></div>"
+            )
+        parts.append("</body></html>")
+        pages.append((_microdata_url(i), "".join(parts).encode()))
+    return pages
+
+
+def microdata_expected_rows() -> list[tuple]:
+    """Ground-truth ``(url, item_idx, itemid, itemtype, prop, value)``
+    rows (header rows carry prop=NULL), re-derived independently from
+    the same specs the HTML renderer consumed."""
+    rows = []
+    for i in range(MICRODATA_N_DOCS):
+        url = _microdata_url(i)
+        specs = list(_microdata_items_for(i))
+        if i % 10 == 0:
+            specs.append(
+                {
+                    "itemtype": "https://schema.org/Organization",
+                    "itemid": None,
+                    "props": [("name", "text", f"Maker {i}")],
+                }
+            )
+        for idx, spec in enumerate(specs):
+            rows.append((url, idx, spec["itemid"], spec["itemtype"], None, None))
+            for name, _kind, value in spec["props"]:
+                if value:
+                    rows.append((url, idx, None, None, name, value))
+    return rows
+
+
+def microdata_oracle_sql() -> str:
+    """Re-derives the subject cascade (itemid > url#item<idx>) and the
+    rdf:type routing in SQL from the ground-truth rows."""
+    vals = values_sql(
+        microdata_expected_rows(),
+        ["url", "item_idx", "itemid", "itemtype", "prop", "value"],
+    )
+    return f"""
+WITH md AS ({vals}),
+hdr AS (
+  SELECT url, item_idx,
+         COALESCE(max(itemid),
+                  url || '#item' || CAST(item_idx AS VARCHAR)) AS subj,
+         max(itemtype) AS itemtype
+  FROM md WHERE prop IS NULL GROUP BY url, item_idx
+)
+SELECT h.subj, 'rdf:type' AS pred, h.itemtype AS obj,
+       h.url || '#item' || CAST(h.item_idx AS VARCHAR) AS prov
+FROM hdr h WHERE h.itemtype IS NOT NULL
+UNION ALL
+SELECT h.subj, m.prop AS pred, m.value AS obj,
+       h.url || '#item' || CAST(h.item_idx AS VARCHAR) AS prov
+FROM md m JOIN hdr h ON h.url = m.url AND h.item_idx = m.item_idx
+WHERE m.prop IS NOT NULL
+"""

@@ -6867,6 +6867,22 @@ def _q_jsonld_triples(spark, sf_dir):
     return jsonld_triples(pages)
 
 
+def _q_microdata_triples(spark, sf_dir):
+    """schema.org microdata (itemscope/itemprop) → triples, all JVM
+    codegen: lookahead split at itemscope openings (preamble filtered
+    array-side, so posexplode's pos IS the item index — no window, no
+    shuffle), attribute regexes for itemtype/itemid/itemprop, the HTML
+    value rules (content > href > src > inner text), nested-linkage tags
+    dropped rather than misattributed."""
+    from search_spark import oracles
+    from search_spark.operators.microdata import microdata_triples
+
+    pages = spark.createDataFrame(
+        oracles.microdata_pages(), schema="url string, html binary"
+    )
+    return microdata_triples(pages)
+
+
 def _q_kg_fused_triples(spark, sf_dir):
     """Knowledge fusion (operators/fusion.py): the web-table and JSON-LD
     extractors run over the same pages (same entities, conflicting color
@@ -7053,6 +7069,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["jsonld_triples"] = Q(
         _q_jsonld_triples, oracles.jsonld_oracle_sql()
+    )
+    QUERIES["microdata_triples"] = Q(
+        _q_microdata_triples, oracles.microdata_oracle_sql()
     )
     QUERIES["kg_fused_triples"] = Q(
         _q_kg_fused_triples, oracles.fusion_oracle_sql()
