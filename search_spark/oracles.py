@@ -2008,3 +2008,86 @@ SELECT h.subj, m.prop AS pred, m.value AS obj,
 FROM md m JOIN hdr h ON h.url = m.url AND h.item_idx = m.item_idx
 WHERE m.prop IS NOT NULL
 """
+
+
+# --------------------------------------------------------------------------
+# meta_og_triples — <meta> tag fixture + oracle
+# --------------------------------------------------------------------------
+
+META_N_DOCS = 50
+
+
+def _meta_tags_for(i: int) -> list[tuple[str | None, str | None, str | None]]:
+    """``(property, name, content)`` specs per fixture page, in document
+    order. None means the attribute is absent; the renderer varies quote
+    style and attribute order."""
+    tags: list[tuple[str | None, str | None, str | None]] = [
+        ("og:title", None, f"Article {i} headline"),
+        ("og:type", None, "article" if i % 2 == 0 else "website"),
+        ("og:url", None, _meta_url(i)),
+        (None, "description", f"Summary of page {i}"),
+    ]
+    if i % 3 == 0:
+        # both property and name on one tag: property wins
+        tags.append(("og:site_name", "site", f"Site {i % 4}"))
+    if i % 4 == 0:
+        tags.append((None, "keywords", f"kw{i},kw{i + 1}"))
+    if i % 5 == 0:
+        tags.append((None, "author", f"Writer {i % 9}"))
+        # charset-style meta: no property/name/content -> dropped
+        tags.append((None, None, None))
+    if i % 7 == 0:
+        tags.append(("article:tag", None, f"topic-{i % 6}"))
+        # empty content -> dropped
+        tags.append(("og:image", None, ""))
+    return tags
+
+
+def _meta_url(i: int) -> str:
+    return f"https://news{i % 5}.example.com/a/{i}"
+
+
+def meta_pages() -> list[tuple]:
+    """``(url, html)`` Spark input rows for the meta-tag fixture."""
+    pages = []
+    for i in range(META_N_DOCS):
+        q = '"' if i % 2 == 0 else "'"
+        head = []
+        for prop, name, content in _meta_tags_for(i):
+            attrs = []
+            if prop is not None:
+                attrs.append(f"property={q}{prop}{q}")
+            if name is not None:
+                attrs.append(f"name={q}{name}{q}")
+            if content is not None:
+                attrs.append(f"content={q}{content}{q}")
+            if not attrs:
+                attrs = ["charset=utf-8"]
+            if i % 3 == 1:
+                attrs.reverse()
+            head.append(f"<meta {' '.join(attrs)}>")
+        html = (
+            f"<html><head><title>t{i}</title>{''.join(head)}</head>"
+            f"<body><p>Body {i}.</p></body></html>"
+        )
+        pages.append((_meta_url(i), html.encode()))
+    return pages
+
+
+def meta_oracle_sql() -> str:
+    """Re-derives predicate resolution (property > name) and the drop
+    rules in SQL from the tag specs."""
+    rows = []
+    for i in range(META_N_DOCS):
+        url = _meta_url(i)
+        for prop, name, content in _meta_tags_for(i):
+            rows.append((url, prop, name, content))
+    vals = values_sql(rows, ["url", "prop", "name", "content"])
+    return f"""
+WITH tags AS ({vals})
+SELECT url AS subj, COALESCE(prop, name) AS pred, content AS obj,
+       url AS prov
+FROM tags
+WHERE COALESCE(prop, name) IS NOT NULL
+  AND content IS NOT NULL AND content <> ''
+"""

@@ -6883,6 +6883,21 @@ def _q_microdata_triples(spark, sf_dir):
     return microdata_triples(pages)
 
 
+def _q_meta_og_triples(spark, sf_dir):
+    """Open Graph / <meta> tag extraction (operators/metatags.py): the
+    page itself is the subject, so every tag is one (url, property,
+    content) triple — one regexp_extract_all + explode, predicate
+    resolution property > name, empty pred/content dropped. Pure
+    codegen, no shuffle."""
+    from search_spark import oracles
+    from search_spark.operators.metatags import meta_triples
+
+    pages = spark.createDataFrame(
+        oracles.meta_pages(), schema="url string, html binary"
+    )
+    return meta_triples(pages)
+
+
 def _q_kg_fused_triples(spark, sf_dir):
     """Knowledge fusion (operators/fusion.py): the web-table and JSON-LD
     extractors run over the same pages (same entities, conflicting color
@@ -7072,6 +7087,9 @@ def _register_python_derived_oracles() -> None:
     )
     QUERIES["microdata_triples"] = Q(
         _q_microdata_triples, oracles.microdata_oracle_sql()
+    )
+    QUERIES["meta_og_triples"] = Q(
+        _q_meta_og_triples, oracles.meta_oracle_sql()
     )
     QUERIES["kg_fused_triples"] = Q(
         _q_kg_fused_triples, oracles.fusion_oracle_sql()
