@@ -3906,6 +3906,39 @@ WHERE p1.subj < p1.obj
 """
 
 
+def _q_ntriples_export(spark, sf_dir):
+    """N-Quads serialization of the doc triples (operators/ntriples.py):
+    subjects/predicates/provenance IRI-encoded into a namespace, objects
+    as escaped literals — nested literal replace chains, whole-stage
+    codegen, a narrow map over the triple scan with no shuffle."""
+    from search_spark.operators.ntriples import to_ntriples
+
+    return to_ntriples(_q_kg_doc_triples(spark, sf_dir), graph_col="prov")
+
+
+def _sql_ntriples_export() -> str:
+    from search_spark.operators.ntriples import (
+        iri_escape_sql,
+        ntriples_escape_sql,
+    )
+
+    return f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(tpos AS VARCHAR) AS prov
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov
+  FROM relations)
+SELECT '<' || {iri_escape_sql('subj')} || '> <' || {iri_escape_sql('pred')}
+       || '> "' || {ntriples_escape_sql('obj')} || '" <'
+       || {iri_escape_sql('prov')} || '> .' AS line
+FROM triples
+"""
+
+
 def _q_kg_stats(spark, sf_dir):
     """Triple-store statistics (the RDF equivalent of table stats, what
     the BGP optimizer's selectivity estimates read): per-predicate triple
@@ -6582,6 +6615,7 @@ QUERIES: dict[str, Q] = {
     ),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "sparql_select": Q(_q_sparql_select, _SQL_SPARQL_SELECT),
+    "ntriples_export": Q(_q_ntriples_export, _sql_ntriples_export()),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),
