@@ -7498,6 +7498,63 @@ FROM obs GROUP BY subj, pred, obj
 QUERIES["kg_fact_history"] = Q(_q_kg_fact_history, _SQL_KG_FACT_HISTORY)
 
 
+_ASOF_T = "2026-01-15"
+
+
+def _q_kg_asof_facts(spark, sf_dir):
+    """Temporal as-of retrieval: the KG's state at time T — per (subj,
+    pred) the most recently observed object at-or-before T (ties broken
+    by max obj for determinism) plus its support breadth up to T. The
+    classic bitemporal point query over the fact stream that
+    kg_fact_history summarizes. Two keyed aggregations over the filtered
+    stream (latest pick is one max_by with a (ts, obj) ordering struct —
+    partial-aggregated, no window, no sort); AQE joins them on the same
+    (subj, pred) hash partitioning."""
+    rel = _doc_relations(spark, sf_dir).select(
+        "subj",
+        "pred",
+        "obj",
+        "doc_id",
+        F.timestamp_add(
+            "DAY",
+            (F.col("doc_id") % 30).cast("int"),
+            F.to_timestamp(F.lit("2026-01-01")),
+        ).alias("seen_ts"),
+    ).filter(F.col("seen_ts") <= F.to_timestamp(F.lit(_ASOF_T)))
+    latest = rel.groupBy("subj", "pred").agg(
+        F.max_by("obj", F.struct("seen_ts", "obj")).alias("obj_asof"),
+        F.max("seen_ts").alias("asof_ts"),
+    )
+    support = rel.groupBy("subj", "pred").agg(
+        F.countDistinct("doc_id").alias("n_supports")
+    )
+    return latest.join(support, on=["subj", "pred"], how="inner")
+
+
+_SQL_KG_ASOF_FACTS = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+obs AS (SELECT subj, pred, obj, doc_id,
+               TIMESTAMP '2026-01-01' +
+                 INTERVAL (doc_id % 30) DAY AS seen_ts
+        FROM relations
+        WHERE TIMESTAMP '2026-01-01' + INTERVAL (doc_id % 30) DAY
+              <= TIMESTAMP '{_ASOF_T}'),
+latest AS (
+  SELECT subj, pred, obj AS obj_asof, seen_ts AS asof_ts,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY seen_ts DESC, obj DESC) AS rn
+  FROM obs),
+sup AS (
+  SELECT subj, pred, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_supports
+  FROM obs GROUP BY subj, pred)
+SELECT l.subj, l.pred, l.obj_asof, l.asof_ts, s.n_supports
+FROM latest l JOIN sup s ON s.subj = l.subj AND s.pred = l.pred
+WHERE l.rn = 1
+"""
+
+QUERIES["kg_asof_facts"] = Q(_q_kg_asof_facts, _SQL_KG_ASOF_FACTS)
+
+
 # -- round-3 batch 3: table annotation, IFP sameAs, keywords, histograms -----
 
 def _q_webtable_column_types(spark, sf_dir):
