@@ -2091,3 +2091,115 @@ FROM tags
 WHERE COALESCE(prop, name) IS NOT NULL
   AND content IS NOT NULL AND content <> ''
 """
+
+
+# --------------------------------------------------------------------------
+# feed_items — RSS/Atom feed fixture + oracle
+# --------------------------------------------------------------------------
+
+FEEDS_N_DOCS = 36
+
+
+def _feed_items_for(i: int) -> list[dict]:
+    """Item specs for fixture feed ``i``. ``kind`` alternates RSS/Atom per
+    feed; each item carries the raw date text the renderer embeds AND the
+    expected parsed timestamp string (None = unparseable)."""
+    kind = "rss" if i % 2 == 0 else "atom"
+    n_items = i % 4 + 1
+    items = []
+    for j in range(n_items):
+        day = (i + j) % 28 + 1
+        hh = (i * 7 + j) % 24
+        iso_ts = f"2026-02-{day:02d} {hh:02d}:15:00"
+        if kind == "rss":
+            date_raw = f"Mon, {day:02d} Feb 2026 {hh:02d}:15:00 GMT"
+        else:
+            date_raw = f"2026-02-{day:02d}T{hh:02d}:15:00Z"
+        expect_ts = iso_ts
+        if (i + j) % 7 == 0:
+            date_raw, expect_ts = "not a date", None
+        item = {
+            "title": f"Post {i}-{j}",
+            "cdata": (i + j) % 5 == 0,
+            "link": f"https://blog{i % 8}.example.org/{i}/{j}",
+            "guid": f"tag:feed{i},post{j}" if (i + j) % 3 != 0 else None,
+            "date_raw": date_raw,
+            "expect_ts": expect_ts,
+        }
+        if (i + j) % 11 == 0:
+            item["link"] = None  # id falls back to guid; link NULL
+        items.append(item)
+    return items
+
+
+def _feed_url(i: int) -> str:
+    kind = "rss" if i % 2 == 0 else "atom"
+    return f"https://blog{i % 8}.example.org/feed/{i}.{kind}"
+
+
+def feed_pages() -> list[tuple]:
+    """``(url, html)`` rows: rendered RSS 2.0 / Atom documents."""
+    pages = []
+    for i in range(FEEDS_N_DOCS):
+        kind = "rss" if i % 2 == 0 else "atom"
+        q = '"' if i % 4 < 2 else "'"
+        out = []
+        if kind == "rss":
+            out.append('<?xml version="1.0"?><rss version="2.0"><channel>'
+                       f"<title>Feed {i}</title>")
+            for it in _feed_items_for(i):
+                title = it["title"]
+                if it["cdata"]:
+                    title = f"<![CDATA[{title}]]>"
+                out.append("<item>")
+                out.append(f"<title>{title}</title>")
+                if it["link"]:
+                    out.append(f"<link>{it['link']}</link>")
+                if it["guid"]:
+                    out.append(f'<guid isPermaLink="false">{it["guid"]}</guid>')
+                out.append(f"<pubDate>{it['date_raw']}</pubDate>")
+                out.append("</item>")
+            out.append("</channel></rss>")
+        else:
+            out.append('<?xml version="1.0"?>'
+                       '<feed xmlns="http://www.w3.org/2005/Atom">'
+                       f"<title>Feed {i}</title>")
+            for it in _feed_items_for(i):
+                title = it["title"]
+                if it["cdata"]:
+                    title = f"<![CDATA[{title}]]>"
+                out.append("<entry>")
+                out.append(f"<title>{title}</title>")
+                if it["link"]:
+                    out.append(f"<link rel={q}alternate{q} href={q}{it['link']}{q}/>")
+                if it["guid"]:
+                    out.append(f"<id>{it['guid']}</id>")
+                out.append(f"<updated>{it['date_raw']}</updated>")
+                out.append("</entry>")
+            out.append("</feed>")
+        pages.append((_feed_url(i), "".join(out).encode()))
+    return pages
+
+
+def feeds_oracle_sql() -> str:
+    """Ground-truth rows re-derived from the same specs the renderer
+    consumed (id cascade guid/id > link; timestamps as expected strings
+    cast back to TIMESTAMP; unparseable dates NULL)."""
+    rows = []
+    for i in range(FEEDS_N_DOCS):
+        url = _feed_url(i)
+        for j, it in enumerate(_feed_items_for(i)):
+            item_id = it["guid"] or it["link"]
+            rows.append(
+                (url, j, item_id, it["title"], it["link"], it["expect_ts"])
+            )
+    vals = values_sql(
+        rows,
+        ["feed_url", "item_idx", "item_id", "title", "link", "published"],
+    )
+    return f"""
+WITH items AS ({vals})
+SELECT feed_url, item_idx, item_id, title, link,
+       CAST(published AS TIMESTAMP) AS published_ts
+FROM items
+"""

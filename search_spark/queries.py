@@ -6932,6 +6932,22 @@ def _q_meta_og_triples(spark, sf_dir):
     return meta_triples(pages)
 
 
+def _q_feed_items(spark, sf_dir):
+    """RSS 2.0 / Atom feed-item extraction (operators/feeds.py): dotall
+    block regexes pull <item>/<entry> bodies, field regexes resolve
+    title/link/id with the guid>id>link cascade, and dates parse
+    ANSI-safe via try_to_timestamp (RFC-822 weekday/zone stripped —
+    Spark's post-3.0 parser rejects EEE). Pure scan-stage codegen; the
+    frontier shape unions with sitemap_frontier."""
+    from search_spark import oracles
+    from search_spark.operators.feeds import feed_items
+
+    pages = spark.createDataFrame(
+        oracles.feed_pages(), schema="url string, html binary"
+    )
+    return feed_items(pages)
+
+
 def _q_kg_fused_triples(spark, sf_dir):
     """Knowledge fusion (operators/fusion.py): the web-table and JSON-LD
     extractors run over the same pages (same entities, conflicting color
@@ -7125,6 +7141,7 @@ def _register_python_derived_oracles() -> None:
     QUERIES["meta_og_triples"] = Q(
         _q_meta_og_triples, oracles.meta_oracle_sql()
     )
+    QUERIES["feed_items"] = Q(_q_feed_items, oracles.feeds_oracle_sql())
     QUERIES["kg_fused_triples"] = Q(
         _q_kg_fused_triples, oracles.fusion_oracle_sql()
     )
