@@ -223,6 +223,16 @@ def construct(
     bindings = match_bgp(
         triples, patterns, optional=optional, not_exists=not_exists
     )
+    return instantiate_template(bindings, template)
+
+
+def instantiate_template(
+    bindings: DataFrame, template: Sequence[Sequence[str]]
+) -> DataFrame:
+    """Instantiate a CONSTRUCT template over precomputed bindings (one
+    column per variable) — the second half of :func:`construct`, exposed
+    so callers that post-filter bindings (the SPARQL compiler's FILTER
+    clauses) reuse the same instantiation rules."""
     bound = set(bindings.columns)
     outs = []
     for entry in template:

@@ -11,6 +11,10 @@ lists by hand.
 
 Supported subset (documented, fail-loud outside it):
 
+* all four query forms via :func:`sparql_query`: ``SELECT``,
+  ``CONSTRUCT { template } WHERE { ... }`` (templated triples over the
+  FILTERed bindings), ``ASK { ... }`` (bool, LocalLimit short-circuit)
+  and ``DESCRIBE <resource>`` (single OR-of-equalities scan),
 * ``SELECT [DISTINCT] ?v1 ?v2 ... | * WHERE { ... }``
 * triple patterns ``term term term .`` where a term is ``?var``,
   ``<iri>``, ``"literal"`` (with ``\\"`` / ``\\\\`` escapes) or a bare
@@ -209,35 +213,7 @@ def parse_select(query: str) -> dict:
     if not star and not select_vars:
         raise SparqlError("SELECT binds no variables")
     p.expect("{")
-    patterns: list[tuple[str, str, str]] = []
-    optional: list[tuple[str, str, str]] = []
-    not_exists: list[tuple[str, str, str]] = []
-    filters: list[list] = []  # filter-expression ASTs (see _parse_filter_expr)
-    while True:
-        tok = p.peek()
-        if tok is None:
-            raise SparqlError("unclosed WHERE block")
-        if tok == "}":
-            p.next()
-            break
-        if tok.lower() == "optional":
-            p.next()
-            p.expect("{")
-            optional.append(_parse_pattern(p))
-            p.expect("}")
-        elif tok.lower() == "filter":
-            p.next()
-            if p.peek() and p.peek().lower() == "not":
-                p.next()
-                p.expect("EXISTS")
-                p.expect("{")
-                not_exists.append(_parse_pattern(p))
-                p.expect("}")
-            else:
-                p.expect("(")
-                filters.append(_parse_filter_expr(p))
-        else:
-            patterns.append(_parse_pattern(p))
+    patterns, optional, not_exists, filters = _parse_group(p)
     order: list[tuple[str, bool]] = []  # (var, descending)
     limit: int | None = None
     while p.peek() is not None:
@@ -274,6 +250,107 @@ def parse_select(query: str) -> dict:
         "order": order,
         "limit": limit,
     }
+
+
+def _parse_group(p: _Parser) -> tuple[list, list, list, list]:
+    """Parse a ``{ ... }`` group body (after the ``{``): returns
+    (patterns, optional, not_exists, filter_asts)."""
+    patterns: list[tuple[str, str, str]] = []
+    optional: list[tuple[str, str, str]] = []
+    not_exists: list[tuple[str, str, str]] = []
+    filters: list[list] = []
+    while True:
+        tok = p.peek()
+        if tok is None:
+            raise SparqlError("unclosed group block")
+        if tok == "}":
+            p.next()
+            break
+        if tok.lower() == "optional":
+            p.next()
+            p.expect("{")
+            optional.append(_parse_pattern(p))
+            p.expect("}")
+        elif tok.lower() == "filter":
+            p.next()
+            if p.peek() and p.peek().lower() == "not":
+                p.next()
+                p.expect("EXISTS")
+                p.expect("{")
+                not_exists.append(_parse_pattern(p))
+                p.expect("}")
+            else:
+                p.expect("(")
+                filters.append(_parse_filter_expr(p))
+        else:
+            patterns.append(_parse_pattern(p))
+    return patterns, optional, not_exists, filters
+
+
+def sparql_query(triples: DataFrame, query: str):
+    """Dispatch on the SPARQL query form.
+
+    * ``SELECT`` → bindings DataFrame (see :func:`sparql_select`),
+    * ``CONSTRUCT { template } WHERE { ... }`` → derived
+      ``(subj, pred, obj)`` DataFrame (template instantiation over the
+      FILTERed bindings, incomplete instantiations dropped),
+    * ``ASK { ... }`` → Python bool (LocalLimit short-circuit),
+    * ``DESCRIBE <resource>`` → one OR-of-equalities scan, provenance
+      columns pass through.
+    """
+    head = _tokenize(query)[0].lower()
+    if head == "select":
+        return sparql_select(triples, query)
+    if head == "construct":
+        return _sparql_construct(triples, query)
+    if head == "ask":
+        from search_spark.operators.bgp import match_bgp as _m
+
+        p = _Parser(_tokenize(query))
+        p.expect("ASK")
+        p.expect("{")
+        patterns, optional, not_exists, filters = _parse_group(p)
+        if not patterns:
+            raise SparqlError("ASK block has no required triple pattern")
+        out = _m(triples, patterns, optional=optional, not_exists=not_exists)
+        for ast in filters:
+            out = out.filter(_compile_filter(ast))
+        return out.limit(1).count() > 0
+    if head == "describe":
+        from search_spark.operators.bgp import describe
+
+        toks = _tokenize(query)
+        if len(toks) != 2:
+            raise SparqlError("DESCRIBE takes exactly one resource term")
+        return describe(triples, _term(toks[1]))
+    raise SparqlError(f"unsupported query form {head!r}")
+
+
+def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    from search_spark.operators.bgp import instantiate_template, match_bgp
+
+    p = _Parser(_tokenize(query))
+    p.expect("CONSTRUCT")
+    p.expect("{")
+    template: list[tuple[str, str, str]] = []
+    while p.peek() != "}":
+        template.append(_parse_pattern(p))
+    p.expect("}")
+    p.expect("WHERE")
+    p.expect("{")
+    patterns, optional, not_exists, filters = _parse_group(p)
+    if p.peek() is not None:
+        raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+    if not patterns:
+        raise SparqlError("WHERE block has no required triple pattern")
+    if not template:
+        raise SparqlError("empty CONSTRUCT template")
+    bindings = match_bgp(
+        triples, patterns, optional=optional, not_exists=not_exists
+    )
+    for ast in filters:
+        bindings = bindings.filter(_compile_filter(ast))
+    return instantiate_template(bindings, template)
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

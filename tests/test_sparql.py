@@ -129,3 +129,45 @@ def test_disconnected_bgp_raises(spark):
             _triples(spark),
             "SELECT ?a ?c WHERE { ?a <knows> ?b . ?c <banned> ?d . }",
         ).collect()
+
+
+def test_construct_templated_triples(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _triples(spark),
+        "CONSTRUCT { ?b <known_by> ?a . ?a <rdf:type> <Knower> . } "
+        "WHERE { ?a <knows> ?b . ?a <type> Person . FILTER(?a != ?b) }",
+    )
+    got = sorted((r.subj, r.pred, r.obj) for r in out.collect())
+    assert got == sorted(
+        [
+            ("bob", "known_by", "alice"),
+            ("carol", "known_by", "alice"),
+            ("carol", "known_by", "bob"),
+            ("alice", "rdf:type", "Knower"),
+            ("bob", "rdf:type", "Knower"),
+        ]
+    )
+
+
+def test_ask_true_false(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    assert sparql_query(_triples(spark), "ASK { ?a <banned> ?x . }") is True
+    assert sparql_query(_triples(spark), "ASK { ?a <likes> ?x . }") is False
+
+
+def test_describe_scans_resource(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(_triples(spark), "DESCRIBE <carol>")
+    # alice-knows-carol, bob-knows-carol, carol-type-Robot, carol-banned-spam
+    assert out.count() == 4
+
+
+def test_unsupported_form_raises(spark):
+    from search_spark.operators.sparql import SparqlError, sparql_query
+
+    with pytest.raises(SparqlError):
+        sparql_query(_triples(spark), "DELETE WHERE { ?a ?b ?c }")
