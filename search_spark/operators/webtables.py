@@ -12,8 +12,8 @@ Two stages with a clean seam:
 
 * :func:`table_cells` — the only Python step: an Arrow-batched
   ``mapInPandas`` over ``(url, html)`` that walks each document's
-  ``<table>`` elements with the same stdlib ``ElementTree`` kernel the
-  text extractor uses and emits one row per cell
+  ``<table>`` elements with a tolerant stdlib ``html.parser`` kernel
+  (real pages are tag soup, not XML) and emits one row per cell
   ``(url, t_idx, r_idx, c_idx, is_header, text)``.  Per-page work is
   linear in page size; output is partition-local (no shuffle).
 * :func:`cells_to_triples` — pure DataFrame algebra: header cells become
@@ -32,8 +32,8 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from html.parser import HTMLParser
 from typing import Iterator
-from xml.etree import ElementTree
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,66 +54,117 @@ CELLS_SCHEMA = T.StructType(
 )
 
 
-def _cell_text(el: ElementTree.Element) -> str:
-    raw = "".join(el.itertext())
-    return _WS_RE.sub(" ", unicodedata.normalize("NFKC", raw)).strip()
+class _CellWalker(HTMLParser):
+    """Tolerant streaming table walker (stdlib ``html.parser``).
+
+    Real web pages are never well-formed XML — void tags (``<meta>``,
+    ``<br>``), bare attributes (``itemscope``), HTML entities
+    (``&nbsp;``) and unclosed ``td``/``tr`` are all routine. The previous
+    ``ElementTree.fromstring`` kernel dropped the *whole page* on any of
+    them; this walker recovers tables from tag soup with the same
+    indexing semantics on well-formed input:
+
+    * ``t_idx`` counts tables by document order of their start tag; a
+      table nested inside a cell gets its own ``t_idx`` and its rows
+      never leak into the outer table's numbering,
+    * ``r_idx``/``c_idx`` count ``tr`` / ``td|th`` per nearest enclosing
+      table (``thead``/``tbody`` pass through); cells outside a row are
+      ignored,
+    * cell text flattens nested content (text routes to every open cell
+      on the stack, so an outer cell includes its nested table's text),
+      then NFKC-normalizes and collapses whitespace,
+    * tag soup: a new ``td``/``th``/``tr`` implicitly closes the open
+      cell of the innermost table; ``</table>`` closes its open cell.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[tuple] = []
+        self._t_count = 0
+        # stack of table states: {"tid", "r", "row_open", "cell": open-cell
+        # record or None}; every open cell also sits in _open_cells so
+        # text routes to all enclosing cells at once
+        self._tables: list[dict] = []
+        self._open_cells: list[dict] = []
+
+    def _close_cell(self, state: dict) -> None:
+        cell = state["cell"]
+        if cell is None:
+            return
+        text = _WS_RE.sub(
+            " ", unicodedata.normalize("NFKC", "".join(cell["buf"]))
+        ).strip()
+        self.out.append(
+            (cell["tid"], cell["r"], cell["c"], cell["is_header"], text)
+        )
+        self._open_cells.remove(cell)
+        state["cell"] = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._tables.append(
+                {"tid": self._t_count, "r": 0, "row_open": False, "cell": None}
+            )
+            self._t_count += 1
+        elif tag == "tr" and self._tables:
+            state = self._tables[-1]
+            self._close_cell(state)
+            state["row_open"] = True
+            state["r_idx"] = state["r"]
+            state["r"] += 1
+            state["c"] = 0
+        elif tag in ("td", "th") and self._tables:
+            state = self._tables[-1]
+            if not state["row_open"]:
+                return
+            self._close_cell(state)
+            cell = {
+                "tid": state["tid"],
+                "r": state["r_idx"],
+                "c": state["c"],
+                "is_header": tag == "th",
+                "buf": [],
+            }
+            state["c"] += 1
+            state["cell"] = cell
+            self._open_cells.append(cell)
+
+    def handle_endtag(self, tag):
+        if tag == "table" and self._tables:
+            self._close_cell(self._tables[-1])
+            self._tables.pop()
+        elif tag in ("td", "th") and self._tables:
+            self._close_cell(self._tables[-1])
+        elif tag == "tr" and self._tables:
+            state = self._tables[-1]
+            self._close_cell(state)
+            state["row_open"] = False
+
+    def handle_data(self, data):
+        for cell in self._open_cells:
+            cell["buf"].append(data)
+
+    def close(self):  # flush unclosed tables at EOF (tag soup)
+        while self._tables:
+            self._close_cell(self._tables[-1])
+            self._tables.pop()
+        super().close()
 
 
 def _iter_cells(html_doc: bytes | str) -> Iterator[tuple]:
-    """``(t_idx, r_idx, c_idx, is_header, text)`` for one page; malformed
-    pages yield nothing (the text path already has the lossy fallback —
-    tables in tag soup are not recoverable cell-exactly).
-
-    Rows attach to their *nearest enclosing* table: a table nested inside
-    a cell gets its own ``t_idx`` (document order) and its rows never leak
-    into the outer table's row numbering — ``root.iter("table")`` +
-    ``table.iter("tr")`` would count inner rows in both tables. The outer
-    cell's text still flattens the nested content (``itertext``), matching
-    the text path's behavior for markup inside cells."""
+    """``(t_idx, r_idx, c_idx, is_header, text)`` for one page — see
+    :class:`_CellWalker` for the recovery + indexing rules."""
     if isinstance(html_doc, bytes):
         html_doc = html_doc.decode("utf-8", errors="replace")
+    walker = _CellWalker()
     try:
-        root = ElementTree.fromstring(html_doc)
-    except ElementTree.ParseError:
-        return
-    out: list[tuple] = []
-    t_count = 0
-
-    def walk(el: ElementTree.Element, table_state: dict | None) -> None:
-        nonlocal t_count
-        if el.tag == "table":
-            state = {"tid": t_count, "r": 0}
-            t_count += 1
-            for ch in el:
-                walk(ch, state)
-        elif el.tag == "tr" and table_state is not None:
-            r_idx = table_state["r"]
-            table_state["r"] += 1
-            c_idx = 0
-            for ch in el:
-                if ch.tag in ("td", "th"):
-                    out.append(
-                        (
-                            table_state["tid"],
-                            r_idx,
-                            c_idx,
-                            ch.tag == "th",
-                            _cell_text(ch),
-                        )
-                    )
-                    c_idx += 1
-                    # nested tables under a cell start their own context
-                    for g in ch:
-                        walk(g, None)
-                else:
-                    walk(ch, table_state)
-        else:
-            # thead/tbody/etc. pass the enclosing table through
-            for ch in el:
-                walk(ch, table_state)
-
-    walk(root, None)
-    yield from out
+        walker.feed(html_doc)
+        walker.close()
+    except Exception:
+        # html.parser is tolerant by design; this is a pure backstop so
+        # one pathological page can never fail the Arrow batch
+        pass
+    yield from walker.out
 
 
 def table_cells(web_pages: DataFrame) -> DataFrame:

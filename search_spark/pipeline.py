@@ -206,6 +206,8 @@ def build_triples(
     out = triples_stage(specs)
     if cfg.structured_sources:
         from search_spark.operators.jsonld import jsonld_triples
+        from search_spark.operators.metatags import meta_triples
+        from search_spark.operators.microdata import microdata_triples
         from search_spark.operators.webtables import webtable_triples
 
         def _tag(df: DataFrame, source: str) -> DataFrame:
@@ -215,12 +217,21 @@ def build_triples(
                 "obj",
                 "prov",
                 F.lit(source).alias("ontology_source"),
-                # prov is url#<locator> for both structured extractors
-                F.regexp_extract("prov", "^(.*)#", 1).alias("url"),
+                # prov is url#<locator> for the block-level extractors and
+                # the bare url for page-level ones (meta tags)
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract("prov", "^(.*)#", 1), F.lit("")
+                    ),
+                    F.col("prov"),
+                ).alias("url"),
             )
 
-        structured = _tag(webtable_triples(web_pages), "webtable").unionByName(
-            _tag(jsonld_triples(web_pages), "jsonld")
+        structured = (
+            _tag(webtable_triples(web_pages), "webtable")
+            .unionByName(_tag(jsonld_triples(web_pages), "jsonld"))
+            .unionByName(_tag(microdata_triples(web_pages), "microdata"))
+            .unionByName(_tag(meta_triples(web_pages), "meta"))
         )
         out = out.unionByName(structured, allowMissingColumns=True)
     return out

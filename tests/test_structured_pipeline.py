@@ -1,4 +1,5 @@
-"""E2E: structured sources (web tables, JSON-LD) fused into the pipeline."""
+"""E2E: structured sources (web tables, JSON-LD, microdata, meta tags)
+fused into the pipeline."""
 
 from pyspark.sql import functions as F
 
@@ -9,10 +10,13 @@ def _page(spark):
     html = (
         '<html><head><script type="application/ld+json">'
         '{"@type": "Drug", "@id": "drug:glc", "name": "Glucose", '
-        '"dosage": "5mg"}</script></head>'
+        '"dosage": "5mg"}</script>'
+        '<meta property="og:title" content="Glucose page"></head>'
         "<body><h2>S</h2><p>Glucose level rises in Diabetes patients.</p>"
         "<table><tr><th>item</th><th>class</th></tr>"
         "<tr><td>Glucose</td><td>sugar</td></tr></table>"
+        '<div itemscope itemtype="https://schema.org/Drug">'
+        '<span itemprop="alternateName">Dextrose</span></div>'
         "</body></html>"
     )
     return spark.createDataFrame(
@@ -34,7 +38,7 @@ def test_structured_sources_are_additive(spark):
     assert base_rows <= fused_rows
     added = fused.join(base.select(key), on=key, how="left_anti")
     tags = {r.ontology_source for r in added.select("ontology_source").collect()}
-    assert tags == {"webtable", "jsonld"}
+    assert tags == {"webtable", "jsonld", "microdata", "meta"}
     # structured rows carry the page url and NULL NER-only columns
     s = added.filter(F.col("ontology_source") == "webtable").collect()
     assert s and all(r.url == "https://x.org/p1" for r in s)
@@ -43,6 +47,8 @@ def test_structured_sources_are_additive(spark):
     assert ("Glucose", "class", "sugar") in got
     assert ("drug:glc", "dosage", "5mg") in got
     assert ("drug:glc", "rdf:type", "Drug") in got
+    assert ("https://x.org/p1#item0", "alternateName", "Dextrose") in got
+    assert ("https://x.org/p1", "og:title", "Glucose page") in got
 
 
 def test_structured_off_by_default_schema_stable(spark):
@@ -52,6 +58,8 @@ def test_structured_off_by_default_schema_stable(spark):
     assert {r.ontology_source for r in base.collect()} & {
         "webtable",
         "jsonld",
+        "microdata",
+        "meta",
     } == set()
 
 
@@ -70,7 +78,7 @@ def test_run_to_snapshot_with_structured_sources_resumes(spark, tmp_path):
         r.ontology_source
         for r in written.select("ontology_source").distinct().collect()
     }
-    assert {"webtable", "jsonld"} <= tags
+    assert {"webtable", "jsonld", "microdata", "meta"} <= tags
     # second run over the same corpus is a pure resume
     m2 = run_to_snapshot(spark, _page(spark), root, cfg)
     assert m2 == {"resumed": True, "n_docs": 0, "n_triples": 0}

@@ -71,9 +71,30 @@ def test_headerless_table_yields_cells_not_triples(spark):
     assert webtable_triples(pages).count() == 0
 
 
-def test_malformed_page_yields_no_cells(spark):
+def test_tag_soup_recovers_cells(spark):
+    # unclosed table/tr: the tolerant walker recovers the cell (the old
+    # ElementTree kernel dropped the whole page — real web pages are tag
+    # soup, so total-drop was a silent coverage hole)
     pages = _pages(spark, [("u", b"<table><tr><td>a</td>")])
-    assert table_cells(pages).count() == 0
+    got = table_cells(pages).collect()
+    assert [(r.t_idx, r.r_idx, r.c_idx, r.text) for r in got] == [(0, 0, 0, "a")]
+
+
+def test_real_world_html_is_not_dropped(spark):
+    # void tags, bare attributes and &nbsp; are routine on real pages and
+    # are not valid XML — the table must still extract
+    html = (
+        b'<html><head><meta charset="utf-8"><meta property="og:t" content="x">'
+        b"</head><body><img src=/logo.png><br>"
+        b'<div itemscope itemtype="T"><span itemprop="p">v</span></div>'
+        b"<table><tr><th>k</th></tr><tr><td>a&nbsp;b</td></tr></table>"
+        b"</body></html>"
+    )
+    got = {
+        (r.r_idx, r.c_idx, r.is_header, r.text)
+        for r in table_cells(_pages(spark, [("u", html)])).collect()
+    }
+    assert got == {(0, 0, True, "k"), (1, 0, False, "a b")}
 
 
 def test_cell_text_normalizes_whitespace_and_markup(spark):
