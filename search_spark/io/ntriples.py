@@ -13,10 +13,21 @@ an N-Quad — provenance is first-class in the export, not a comment.
 Literal escaping follows the N-Triples grammar (backslash, quote,
 newline, CR, tab).
 
-Everything is JVM-side column expressions over ``url_encode`` /
-``regexp_extract`` — the export is a narrow map over the triple scan
+Everything is JVM-side column expressions (literal ``replace`` chains +
+``regexp_extract``) — the export is a narrow map over the triple scan
 (zero shuffle, whole-stage codegen) and the import is the same shape as
 the MeSH reader; both scale with the file count.
+
+IRI encoding is a *minimal invertible* percent-encoding: only the
+characters the N-Triples grammar forbids inside ``<…>`` transform
+(``%`` first — which makes the chain lossless for every input — then
+space ``< > " { } | ^ `` ` `` ``\\`` and control whitespace); everything
+else, including non-ASCII, passes through verbatim (IRIs are unicode).
+The same chains render as portable SQL (:func:`iri_escape_sql` /
+:func:`literal_escape_sql`) so a DuckDB oracle can re-derive the exact
+serialization — the reason this replaced the earlier ``url_encode``
+formulation (Java form-encoding: not SQL-mirrorable, and ``+`` for
+space is wrong in IRIs anyway).
 """
 
 from __future__ import annotations
@@ -25,6 +36,36 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BASE = "kg:"
+
+# order matters: % first on encode, last on decode — see module docstring
+_IRI_RULES = [
+    ("%", "%25"),
+    (" ", "%20"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+    ("\\", "%5C"),
+    ("\n", "%0A"),
+    ("\r", "%0D"),
+    ("\t", "%09"),
+]
+
+
+def _percent_encode(col: Column) -> Column:
+    for search, repl in _IRI_RULES:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return col
+
+
+def _percent_decode(col: Column) -> Column:
+    for search, repl in reversed(_IRI_RULES):
+        col = F.replace(col, F.lit(repl), F.lit(search))
+    return col
 
 
 def _escape_literal(col: Column) -> Column:
@@ -50,15 +91,44 @@ def _unescape_literal(col: Column) -> Column:
 
 def _iri(kind: str, col: Column, base: str) -> Column:
     return F.concat(
-        F.lit(f"<{base}{kind}/"), F.url_encode(col), F.lit(">")
+        F.lit(f"<{base}{kind}/"), _percent_encode(col), F.lit(">")
     )
 
 
 def _iri_value(col: Column, kind: str, base: str) -> Column:
     prefix = f"<{base}{kind}/"
-    return F.url_decode(
+    return _percent_decode(
         F.substring(col, len(prefix) + 1, F.length(col) - len(prefix) - 1)
     )
+
+
+def _sql_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
+def iri_escape_sql(expr: str, kind: str, base: str = DEFAULT_BASE) -> str:
+    """The IRI term as portable SQL (DuckDB oracle mirror)."""
+    out = expr
+    for search, repl in _IRI_RULES:
+        out = f"replace({out}, e'{_sql_escape(search)}', '{repl}')"
+    return f"'<{base}{kind}/' || {out} || '>'"
+
+
+def literal_escape_sql(expr: str) -> str:
+    """The escaped literal body as portable SQL (DuckDB oracle mirror)."""
+    out = expr
+    for search, repl in [
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ]:
+        out = (
+            f"replace({out}, e'{_sql_escape(search)}', "
+            f"e'{_sql_escape(repl)}')"
+        )
+    return out
 
 
 def to_nquad_lines(

@@ -3907,20 +3907,19 @@ WHERE p1.subj < p1.obj
 
 
 def _q_ntriples_export(spark, sf_dir):
-    """N-Quads serialization of the doc triples (operators/ntriples.py):
-    subjects/predicates/provenance IRI-encoded into a namespace, objects
-    as escaped literals — nested literal replace chains, whole-stage
-    codegen, a narrow map over the triple scan with no shuffle."""
-    from search_spark.operators.ntriples import to_ntriples
+    """N-Quads serialization of the doc triples (io/ntriples.py — the
+    same module the CLI export and the lossless reader share):
+    subjects/predicates/provenance IRI-encoded into kind namespaces with
+    the minimal invertible percent-encoding, objects as escaped
+    literals — literal replace chains, whole-stage codegen, a narrow map
+    over the triple scan with no shuffle."""
+    from search_spark.io.ntriples import to_nquad_lines
 
-    return to_ntriples(_q_kg_doc_triples(spark, sf_dir), graph_col="prov")
+    return to_nquad_lines(_q_kg_doc_triples(spark, sf_dir))
 
 
 def _sql_ntriples_export() -> str:
-    from search_spark.operators.ntriples import (
-        iri_escape_sql,
-        ntriples_escape_sql,
-    )
+    from search_spark.io.ntriples import iri_escape_sql, literal_escape_sql
 
     return f"""
 {_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
@@ -3932,9 +3931,10 @@ triples AS (
   SELECT subj, pred, obj,
          CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov
   FROM relations)
-SELECT '<' || {iri_escape_sql('subj')} || '> <' || {iri_escape_sql('pred')}
-       || '> "' || {ntriples_escape_sql('obj')} || '" <'
-       || {iri_escape_sql('prov')} || '> .' AS line
+SELECT {iri_escape_sql('subj', 'entity')} || ' '
+       || {iri_escape_sql('pred', 'pred')}
+       || ' "' || {literal_escape_sql('obj')} || '" '
+       || {iri_escape_sql('prov', 'prov')} || ' .' AS line
 FROM triples
 """
 

@@ -1,9 +1,13 @@
-"""N-Triples serialization (operators/ntriples.py) — grammar escaping,
-N-Quads mode, the text-file sink, and the shuffle-free plan."""
+"""N-Quads export/import (io/ntriples.py) — grammar escaping, lossless
+roundtrip including adversarial strings, and the shuffle-free plan."""
 
 import glob
 
-from search_spark.operators.ntriples import to_ntriples, write_ntriples
+from search_spark.io.ntriples import (
+    read_ntriples,
+    to_nquad_lines,
+    write_ntriples,
+)
 
 
 def _df(spark, rows):
@@ -14,28 +18,36 @@ def _df(spark, rows):
 
 def test_literal_and_iri_escaping(spark):
     rows = [("a b", "p%1", 'say "hi"\n\tend\\', "g<1>")]
-    got = to_ntriples(_df(spark, rows), graph_col="prov").collect()[0].line
+    got = to_nquad_lines(_df(spark, rows)).collect()[0].line
     assert got == (
-        "<http://example.org/kg/a%20b> <http://example.org/kg/p%251> "
-        '"say \\"hi\\"\\n\\tend\\\\" <http://example.org/kg/g%3C1%3E> .'
+        "<kg:entity/a%20b> <kg:pred/p%251> "
+        '"say \\"hi\\"\\n\\tend\\\\" <kg:prov/g%3C1%3E> .'
     )
 
 
-def test_triples_mode_has_no_graph_term(spark):
-    got = to_ntriples(_df(spark, [("s", "p", "o", "g")])).collect()[0].line
-    assert got == (
-        "<http://example.org/kg/s> <http://example.org/kg/p> \"o\" ."
-    )
+def test_triples_mode_without_prov(spark):
+    df = _df(spark, [("s", "p", "o", "g")]).drop("prov")
+    got = to_nquad_lines(df).collect()[0].line
+    assert got == '<kg:entity/s> <kg:pred/p> "o" .'
 
 
-def test_custom_namespace(spark):
-    got = to_ntriples(
-        _df(spark, [("s", "p", "o", "g")]), namespace="urn:x:"
-    ).collect()[0].line
-    assert got.startswith("<urn:x:s> <urn:x:p>")
+def test_roundtrip_lossless_adversarial(spark, tmp_path):
+    # strings chosen to stress the invertibility of the minimal
+    # percent-encoding: pre-encoded-looking sequences, plus signs (the
+    # old url_encode form-decoding corrupted them), every escaped char
+    rows = [
+        ("%3C literal", "a+b", 'quote " back \\ nl \n tab \t', "p%25"),
+        ("<angle>", "{curly}", "plain", "g|h^i`j"),
+        ("ünïcode", "naïve", "café", "日本語"),
+    ]
+    out = str(tmp_path / "nq")
+    write_ntriples(_df(spark, rows), out)
+    back = read_ntriples(spark, out)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
 
 
-def test_write_ntriples_roundtrip(spark, tmp_path):
+def test_write_produces_text_parts(spark, tmp_path):
     rows = [(f"s{i}", "p", f"o{i}", "g") for i in range(20)]
     out = str(tmp_path / "nt")
     write_ntriples(_df(spark, rows), out)
@@ -44,15 +56,12 @@ def test_write_ntriples_roundtrip(spark, tmp_path):
     lines = sorted(
         line for f in files for line in open(f).read().splitlines()
     )
-    assert len(lines) == 20
-    assert lines[0].endswith(" .")
-    back = spark.read.text(out)
-    assert back.count() == 20
+    assert len(lines) == 20 and lines[0].endswith(" .")
 
 
 def test_plan_is_narrow_map(spark):
     plan = (
-        to_ntriples(_df(spark, [("s", "p", "o", "g")]))
+        to_nquad_lines(_df(spark, [("s", "p", "o", "g")]))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
