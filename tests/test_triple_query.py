@@ -297,3 +297,33 @@ def test_cli_kgtrain_deepwalk_mode(snapshot, tmp_path):
     # window-1 adjacency pairs are symmetric: (a,b) count == (b,a) count
     for (c, x), n in got.items():
         assert got.get((x, c)) == n, (c, x)
+
+
+def test_cli_sparql_subcommand(snapshot):
+    """sparql runs SELECT and ASK query strings over the snapshot."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", snapshot.root,
+         "--query",
+         "SELECT DISTINCT ?t WHERE { ?m <has_type> ?t . } ORDER BY ?t"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "t" and len(lines) > 1
+
+    ask = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", snapshot.root,
+         "--query", 'ASK { ?m <has_type> ?t . }'],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert ask.returncode == 0, ask.stderr[-2000:]
+    assert ask.stdout.strip().splitlines()[-1] == "true"

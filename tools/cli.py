@@ -183,6 +183,20 @@ def main() -> int:
     p_bgp.add_argument("--limit", type=int, default=100)
     p_bgp.add_argument("--as-of", type=int, default=None, dest="as_of")
 
+    p_sparql = sub.add_parser(
+        "sparql",
+        help="run a SPARQL query string over a snapshot KG (SELECT / "
+             "CONSTRUCT / ASK / DESCRIBE; operators/sparql.py subset)",
+    )
+    p_sparql.add_argument("--snapshot", required=True,
+                          help="snapshot table root")
+    p_sparql.add_argument("--query", required=True,
+                          help='e.g. \'SELECT ?s WHERE { ?s <is_a> '
+                               '"CHEMICAL" . } LIMIT 10\'')
+    p_sparql.add_argument("--limit", type=int, default=100,
+                          help="row cap applied when the query has none")
+    p_sparql.add_argument("--as-of", type=int, default=None, dest="as_of")
+
     p_val = sub.add_parser(
         "validate",
         help="SHACL-lite shape validation over a snapshot KG; prints the "
@@ -456,6 +470,20 @@ def main() -> int:
         )
         out = out.orderBy(*out.columns).limit(args.limit)
         print(out.toPandas().to_csv(index=False), end="")
+    elif args.cmd == "sparql":
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.sparql import sparql_query
+
+        full = SnapshotTable(spark, args.snapshot).load(as_of=args.as_of)
+        if full is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        result = sparql_query(full, args.query)
+        if isinstance(result, bool):  # ASK
+            print("true" if result else "false")
+            return 0
+        result = result.limit(args.limit)
+        print(result.toPandas().to_csv(index=False), end="")
     elif args.cmd == "validate":
         import json
 
