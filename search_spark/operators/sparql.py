@@ -16,6 +16,10 @@ Supported subset (documented, fail-loud outside it):
   FILTERed bindings), ``ASK { ... }`` (bool, LocalLimit short-circuit)
   and ``DESCRIBE <resource>`` (single OR-of-equalities scan),
 * ``SELECT [DISTINCT] ?v1 ?v2 ... | * WHERE { ... }``
+* aggregate projections ``(COUNT([DISTINCT] ?v | *) AS ?alias)`` /
+  ``(SUM|MIN|MAX|AVG(?v) AS ?alias)`` with ``GROUP BY ?v ...`` (or a
+  global aggregate when GROUP BY is absent); non-aggregated SELECT
+  variables must appear in GROUP BY (fail-loud, like ANSI SQL),
 * triple patterns ``term term term .`` where a term is ``?var``,
   ``<iri>``, ``"literal"`` (with ``\\"`` / ``\\\\`` escapes) or a bare
   token — IRI brackets and literal quotes are stripped: the engine's
@@ -24,13 +28,25 @@ Supported subset (documented, fail-loud outside it):
 * ``FILTER NOT EXISTS { <one triple pattern> }`` (anti join),
 * ``FILTER (expr)`` with comparisons ``= != < <= > >=`` between variables
   and constants, combined with ``&&`` / ``||``,
+* ``VALUES ?v { t1 t2 ... }`` and ``VALUES (?v1 ?v2) { (a b) (c d) }``
+  (inline bindings; compiled as a broadcast inner join — the data is
+  query-sized by construction),
+* ``{ group } UNION { group } [UNION { group } ...]`` as the whole WHERE
+  body (each branch a full group: patterns / OPTIONAL / FILTER / VALUES;
+  branch-local variables are NULL — i.e. unbound — in the other
+  branches' rows, as in SPARQL),
 * ``ORDER BY ?v ... | DESC(?v)`` and ``LIMIT n``.
 
 Semantics note: bindings are always *set* semantics (the BGP operator
 dedups — provenance rows collapse), so ``DISTINCT`` re-applies after the
 projection and plain ``SELECT`` returns the distinct full-binding rows
-projected. ``LIMIT`` without a total ``ORDER BY`` is nondeterministic in
-SPARQL and here too — callers that hash-compare must order on a key.
+projected. Aggregates therefore count/sum over the *distinct* binding
+rows (document this when hash-comparing against a bag-semantics engine).
+``COUNT(?v)`` skips unbound (NULL) values, as in SPARQL; ``SUM``/``AVG``
+``try_cast`` the string terms to double (non-numeric terms aggregate as
+NULL rather than aborting the scan under ANSI mode). ``LIMIT`` without a
+total ``ORDER BY`` is nondeterministic in SPARQL and here too — callers
+that hash-compare must order on a key.
 
 Scale: parsing is driver-side string work on a query-sized input; the plan
 it emits is exactly the BGP operator's (per-pattern pushed-down scans,
@@ -62,7 +78,10 @@ _TOKEN = re.compile(
 
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 _KEYWORDS = {"select", "distinct", "where", "optional", "filter", "not",
-             "exists", "order", "by", "limit", "desc", "asc"}
+             "exists", "order", "by", "limit", "desc", "asc", "union",
+             "values", "group", "as"}
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 
 class SparqlError(ValueError):
@@ -194,7 +213,8 @@ def parse_select(query: str) -> dict:
     p = _Parser(_tokenize(query))
     p.expect("SELECT")
     distinct = p.kw("distinct")
-    select_vars: list[str] = []
+    select_vars: list[str] = []  # output names in projection order
+    aggs: list[tuple[str, bool, str, str]] = []  # (fn, distinct, arg, alias)
     star = False
     while True:
         tok = p.peek()
@@ -208,13 +228,38 @@ def parse_select(query: str) -> dict:
             star = True
         elif tok.startswith("?"):
             select_vars.append(tok[1:])
+        elif tok == "(":
+            fn = p.next().lower()
+            if fn not in _AGG_FNS:
+                raise SparqlError(f"unsupported aggregate {fn!r}")
+            p.expect("(")
+            agg_distinct = p.kw("distinct")
+            arg = p.next()
+            if arg.startswith("?"):
+                arg = arg[1:]
+            elif arg != "*" or fn != "count":
+                raise SparqlError(f"bad aggregate argument {arg!r}")
+            if agg_distinct and fn != "count":
+                raise SparqlError("DISTINCT is only supported inside COUNT")
+            p.expect(")")
+            p.expect("AS")
+            alias = p.next()
+            if not alias.startswith("?"):
+                raise SparqlError(f"aggregate alias must be a variable, "
+                                  f"got {alias!r}")
+            p.expect(")")
+            aggs.append((fn, agg_distinct, arg, alias[1:]))
+            select_vars.append(alias[1:])
         else:
             raise SparqlError(f"bad SELECT term {tok!r}")
+    if star and aggs:
+        raise SparqlError("SELECT * cannot mix with aggregates")
     if not star and not select_vars:
         raise SparqlError("SELECT binds no variables")
     p.expect("{")
-    patterns, optional, not_exists, filters = _parse_group(p)
+    groups = _parse_where_body(p)
     order: list[tuple[str, bool]] = []  # (var, descending)
+    group_by: list[str] = []
     limit: int | None = None
     while p.peek() is not None:
         tok = p.next().lower()
@@ -234,31 +279,98 @@ def parse_select(query: str) -> dict:
                 if not nxt.startswith("?"):
                     raise SparqlError(f"ORDER BY expects a variable, got {nxt!r}")
                 order.append((nxt[1:], desc))
+        elif tok == "group":
+            p.expect("BY")
+            while p.peek() is not None and p.peek().startswith("?"):
+                group_by.append(p.next()[1:])
+            if not group_by:
+                raise SparqlError("GROUP BY names no variables")
         elif tok == "limit":
             limit = int(p.next())
         else:
             raise SparqlError(f"unexpected trailing token {tok!r}")
-    if not patterns:
-        raise SparqlError("WHERE block has no required triple pattern")
+    if aggs:
+        alias_set = {a for _, _, _, a in aggs}
+        bad = [v for v in select_vars
+               if v not in alias_set and v not in group_by]
+        if bad:
+            raise SparqlError(
+                f"non-aggregated SELECT variables missing from GROUP BY: {bad}"
+            )
+    elif group_by:
+        raise SparqlError("GROUP BY without any aggregate projection")
+    g0 = groups[0] if len(groups) == 1 else {
+        "patterns": [], "optional": [], "not_exists": [],
+        "filters": [], "values": [],
+    }
     return {
         "distinct": distinct,
         "select": select_vars,  # empty means *
-        "patterns": patterns,
-        "optional": optional,
-        "not_exists": not_exists,
-        "filters": filters,
+        "aggs": aggs,
+        "group_by": group_by,
+        "groups": groups,
+        # single-group convenience views (authoritative form is "groups")
+        "patterns": g0["patterns"],
+        "optional": g0["optional"],
+        "not_exists": g0["not_exists"],
+        "filters": g0["filters"],
+        "values": g0["values"],
         "order": order,
         "limit": limit,
     }
 
 
-def _parse_group(p: _Parser) -> tuple[list, list, list, list]:
-    """Parse a ``{ ... }`` group body (after the ``{``): returns
-    (patterns, optional, not_exists, filter_asts)."""
-    patterns: list[tuple[str, str, str]] = []
-    optional: list[tuple[str, str, str]] = []
-    not_exists: list[tuple[str, str, str]] = []
-    filters: list[list] = []
+def _parse_values(p: _Parser) -> tuple[list[str], list[tuple[str, ...]]]:
+    """``VALUES`` already consumed. Two forms: ``VALUES ?v { t1 t2 }``
+    and ``VALUES (?v1 ?v2) { (a b) (c d) }``. ``UNDEF`` is rejected
+    (the subset has no partial inline bindings)."""
+    vars_: list[str] = []
+    if p.peek() == "(":
+        p.next()
+        while p.peek() != ")":
+            tok = p.next()
+            if not tok.startswith("?"):
+                raise SparqlError(f"VALUES expects variables, got {tok!r}")
+            vars_.append(tok[1:])
+        p.next()
+    else:
+        tok = p.next()
+        if not tok.startswith("?"):
+            raise SparqlError(f"VALUES expects a variable, got {tok!r}")
+        vars_.append(tok[1:])
+    if not vars_:
+        raise SparqlError("VALUES binds no variables")
+    p.expect("{")
+    rows: list[tuple[str, ...]] = []
+    while p.peek() != "}":
+        if p.peek() is None:
+            raise SparqlError("unclosed VALUES block")
+        if len(vars_) == 1:
+            row = [p.next()]
+        else:
+            p.expect("(")
+            row = []
+            while p.peek() != ")":
+                row.append(p.next())
+            p.next()
+        if any(t.upper() == "UNDEF" for t in row):
+            raise SparqlError("VALUES UNDEF is not supported")
+        if len(row) != len(vars_):
+            raise SparqlError(
+                f"VALUES row has {len(row)} terms for {len(vars_)} variables"
+            )
+        rows.append(tuple(_term(t) for t in row))
+    p.next()
+    if not rows:
+        raise SparqlError("VALUES block has no rows")
+    return vars_, rows
+
+
+def _parse_group(p: _Parser) -> dict:
+    """Parse a ``{ ... }`` group body (after the ``{``): returns a dict
+    with keys ``patterns / optional / not_exists / filters / values``."""
+    g: dict = {"patterns": [], "optional": [], "not_exists": [],
+               "filters": [], "values": []}
     while True:
         tok = p.peek()
         if tok is None:
@@ -266,10 +378,13 @@ def _parse_group(p: _Parser) -> tuple[list, list, list, list]:
         if tok == "}":
             p.next()
             break
+        if tok == ".":  # SPARQL allows an optional '.' after sub-blocks
+            p.next()
+            continue
         if tok.lower() == "optional":
             p.next()
             p.expect("{")
-            optional.append(_parse_pattern(p))
+            g["optional"].append(_parse_pattern(p))
             p.expect("}")
         elif tok.lower() == "filter":
             p.next()
@@ -277,14 +392,76 @@ def _parse_group(p: _Parser) -> tuple[list, list, list, list]:
                 p.next()
                 p.expect("EXISTS")
                 p.expect("{")
-                not_exists.append(_parse_pattern(p))
+                g["not_exists"].append(_parse_pattern(p))
                 p.expect("}")
             else:
                 p.expect("(")
-                filters.append(_parse_filter_expr(p))
+                g["filters"].append(_parse_filter_expr(p))
+        elif tok.lower() == "values":
+            p.next()
+            g["values"].append(_parse_values(p))
         else:
-            patterns.append(_parse_pattern(p))
-    return patterns, optional, not_exists, filters
+            g["patterns"].append(_parse_pattern(p))
+    if not g["patterns"]:
+        raise SparqlError("group has no required triple pattern")
+    return g
+
+
+def _parse_where_body(p: _Parser) -> list[dict]:
+    """After the WHERE ``{``: either one plain group, or a UNION chain
+    ``{ g } UNION { g } ...`` spanning the whole body. Returns the list
+    of group dicts (length 1 for the plain case)."""
+    if p.peek() != "{":
+        return [_parse_group(p)]
+    groups = []
+    while True:
+        p.expect("{")
+        groups.append(_parse_group(p))
+        if p.peek() is not None and p.peek().lower() == "union":
+            p.next()
+            continue
+        break
+    p.expect("}")
+    return groups
+
+
+def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
+    """One group: BGP joins, then VALUES broadcast joins, then FILTERs."""
+    out = match_bgp(
+        triples, g["patterns"], optional=g["optional"],
+        not_exists=g["not_exists"],
+    )
+    for vars_, rows in g["values"]:
+        missing = [v for v in vars_ if v not in out.columns]
+        if missing:
+            raise SparqlError(f"VALUES variables never bound: {missing}")
+        from pyspark.sql import types as T
+
+        vdf = triples.sparkSession.createDataFrame(
+            rows,
+            schema=T.StructType(
+                [T.StructField(v, T.StringType()) for v in vars_]
+            ),
+        )
+        out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
+    for ast in g["filters"]:
+        out = out.filter(_compile_filter(ast))
+    return out
+
+
+def _compile_where(triples: DataFrame, groups: list[dict]) -> DataFrame:
+    """Compile a WHERE body (one group, or a UNION chain). Branch-local
+    variables surface as NULL in rows from the other branches
+    (``unionByName(allowMissingColumns=True)``); the post-union distinct
+    keeps the module-wide set semantics."""
+    out = _compile_group(triples, groups[0])
+    for g in groups[1:]:
+        out = out.unionByName(
+            _compile_group(triples, g), allowMissingColumns=True
+        )
+    if len(groups) > 1:
+        out = out.distinct()
+    return out
 
 
 def sparql_query(triples: DataFrame, query: str):
@@ -304,18 +481,13 @@ def sparql_query(triples: DataFrame, query: str):
     if head == "construct":
         return _sparql_construct(triples, query)
     if head == "ask":
-        from search_spark.operators.bgp import match_bgp as _m
-
         p = _Parser(_tokenize(query))
         p.expect("ASK")
         p.expect("{")
-        patterns, optional, not_exists, filters = _parse_group(p)
-        if not patterns:
-            raise SparqlError("ASK block has no required triple pattern")
-        out = _m(triples, patterns, optional=optional, not_exists=not_exists)
-        for ast in filters:
-            out = out.filter(_compile_filter(ast))
-        return out.limit(1).count() > 0
+        groups = _parse_where_body(p)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        return _compile_where(triples, groups).limit(1).count() > 0
     if head == "describe":
         from search_spark.operators.bgp import describe
 
@@ -327,7 +499,7 @@ def sparql_query(triples: DataFrame, query: str):
 
 
 def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
-    from search_spark.operators.bgp import instantiate_template, match_bgp
+    from search_spark.operators.bgp import instantiate_template
 
     p = _Parser(_tokenize(query))
     p.expect("CONSTRUCT")
@@ -338,18 +510,12 @@ def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     p.expect("}")
     p.expect("WHERE")
     p.expect("{")
-    patterns, optional, not_exists, filters = _parse_group(p)
+    groups = _parse_where_body(p)
     if p.peek() is not None:
         raise SparqlError(f"unexpected trailing token {p.peek()!r}")
-    if not patterns:
-        raise SparqlError("WHERE block has no required triple pattern")
     if not template:
         raise SparqlError("empty CONSTRUCT template")
-    bindings = match_bgp(
-        triples, patterns, optional=optional, not_exists=not_exists
-    )
-    for ast in filters:
-        bindings = bindings.filter(_compile_filter(ast))
+    bindings = _compile_where(triples, groups)
     return instantiate_template(bindings, template)
 
 
@@ -357,15 +523,35 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run a SPARQL SELECT against a ``(subj, pred, obj)``
     DataFrame. Returns one column per selected variable."""
     q = parse_select(query)
-    out = match_bgp(
-        triples,
-        q["patterns"],
-        optional=q["optional"],
-        not_exists=q["not_exists"],
-    )
-    for ast in q["filters"]:
-        out = out.filter(_compile_filter(ast))
-    if q["select"]:
+    out = _compile_where(triples, q["groups"])
+    if q["aggs"]:
+        for fn, _, arg, _ in q["aggs"]:
+            if arg != "*" and arg not in out.columns:
+                raise SparqlError(f"aggregate argument never bound: ?{arg}")
+        missing = [v for v in q["group_by"] if v not in out.columns]
+        if missing:
+            raise SparqlError(f"GROUP BY variables never bound: {missing}")
+        exprs = []
+        for fn, agg_distinct, arg, alias in q["aggs"]:
+            if fn == "count":
+                if arg == "*":
+                    c = F.count(F.lit(1))
+                elif agg_distinct:
+                    c = F.countDistinct(F.col(arg))
+                else:
+                    c = F.count(F.col(arg))
+            else:
+                col = F.col(arg)
+                if fn in ("sum", "avg"):
+                    # triple terms are strings; non-numeric ones must
+                    # aggregate as NULL, not abort the scan (ANSI mode)
+                    col = col.try_cast("double")
+                c = {"sum": F.sum, "min": F.min,
+                     "max": F.max, "avg": F.avg}[fn](col)
+            exprs.append(c.alias(alias))
+        grouped = out.groupBy(*q["group_by"]) if q["group_by"] else out
+        out = grouped.agg(*exprs).select(*q["select"])
+    elif q["select"]:
         missing = [v for v in q["select"] if v not in out.columns]
         if missing:
             raise SparqlError(f"SELECT variables never bound: {missing}")

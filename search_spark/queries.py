@@ -3906,6 +3906,76 @@ WHERE p1.subj < p1.obj
 """
 
 
+def _q_sparql_aggregate(spark, sf_dir):
+    """SPARQL GROUP BY + aggregate projections compiled to a Catalyst
+    hash aggregate: COUNT / COUNT(DISTINCT) / MIN over the distinct
+    binding rows (the BGP operator is set-semantics, so the counts are
+    over distinct (a, b, bt) bindings — the oracle aggregates over the
+    same DISTINCT subquery). The plan is the BGP hash-join tree feeding
+    one partial+final HashAggregate; no extra shuffle beyond the agg."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = f"""
+    SELECT ?bt (COUNT(?a) AS ?n_pairs) (COUNT(DISTINCT ?a) AS ?n_subj)
+           (MIN(?a) AS ?min_subj)
+    WHERE {{ ?a <{DIFF}> ?b . ?b <has_type> ?bt . }}
+    GROUP BY ?bt ORDER BY ?bt
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_AGGREGATE = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT bt, COUNT(a) AS n_pairs, COUNT(DISTINCT a) AS n_subj,
+       MIN(a) AS min_subj
+FROM (SELECT DISTINCT p1.subj AS a, p1.obj AS b, p3.obj AS bt
+      FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p1
+      JOIN (SELECT DISTINCT subj, obj FROM triples
+            WHERE pred = 'has_type') p3
+        ON p3.subj = p1.obj)
+GROUP BY bt
+ORDER BY bt
+"""
+
+
+def _q_sparql_union_values(spark, sf_dir):
+    """SPARQL UNION of two group patterns plus a VALUES inline-data
+    restriction: each branch compiles independently (the second one's
+    VALUES lands as a broadcast inner join against the 2-row literal
+    table), then unionByName + distinct realizes SPARQL's set-union of
+    binding rows. Branch plans stay per-pattern pushed-down scans."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = f"""
+    SELECT DISTINCT ?a ?b WHERE {{
+      {{ ?a <{DIFF}> ?b . FILTER(?a < ?b) }}
+      UNION
+      {{ ?a <has_type> ?b . VALUES ?b {{ "ENGINE" "OPERATOR" }} }}
+    }}
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_UNION_VALUES = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT subj AS a, obj AS b FROM triples
+WHERE pred = '{DIFF}' AND subj < obj
+UNION
+SELECT subj AS a, obj AS b FROM triples
+WHERE pred = 'has_type' AND obj IN ('ENGINE', 'OPERATOR')
+"""
+
+
 def _q_ntriples_export(spark, sf_dir):
     """N-Quads serialization of the doc triples (io/ntriples.py — the
     same module the CLI export and the lossless reader share):
@@ -6615,6 +6685,8 @@ QUERIES: dict[str, Q] = {
     ),
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "sparql_select": Q(_q_sparql_select, _SQL_SPARQL_SELECT),
+    "sparql_aggregate": Q(_q_sparql_aggregate, _SQL_SPARQL_AGGREGATE),
+    "sparql_union_values": Q(_q_sparql_union_values, _SQL_SPARQL_UNION_VALUES),
     "ntriples_export": Q(_q_ntriples_export, _sql_ntriples_export()),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

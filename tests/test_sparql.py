@@ -171,3 +171,99 @@ def test_unsupported_form_raises(spark):
 
     with pytest.raises(SparqlError):
         sparql_query(_triples(spark), "DELETE WHERE { ?a ?b ?c }")
+
+
+def test_union_branch_local_var_is_null(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?n WHERE { "
+        '{ ?a <type> "Robot" . } UNION { ?a <name> ?n . } } ORDER BY ?a',
+    )
+    rows = [(r.a, r.n) for r in out.collect()]
+    assert rows == [("bob", "Bobby"), ("carol", None)]
+
+
+def test_union_distinct_across_branches(spark):
+    # alice satisfies both branches -> one output row (set semantics)
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { "
+        '{ ?a <knows> "bob" . } UNION { ?a <type> "Person" . FILTER(?a != "bob") . } }',
+    )
+    assert sorted(r.a for r in out.collect()) == ["alice"]
+
+
+def test_values_single_var(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?b WHERE { ?a <knows> ?b . VALUES ?b { "bob" "dave" } }',
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [("alice", "bob")]
+
+
+def test_values_tuple_form(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . "
+        'VALUES (?a ?b) { ("alice" "carol") ("bob" "carol") ("bob" "zed") } }',
+    )
+    assert sorted((r.a, r.b) for r in out.collect()) == [
+        ("alice", "carol"),
+        ("bob", "carol"),
+    ]
+
+
+def test_values_unbound_var_raises(spark):
+    with pytest.raises(SparqlError):
+        sparql_select(
+            _triples(spark),
+            'SELECT ?a WHERE { ?a <knows> ?b . VALUES ?zzz { "x" } }',
+        ).collect()
+
+
+def test_aggregate_group_by(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) (MIN(?b) AS ?first) "
+        "WHERE { ?a <knows> ?b . } GROUP BY ?a ORDER BY ?a",
+    )
+    rows = [(r.a, r.n, r.first) for r in out.collect()]
+    # duplicate alice-knows-bob provenance row collapses (set semantics)
+    assert rows == [("alice", 2, "bob"), ("bob", 1, "carol")]
+
+
+def test_aggregate_global_count_star(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT (COUNT(*) AS ?n) WHERE { ?a <knows> ?b . }",
+    )
+    assert out.collect()[0].n == 3
+
+
+def test_aggregate_count_skips_unbound(spark):
+    # OPTIONAL name binds only for bob -> COUNT(?n) = 1 while COUNT(*) = 2
+    out = sparql_select(
+        _triples(spark),
+        "SELECT (COUNT(*) AS ?rows) (COUNT(?n) AS ?named) WHERE { "
+        '?a <type> "Person" . OPTIONAL { ?a <name> ?n . } }',
+    )
+    r = out.collect()[0]
+    assert (r.rows, r.named) == (2, 1)
+
+
+def test_aggregate_avg_nonnumeric_is_null(spark):
+    # string terms try_cast to double -> NULL, not an ANSI abort
+    out = sparql_select(
+        _triples(spark),
+        "SELECT (AVG(?b) AS ?m) WHERE { ?a <knows> ?b . }",
+    )
+    assert out.collect()[0].m is None
+
+
+def test_ask_with_union(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    assert sparql_query(
+        _triples(spark),
+        "ASK { { ?a <likes> ?x . } UNION { ?a <banned> ?x . } }",
+    ) is True
