@@ -35,6 +35,14 @@ Supported subset (documented, fail-loud outside it):
   body (each branch a full group: patterns / OPTIONAL / FILTER / VALUES;
   branch-local variables are NULL — i.e. unbound — in the other
   branches' rows, as in SPARQL),
+* property paths in the predicate position of *required* patterns —
+  ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2`` (alternation),
+  ``p+`` (one-or-more, bounded by ``path_max_hops`` with semi-naive
+  early exit) and ``p{1,k}`` (explicit bound); compiled onto
+  :mod:`search_spark.operators.paths` with constant ends seeding the
+  frontier-propagated evaluation (a constant *object* seeds the
+  algebraically flipped path). ``*`` is rejected — zero-length paths
+  bind every node,
 * ``ORDER BY ?v ... | DESC(?v)`` and ``LIMIT n``.
 
 Semantics note: bindings are always *set* semantics (the BGP operator
@@ -63,6 +71,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from search_spark.operators.bgp import match_bgp
+from search_spark.operators.paths import (
+    Alt,
+    Inv,
+    PathExpr,
+    Pred,
+    Repeat,
+    Seq,
+    eval_path,
+    normalize,
+)
+
+#: engine bound for the SPARQL ``+`` (one-or-more) path modifier — the
+#: semi-naive Repeat loop exits early on an empty delta, so any bound at
+#: or above the graph's longest simple path makes ``+`` exact.
+PATH_MAX_HOPS = 16
 
 _TOKEN = re.compile(
     r"""\?[A-Za-z_][A-Za-z0-9_]*   # variable
@@ -71,6 +94,7 @@ _TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"          # quoted literal
       | \{ | \} | \( | \) | \.     # structure
       | && | \|\| | != | <= | >= | = | < | >
+      | \|                         # path alternation (after || above)
       | [^\s{}()."?<>=!&|]+        # bare token
     """,
     re.VERBOSE,
@@ -139,16 +163,107 @@ class _Parser:
         return False
 
 
-def _parse_pattern(p: _Parser) -> tuple[str, str, str]:
-    terms = []
-    for _ in range(3):
+_PATH_OPS = ("/", "|", "+", "^", "*")
+
+
+def _parse_term_token(p: _Parser) -> str:
+    tok = p.next()
+    if tok in "{}()." or tok.lower() in ("optional", "filter"):
+        raise SparqlError(f"malformed triple pattern near {tok!r}")
+    return _term(tok)
+
+
+def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
+    inverted = False
+    if p.peek() == "^":
+        p.next()
+        inverted = True
+    if p.peek() == "(":
+        p.next()
+        expr = _parse_path_alt(p, max_hops)
+        p.expect(")")
+    else:
         tok = p.next()
-        if tok in "{}()." or tok.lower() in ("optional", "filter"):
-            raise SparqlError(f"malformed triple pattern near {tok!r}")
-        terms.append(_term(tok))
+        if tok.startswith("?"):
+            raise SparqlError(
+                "variables cannot appear inside a property path"
+            )
+        if tok in "{}()." or tok in _PATH_OPS:
+            raise SparqlError(f"malformed property path near {tok!r}")
+        expr = Pred(_term(tok))
+    if inverted:
+        expr = Inv(expr)
+    while p.peek() in ("+", "{", "*"):
+        tok = p.next()
+        if tok == "*":
+            raise SparqlError(
+                "zero-or-more '*' is not supported (zero-length paths "
+                "bind every node); use '+' or an explicit {1,k} bound"
+            )
+        if tok == "+":
+            expr = Repeat(expr, max_hops)
+        else:  # {1,k} — Repeat is natively the bounded 1..k form
+            spec = p.next()
+            m = re.fullmatch(r"1,(\d+)", spec)
+            if not m:
+                raise SparqlError(
+                    f"path repetition must be {{1,k}}, got {{{spec}}}"
+                )
+            p.expect("}")
+            expr = Repeat(expr, int(m.group(1)))
+    return expr
+
+
+def _parse_path_seq(p: _Parser, max_hops: int) -> PathExpr:
+    expr = _parse_path_unary(p, max_hops)
+    while p.peek() == "/":
+        p.next()
+        expr = Seq(expr, _parse_path_unary(p, max_hops))
+    return expr
+
+
+def _parse_path_alt(p: _Parser, max_hops: int) -> PathExpr:
+    expr = _parse_path_seq(p, max_hops)
+    while p.peek() == "|":
+        p.next()
+        expr = Alt(expr, _parse_path_seq(p, max_hops))
+    return expr
+
+
+def _parse_pattern(
+    p: _Parser, paths: bool = False, max_hops: int = PATH_MAX_HOPS
+) -> tuple:
+    """One triple pattern. With ``paths=True`` the predicate position may
+    be a SPARQL 1.1 property path (``^``, ``/``, ``|``, ``+``, ``{1,k}``,
+    parentheses); a path that reduces to one forward predicate stays a
+    plain string so downstream plans are unchanged. Returns
+    ``(subj, pred_or_PathExpr, obj)``."""
+    subj = _parse_term_token(p)
+    if paths and not (p.peek() or "?").startswith("?"):
+        pred: object = _parse_path_alt(p, max_hops)
+        if isinstance(pred, Pred) and not pred.inverted:
+            pred = pred.name
+    else:
+        pred = _parse_term_token(p)
+        if p.peek() in _PATH_OPS:
+            raise SparqlError(
+                "property paths are only supported in required patterns "
+                "with constant predicates"
+                if not paths
+                else "variables cannot appear inside a property path"
+            )
+    obj = _parse_term_token(p)
+    if (
+        not isinstance(pred, str)
+        and not subj.startswith("?")
+        and not obj.startswith("?")
+    ):
+        raise SparqlError(
+            "property-path pattern needs at least one variable end"
+        )
     if p.peek() == ".":
         p.next()
-    return tuple(terms)
+    return (subj, pred, obj)
 
 
 def _parse_filter_expr(p: _Parser) -> list:
@@ -207,7 +322,7 @@ def _compile_filter(ast: list) -> Column:
     return expr
 
 
-def parse_select(query: str) -> dict:
+def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a SPARQL SELECT into a plain dict (used by :func:`sparql_select`
     and directly testable without a SparkSession for the plan parts)."""
     p = _Parser(_tokenize(query))
@@ -257,7 +372,7 @@ def parse_select(query: str) -> dict:
     if not star and not select_vars:
         raise SparqlError("SELECT binds no variables")
     p.expect("{")
-    groups = _parse_where_body(p)
+    groups = _parse_where_body(p, path_max_hops)
     order: list[tuple[str, bool]] = []  # (var, descending)
     group_by: list[str] = []
     limit: int | None = None
@@ -366,9 +481,10 @@ def _parse_values(p: _Parser) -> tuple[list[str], list[tuple[str, ...]]]:
     return vars_, rows
 
 
-def _parse_group(p: _Parser) -> dict:
+def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a ``{ ... }`` group body (after the ``{``): returns a dict
-    with keys ``patterns / optional / not_exists / filters / values``."""
+    with keys ``patterns / optional / not_exists / filters / values``.
+    Property paths are allowed in required patterns only."""
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
                "filters": [], "values": []}
     while True:
@@ -401,22 +517,31 @@ def _parse_group(p: _Parser) -> dict:
             p.next()
             g["values"].append(_parse_values(p))
         else:
-            g["patterns"].append(_parse_pattern(p))
+            g["patterns"].append(_parse_pattern(p, paths=True,
+                                                max_hops=max_hops))
     if not g["patterns"]:
         raise SparqlError("group has no required triple pattern")
+    plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
+    if not plain and (g["optional"] or g["not_exists"]):
+        raise SparqlError(
+            "OPTIONAL / FILTER NOT EXISTS need at least one plain "
+            "required pattern alongside property-path patterns"
+        )
     return g
 
 
-def _parse_where_body(p: _Parser) -> list[dict]:
+def _parse_where_body(
+    p: _Parser, max_hops: int = PATH_MAX_HOPS
+) -> list[dict]:
     """After the WHERE ``{``: either one plain group, or a UNION chain
     ``{ g } UNION { g } ...`` spanning the whole body. Returns the list
     of group dicts (length 1 for the plain case)."""
     if p.peek() != "{":
-        return [_parse_group(p)]
+        return [_parse_group(p, max_hops)]
     groups = []
     while True:
         p.expect("{")
-        groups.append(_parse_group(p))
+        groups.append(_parse_group(p, max_hops))
         if p.peek() is not None and p.peek().lower() == "union":
             p.next()
             continue
@@ -425,12 +550,68 @@ def _parse_where_body(p: _Parser) -> list[dict]:
     return groups
 
 
-def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
-    """One group: BGP joins, then VALUES broadcast joins, then FILTERs."""
-    out = match_bgp(
-        triples, g["patterns"], optional=g["optional"],
-        not_exists=g["not_exists"],
+def _compile_path_pattern(
+    triples: DataFrame, subj: str, expr: PathExpr, obj: str
+) -> DataFrame:
+    """Evaluate one property-path pattern to a bindings DataFrame.
+
+    A constant end seeds the evaluation (the paths operator propagates
+    the frontier, so only the reachable subgraph is touched); a constant
+    *object* seeds the algebraically flipped path rather than filtering a
+    fully materialized relation. Two variables materialize the full
+    distinct pair set — the documented unseeded cost."""
+    svar, ovar = subj.startswith("?"), obj.startswith("?")
+    if not svar and not ovar:
+        raise SparqlError(
+            "property-path pattern needs at least one variable end"
+        )
+    spark = triples.sparkSession
+    if not svar:
+        seed = spark.createDataFrame([(subj,)], "src string")
+        pairs = eval_path(triples, expr, seed)
+        return pairs.select(F.col("dst").alias(obj[1:])).distinct()
+    if not ovar:
+        seed = spark.createDataFrame([(obj,)], "src string")
+        pairs = eval_path(triples, normalize(expr, flip=True), seed)
+        return pairs.select(F.col("dst").alias(subj[1:])).distinct()
+    pairs = eval_path(triples, expr)
+    if subj == obj:  # cycle query: both ends bind one variable
+        return (
+            pairs.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias(subj[1:]))
+            .distinct()
+        )
+    return pairs.select(
+        F.col("src").alias(subj[1:]), F.col("dst").alias(obj[1:])
     )
+
+
+def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
+    """One group: BGP joins, then property-path joins, then VALUES
+    broadcast joins, then FILTERs. Path patterns join the plain-BGP
+    bindings on their shared variables (fail-loud when disconnected —
+    same no-cartesian rule as the BGP operator)."""
+    plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
+    path_patterns = [pt for pt in g["patterns"]
+                     if not isinstance(pt[1], str)]
+    out = None
+    if plain:
+        out = match_bgp(
+            triples, plain, optional=g["optional"],
+            not_exists=g["not_exists"],
+        )
+    for subj, expr, obj in path_patterns:
+        pdf = _compile_path_pattern(triples, subj, expr, obj)
+        if out is None:
+            out = pdf
+            continue
+        shared = sorted(set(out.columns) & set(pdf.columns))
+        if not shared:
+            raise SparqlError(
+                "property-path pattern shares no variable with the "
+                "other patterns (cartesian products are not supported)"
+            )
+        out = out.join(pdf, on=shared, how="inner")
     for vars_, rows in g["values"]:
         missing = [v for v in vars_ if v not in out.columns]
         if missing:
@@ -464,7 +645,8 @@ def _compile_where(triples: DataFrame, groups: list[dict]) -> DataFrame:
     return out
 
 
-def sparql_query(triples: DataFrame, query: str):
+def sparql_query(triples: DataFrame, query: str,
+                 path_max_hops: int = PATH_MAX_HOPS):
     """Dispatch on the SPARQL query form.
 
     * ``SELECT`` → bindings DataFrame (see :func:`sparql_select`),
@@ -477,14 +659,14 @@ def sparql_query(triples: DataFrame, query: str):
     """
     head = _tokenize(query)[0].lower()
     if head == "select":
-        return sparql_select(triples, query)
+        return sparql_select(triples, query, path_max_hops)
     if head == "construct":
-        return _sparql_construct(triples, query)
+        return _sparql_construct(triples, query, path_max_hops)
     if head == "ask":
         p = _Parser(_tokenize(query))
         p.expect("ASK")
         p.expect("{")
-        groups = _parse_where_body(p)
+        groups = _parse_where_body(p, path_max_hops)
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
         return _compile_where(triples, groups).limit(1).count() > 0
@@ -498,7 +680,8 @@ def sparql_query(triples: DataFrame, query: str):
     raise SparqlError(f"unsupported query form {head!r}")
 
 
-def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+def _sparql_construct(triples: DataFrame, query: str,
+                      path_max_hops: int = PATH_MAX_HOPS) -> DataFrame:
     from search_spark.operators.bgp import instantiate_template
 
     p = _Parser(_tokenize(query))
@@ -510,7 +693,7 @@ def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     p.expect("}")
     p.expect("WHERE")
     p.expect("{")
-    groups = _parse_where_body(p)
+    groups = _parse_where_body(p, path_max_hops)
     if p.peek() is not None:
         raise SparqlError(f"unexpected trailing token {p.peek()!r}")
     if not template:
@@ -519,10 +702,11 @@ def _sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     return instantiate_template(bindings, template)
 
 
-def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+def sparql_select(triples: DataFrame, query: str,
+                  path_max_hops: int = PATH_MAX_HOPS) -> DataFrame:
     """Compile and run a SPARQL SELECT against a ``(subj, pred, obj)``
     DataFrame. Returns one column per selected variable."""
-    q = parse_select(query)
+    q = parse_select(query, path_max_hops)
     out = _compile_where(triples, q["groups"])
     if q["aggs"]:
         for fn, _, arg, _ in q["aggs"]:

@@ -3976,6 +3976,49 @@ WHERE pred = 'has_type' AND obj IN ('ENGINE', 'OPERATOR')
 """
 
 
+def _q_sparql_property_path(spark, sf_dir):
+    """SPARQL 1.1 property-path syntax compiled onto operators/paths.py:
+    ``(p|^p){1,3}/has_type`` with a *constant object* — the compiler
+    algebraically flips the path and seeds the frontier from the handful
+    of typed nodes, so evaluation touches only the reachable subgraph
+    (never the full pair closure). The triple table is cached once
+    because the semi-naive evaluator scans it once per leaf per round."""
+    from search_spark.operators.sparql import sparql_select
+
+    t = _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj").cache()
+    t.count()
+    query = f"""
+    SELECT ?e WHERE {{
+      ?e (<{DIFF}>|^<{DIFF}>){{1,3}}/<has_type> "OPERATOR" .
+    }}
+    """
+    return sparql_select(t, query)
+
+
+_SQL_SPARQL_PROPERTY_PATH = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+    FROM mentions
+    UNION ALL SELECT subj, pred, obj FROM relations)),
+step AS MATERIALIZED (
+    SELECT subj AS src, obj AS dst FROM t WHERE pred = '{DIFF}'
+    UNION
+    SELECT obj AS src, subj AS dst FROM t WHERE pred = '{DIFF}'),
+seeds AS (SELECT DISTINCT subj AS src FROM t
+          WHERE pred = 'has_type' AND obj = 'OPERATOR'),
+hop1 AS MATERIALIZED (
+    SELECT DISTINCT s.src, e.dst FROM seeds s JOIN step e ON e.src = s.src),
+hop2 AS MATERIALIZED (
+    SELECT DISTINCT h.src, e.dst FROM hop1 h JOIN step e ON e.src = h.dst),
+hop3 AS MATERIALIZED (
+    SELECT DISTINCT h.src, e.dst FROM hop2 h JOIN step e ON e.src = h.dst)
+SELECT DISTINCT dst AS e
+FROM (SELECT dst FROM hop1 UNION ALL SELECT dst FROM hop2
+      UNION ALL SELECT dst FROM hop3)
+"""
+
+
 def _q_ntriples_export(spark, sf_dir):
     """N-Quads serialization of the doc triples (io/ntriples.py — the
     same module the CLI export and the lossless reader share):
@@ -6687,6 +6730,9 @@ QUERIES: dict[str, Q] = {
     "sparql_select": Q(_q_sparql_select, _SQL_SPARQL_SELECT),
     "sparql_aggregate": Q(_q_sparql_aggregate, _SQL_SPARQL_AGGREGATE),
     "sparql_union_values": Q(_q_sparql_union_values, _SQL_SPARQL_UNION_VALUES),
+    "sparql_property_path": Q(
+        _q_sparql_property_path, _SQL_SPARQL_PROPERTY_PATH
+    ),
     "ntriples_export": Q(_q_ntriples_export, _sql_ntriples_export()),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

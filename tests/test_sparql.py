@@ -267,3 +267,75 @@ def test_ask_with_union(spark):
         _triples(spark),
         "ASK { { ?a <likes> ?x . } UNION { ?a <banned> ?x . } }",
     ) is True
+
+
+def test_path_sequence(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?t WHERE { ?a <knows>/<type> ?t . } ORDER BY ?a ?t",
+    )
+    rows = [(r.a, r.t) for r in out.collect()]
+    assert rows == [
+        ("alice", "Person"),
+        ("alice", "Robot"),
+        ("bob", "Robot"),
+    ]
+
+
+def test_path_inverse_seeded_subject(spark):
+    # constant subject seeds the flipped evaluation: who knows carol
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { "carol" ^<knows> ?a . } ORDER BY ?a',
+    )
+    assert [r.a for r in out.collect()] == ["alice", "bob"]
+
+
+def test_path_alternation(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?x WHERE { "bob" <name>|<type> ?x . } ORDER BY ?x',
+    )
+    assert [r.x for r in out.collect()] == ["Bobby", "Person"]
+
+
+def test_path_plus_transitive(spark):
+    rows = [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(t, 'SELECT ?x WHERE { "a" <next>+ ?x . } ORDER BY ?x')
+    assert [r.x for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_path_bounded_repetition(spark):
+    rows = [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" <next>{1,2} ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["b", "c"]
+
+
+def test_path_constant_object_seeds_flip(spark):
+    # ?x <knows>+ "carol" — evaluated as carol ^<knows>+ ?x, seeded
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?x WHERE { ?x <knows>+ "carol" . } ORDER BY ?x',
+    )
+    assert [r.x for r in out.collect()] == ["alice", "bob"]
+
+
+def test_path_joins_plain_pattern(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?t WHERE { ?a <knows>/<knows> ?c . ?a <type> ?t . }",
+    )
+    assert [(r.a, r.t) for r in out.collect()] == [("alice", "Person")]
+
+
+def test_path_rejects_star_and_var(spark):
+    with pytest.raises(SparqlError):
+        parse_select("SELECT ?a WHERE { ?a <p>* ?b . }")
+    with pytest.raises(SparqlError):
+        parse_select("SELECT ?a WHERE { ?a <p>/?q ?b . }")
+    with pytest.raises(SparqlError):
+        parse_select('SELECT ?a WHERE { "x" <p>+ "y" . }')
