@@ -27,7 +27,18 @@ Supported subset (documented, fail-loud outside it):
 * ``OPTIONAL { <one triple pattern> }`` (left join; may chain),
 * ``FILTER NOT EXISTS { <one triple pattern> }`` (anti join),
 * ``FILTER (expr)`` with comparisons ``= != < <= > >=`` between variables
-  and constants, combined with ``&&`` / ``||``,
+  and constants, boolean builtins ``CONTAINS / STRSTARTS / STRENDS /
+  REGEX(?v, "s")`` and ``BOUND(?v)`` (each negatable with ``!``), and
+  ``?v [NOT] IN (t1, t2, ...)``, combined with ``&&`` / ``||``,
+* ``BIND(expr AS ?v)`` with ``CONCAT / UCASE / LCASE / STRLEN / STR /
+  REPLACE(e, pat, rep) / SUBSTR(e, start[, len])`` over variables and
+  literals (nested calls allowed; applied after the group's joins, so a
+  later FILTER can reference the bound variable — SPARQL's group-wide
+  FILTER scope),
+* ``MINUS { group }`` (a full nested group; compiled as a left-anti join
+  on the shared variables — with no shared variable it removes nothing,
+  as in SPARQL; rows whose shared variables are NULL/unbound follow
+  Spark's non-matching join-key semantics),
 * ``VALUES ?v { t1 t2 ... }`` and ``VALUES (?v1 ?v2) { (a b) (c d) }``
   (inline bindings; compiled as a broadcast inner join — the data is
   query-sized by construction),
@@ -43,7 +54,8 @@ Supported subset (documented, fail-loud outside it):
   frontier-propagated evaluation (a constant *object* seeds the
   algebraically flipped path). ``*`` is rejected — zero-length paths
   bind every node,
-* ``ORDER BY ?v ... | DESC(?v)`` and ``LIMIT n``.
+* ``ORDER BY ?v ... | DESC(?v)``, ``LIMIT n`` and ``OFFSET n`` (offset
+  applies after the sort, before the limit, as in SPARQL).
 
 Semantics note: bindings are always *set* semantics (the BGP operator
 dedups — provenance rows collapse), so ``DISTINCT`` re-applies after the
@@ -95,17 +107,22 @@ _TOKEN = re.compile(
       | \{ | \} | \( | \) | \.     # structure
       | && | \|\| | != | <= | >= | = | < | >
       | \|                         # path alternation (after || above)
-      | [^\s{}()."?<>=!&|]+        # bare token
+      | ! | ,                      # FILTER negation / argument separator
+      | [^\s{}()."?<>=!&|,]+       # bare token
     """,
     re.VERBOSE,
 )
 
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
-_KEYWORDS = {"select", "distinct", "where", "optional", "filter", "not",
-             "exists", "order", "by", "limit", "desc", "asc", "union",
-             "values", "group", "as"}
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+#: boolean FILTER builtins → how the single/double string args compile
+_BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound"}
+
+#: value-expression builtins usable inside BIND(... AS ?v)
+_EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
+             "substr"}
 
 
 class SparqlError(ValueError):
@@ -203,14 +220,19 @@ def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
         if tok == "+":
             expr = Repeat(expr, max_hops)
         else:  # {1,k} — Repeat is natively the bounded 1..k form
-            spec = p.next()
-            m = re.fullmatch(r"1,(\d+)", spec)
-            if not m:
+            lo = p.next()
+            if lo != "1" or p.peek() != ",":
                 raise SparqlError(
-                    f"path repetition must be {{1,k}}, got {{{spec}}}"
+                    f"path repetition must be {{1,k}}, got {{{lo}...}}"
+                )
+            p.next()  # ","
+            hi = p.next()
+            if not hi.isdigit():
+                raise SparqlError(
+                    f"path repetition bound must be an integer, got {hi!r}"
                 )
             p.expect("}")
-            expr = Repeat(expr, int(m.group(1)))
+            expr = Repeat(expr, int(hi))
     return expr
 
 
@@ -267,15 +289,21 @@ def _parse_pattern(
 
 
 def _parse_filter_expr(p: _Parser) -> list:
-    """``(`` already consumed; parse comparisons joined by && / ||.
+    """``(`` already consumed; parse boolean atoms joined by && / ||.
 
     Returns a flat AST (no SparkSession needed at parse time):
-    ``[cmp, conj, cmp, conj, ...]`` where ``cmp = (left, op, right)``,
-    operands are ``("var", name)`` or ``("lit", value)`` and ``conj`` is
-    ``"&&"`` / ``"||"`` (evaluated left-to-right, like SPARQL's
-    left-associative grammar at one precedence level — mixed &&/|| should
-    parenthesize, which this subset doesn't support, so it documents
-    left-to-right)."""
+    ``[atom, conj, atom, conj, ...]`` where ``conj`` is ``"&&"`` /
+    ``"||"`` (evaluated left-to-right, like SPARQL's left-associative
+    grammar at one precedence level — mixed &&/|| should parenthesize,
+    which this subset doesn't support, so it documents left-to-right).
+    An atom is one of::
+
+        ("cmp", left, op, right)          ?v < "x"  etc.
+        ("fn", name, [operands], neg)     [!]CONTAINS/STRSTARTS/STRENDS/
+                                          REGEX(?v, "s") | [!]BOUND(?v)
+        ("in", operand, [terms], neg)     ?v [NOT] IN ("a", "b")
+
+    with operands ``("var", name)`` or ``("lit", value)``."""
 
     def operand() -> tuple[str, str]:
         tok = p.next()
@@ -283,43 +311,175 @@ def _parse_filter_expr(p: _Parser) -> list:
             return ("var", tok[1:])
         return ("lit", _term(tok))
 
-    def comparison() -> tuple:
+    def atom() -> tuple:
+        neg = False
+        while p.peek() == "!":
+            p.next()
+            neg = not neg
+        tok = p.peek()
+        if tok is not None and tok.lower() in _BOOL_FNS:
+            fn = p.next().lower()
+            p.expect("(")
+            args = [operand()]
+            while p.peek() == ",":
+                p.next()
+                args.append(operand())
+            p.expect(")")
+            want = 1 if fn == "bound" else 2
+            if len(args) != want:
+                raise SparqlError(f"{fn.upper()} takes {want} argument(s)")
+            if fn == "bound" and args[0][0] != "var":
+                raise SparqlError("BOUND takes a variable")
+            return ("fn", fn, args, neg)
         left = operand()
-        op = p.next()
-        if op not in _CMP_OPS:
-            raise SparqlError(f"unsupported FILTER operator {op!r}")
-        return (left, op, operand())
+        nxt = p.next()
+        if nxt.lower() in ("in", "not"):
+            if nxt.lower() == "not":
+                p.expect("IN")
+                neg = not neg
+            p.expect("(")
+            terms = []
+            while p.peek() != ")":
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                terms.append(_term(p.next()))
+            p.next()
+            if not terms:
+                raise SparqlError("IN list has no terms")
+            return ("in", left, terms, neg)
+        if neg:
+            raise SparqlError("'!' applies to boolean functions only")
+        if nxt not in _CMP_OPS:
+            raise SparqlError(f"unsupported FILTER operator {nxt!r}")
+        return ("cmp", left, nxt, operand())
 
-    ast: list = [comparison()]
+    ast: list = [atom()]
     while p.peek() in ("&&", "||"):
         ast.append(p.next())
-        ast.append(comparison())
+        ast.append(atom())
     p.expect(")")
     return ast
 
 
+def _col_of(operand: tuple[str, str]) -> Column:
+    kind, val = operand
+    return F.col(val) if kind == "var" else F.lit(val)
+
+
 def _compile_filter(ast: list) -> Column:
-    def col_of(operand: tuple[str, str]) -> Column:
-        kind, val = operand
-        return F.col(val) if kind == "var" else F.lit(val)
+    def atom_col(a: tuple) -> Column:
+        if a[0] == "cmp":
+            _, left, op, right = a
+            lc, rc = _col_of(left), _col_of(right)
+            return {
+                "=": lc == rc,
+                "!=": lc != rc,
+                "<": lc < rc,
+                "<=": lc <= rc,
+                ">": lc > rc,
+                ">=": lc >= rc,
+            }[op]
+        if a[0] == "fn":
+            _, fn, args, neg = a
+            if fn == "bound":
+                c = _col_of(args[0]).isNotNull()
+            else:
+                lc, rc = _col_of(args[0]), _col_of(args[1])
+                c = {
+                    "contains": lc.contains(rc),
+                    "strstarts": lc.startswith(rc),
+                    "strends": lc.endswith(rc),
+                    # SPARQL REGEX is a partial match, same as rlike
+                    "regex": lc.rlike(args[1][1])
+                    if args[1][0] == "lit"
+                    else F.rlike(lc, rc),
+                }[fn]
+            return ~c if neg else c
+        _, left, terms, neg = a  # "in"
+        c = _col_of(left).isin(*terms)
+        return ~c if neg else c
 
-    def cmp_col(cmp: tuple) -> Column:
-        left, op, right = cmp
-        lc, rc = col_of(left), col_of(right)
-        return {
-            "=": lc == rc,
-            "!=": lc != rc,
-            "<": lc < rc,
-            "<=": lc <= rc,
-            ">": lc > rc,
-            ">=": lc >= rc,
-        }[op]
-
-    expr = cmp_col(ast[0])
+    expr = atom_col(ast[0])
     for i in range(1, len(ast), 2):
-        rhs = cmp_col(ast[i + 1])
+        rhs = atom_col(ast[i + 1])
         expr = (expr & rhs) if ast[i] == "&&" else (expr | rhs)
     return expr
+
+
+def _parse_bind(p: _Parser) -> tuple[list, str]:
+    """``BIND`` already consumed: ``( expr AS ?v )``. Expression AST:
+    ``("term", operand)`` or ``("call", fn, [sub-exprs])`` with fn in
+    ``_EXPR_FNS`` (nested calls allowed)."""
+
+    def expr() -> tuple:
+        tok = p.peek()
+        if tok is not None and tok.lower() in _EXPR_FNS:
+            fn = p.next().lower()
+            p.expect("(")
+            args = []
+            while p.peek() != ")":
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                args.append(expr())
+            p.next()
+            if not args:
+                raise SparqlError(f"{fn.upper()} takes arguments")
+            return ("call", fn, args)
+        tok = p.next()
+        if tok.startswith("?"):
+            return ("term", ("var", tok[1:]))
+        return ("term", ("lit", _term(tok)))
+
+    p.expect("(")
+    e = expr()
+    p.expect("AS")
+    var = p.next()
+    if not var.startswith("?"):
+        raise SparqlError(f"BIND alias must be a variable, got {var!r}")
+    p.expect(")")
+    return e, var[1:]
+
+
+def _compile_bind_expr(e: tuple) -> Column:
+    if e[0] == "term":
+        return _col_of(e[1])
+    _, fn, args = e
+    cols = [_compile_bind_expr(a) for a in args]
+
+    def lit_int(a: tuple, what: str) -> int:
+        if a[0] != "term" or a[1][0] != "lit" or not a[1][1].isdigit():
+            raise SparqlError(f"{what} must be an integer literal")
+        return int(a[1][1])
+
+    if fn == "concat":
+        return F.concat(*cols)
+    if fn == "ucase":
+        return F.upper(cols[0])
+    if fn == "lcase":
+        return F.lower(cols[0])
+    if fn == "strlen":
+        return F.length(cols[0])
+    if fn == "str":
+        return cols[0].cast("string")
+    if fn == "replace":
+        if len(args) != 3 or args[1][0] != "term" or args[1][1][0] != "lit" \
+                or args[2][0] != "term" or args[2][1][0] != "lit":
+            raise SparqlError(
+                "REPLACE takes (expr, pattern-literal, replacement-literal)"
+            )
+        return F.regexp_replace(cols[0], args[1][1][1], args[2][1][1])
+    # substr: SPARQL is 1-based with an optional length, like Spark
+    if len(args) == 2:
+        return F.substring(cols[0], lit_int(args[1], "SUBSTR start"), 2**30)
+    if len(args) == 3:
+        return F.substring(
+            cols[0],
+            lit_int(args[1], "SUBSTR start"),
+            lit_int(args[2], "SUBSTR length"),
+        )
+    raise SparqlError("SUBSTR takes (expr, start[, length])")
 
 
 def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
@@ -376,13 +536,14 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     order: list[tuple[str, bool]] = []  # (var, descending)
     group_by: list[str] = []
     limit: int | None = None
+    offset: int | None = None
     while p.peek() is not None:
         tok = p.next().lower()
         if tok == "order":
             p.expect("BY")
             while True:
                 nxt = p.peek()
-                if nxt is None or nxt.lower() in ("limit",):
+                if nxt is None or nxt.lower() in ("limit", "offset", "group"):
                     break
                 nxt = p.next()
                 desc = False
@@ -402,6 +563,8 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
                 raise SparqlError("GROUP BY names no variables")
         elif tok == "limit":
             limit = int(p.next())
+        elif tok == "offset":
+            offset = int(p.next())
         else:
             raise SparqlError(f"unexpected trailing token {tok!r}")
     if aggs:
@@ -416,7 +579,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
         raise SparqlError("GROUP BY without any aggregate projection")
     g0 = groups[0] if len(groups) == 1 else {
         "patterns": [], "optional": [], "not_exists": [],
-        "filters": [], "values": [],
+        "filters": [], "values": [], "binds": [], "minus": [],
     }
     return {
         "distinct": distinct,
@@ -432,6 +595,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
         "values": g0["values"],
         "order": order,
         "limit": limit,
+        "offset": offset,
     }
 
 
@@ -486,7 +650,7 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     with keys ``patterns / optional / not_exists / filters / values``.
     Property paths are allowed in required patterns only."""
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
-               "filters": [], "values": []}
+               "filters": [], "values": [], "binds": [], "minus": []}
     while True:
         tok = p.peek()
         if tok is None:
@@ -516,6 +680,13 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
         elif tok.lower() == "values":
             p.next()
             g["values"].append(_parse_values(p))
+        elif tok.lower() == "bind":
+            p.next()
+            g["binds"].append(_parse_bind(p))
+        elif tok.lower() == "minus":
+            p.next()
+            p.expect("{")
+            g["minus"].append(_parse_group(p, max_hops))
         else:
             g["patterns"].append(_parse_pattern(p, paths=True,
                                                 max_hops=max_hops))
@@ -588,7 +759,8 @@ def _compile_path_pattern(
 
 def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
     """One group: BGP joins, then property-path joins, then VALUES
-    broadcast joins, then FILTERs. Path patterns join the plain-BGP
+    broadcast joins, then BINDs, FILTERs and MINUS anti-joins. Path
+    patterns join the plain-BGP
     bindings on their shared variables (fail-loud when disconnected —
     same no-cartesian rule as the BGP operator)."""
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
@@ -625,8 +797,21 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             ),
         )
         out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
+    for expr_ast, var in g["binds"]:
+        if var in out.columns:
+            raise SparqlError(f"BIND target ?{var} is already bound")
+        out = out.withColumn(var, _compile_bind_expr(expr_ast))
     for ast in g["filters"]:
         out = out.filter(_compile_filter(ast))
+    for mg in g["minus"]:
+        mdf = _compile_group(triples, mg)
+        shared = sorted(set(out.columns) & set(mdf.columns))
+        if not shared:
+            # SPARQL MINUS with disjoint domains removes nothing
+            continue
+        out = out.join(
+            mdf.select(*shared).distinct(), on=shared, how="left_anti"
+        )
     return out
 
 
@@ -746,6 +931,8 @@ def sparql_select(triples: DataFrame, query: str,
         out = out.orderBy(
             *[F.col(v).desc() if d else F.col(v).asc() for v, d in q["order"]]
         )
+    if q["offset"] is not None:
+        out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out

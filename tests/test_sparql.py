@@ -339,3 +339,124 @@ def test_path_rejects_star_and_var(spark):
         parse_select("SELECT ?a WHERE { ?a <p>/?q ?b . }")
     with pytest.raises(SparqlError):
         parse_select('SELECT ?a WHERE { "x" <p>+ "y" . }')
+
+
+# --- BIND / MINUS / OFFSET / FILTER builtins --------------------------------
+
+
+def test_bind_ucase(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?u WHERE { ?a <type> "Person" . '
+        "BIND(UCASE(?a) AS ?u) } ORDER BY ?a",
+    )
+    assert [(r.a, r.u) for r in out.collect()] == [
+        ("alice", "ALICE"), ("bob", "BOB")
+    ]
+
+
+def test_bind_concat_then_filter_contains(spark):
+    # FILTER sees the BIND variable (group-wide filter scope)
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?k WHERE { ?a <type> ?t . "
+        'BIND(CONCAT(?a, "-", ?t) AS ?k) '
+        'FILTER(CONTAINS(?k, "ice-Per")) }',
+    )
+    assert [r.k for r in out.collect()] == ["alice-Person"]
+
+
+def test_bind_nested_substr_strlen(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?s ?n WHERE { ?a <type> "Robot" . '
+        "BIND(SUBSTR(UCASE(?a), 1, 3) AS ?s) "
+        "BIND(STRLEN(?a) AS ?n) }",
+    )
+    assert [(r.a, r.s, r.n) for r in out.collect()] == [("carol", "CAR", 5)]
+
+
+def test_bind_rebinding_raises(spark):
+    with pytest.raises(SparqlError):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?a WHERE { ?a <knows> ?b . BIND(UCASE(?b) AS ?a) }",
+        )
+
+
+def test_minus_shared_var(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . '
+        "MINUS { ?a <name> ?n . } }",
+    )
+    assert [r.a for r in out.collect()] == ["alice"]
+
+
+def test_minus_disjoint_removes_nothing(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . '
+        "MINUS { ?x <banned> ?y . } } ORDER BY ?a",
+    )
+    assert [r.a for r in out.collect()] == ["alice", "bob"]
+
+
+def test_offset_after_order(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . } ORDER BY ?a ?b "
+        "OFFSET 1 LIMIT 2",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [
+        ("alice", "carol"), ("bob", "carol")
+    ]
+
+
+def test_filter_bound_with_optional(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . '
+        "OPTIONAL { ?a <name> ?n . } FILTER(!BOUND(?n)) }",
+    )
+    assert [r.a for r in out.collect()] == ["alice"]
+
+
+def test_filter_in_and_not_in(spark):
+    t = _triples(spark)
+    q = 'SELECT ?a WHERE { ?a <type> "Person" . FILTER(?a IN ("alice", "zed")) }'
+    assert [r.a for r in sparql_select(t, q).collect()] == ["alice"]
+    q2 = 'SELECT ?a WHERE { ?a <type> "Person" . FILTER(?a NOT IN ("alice")) }'
+    assert [r.a for r in sparql_select(t, q2).collect()] == ["bob"]
+
+
+def test_filter_strstarts_regex(spark):
+    t = _triples(spark)
+    q = 'SELECT ?a WHERE { ?a <type> ?t . FILTER(STRSTARTS(?a, "b")) }'
+    assert [r.a for r in sparql_select(t, q).collect()] == ["bob"]
+    q2 = 'SELECT ?a WHERE { ?a <type> ?t . FILTER(REGEX(?a, "^b.b$")) }'
+    assert [r.a for r in sparql_select(t, q2).collect()] == ["bob"]
+
+
+def test_filter_negated_contains_mixed_conj(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { ?a <type> ?t . "
+        'FILTER(!CONTAINS(?a, "o") && ?t = "Person") }',
+    )
+    assert [r.a for r in out.collect()] == ["alice"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?a WHERE { ?a <p> ?b . FILTER(!?a = ?b) }",
+        "SELECT ?a WHERE { ?a <p> ?b . FILTER(?a IN ()) }",
+        "SELECT ?a WHERE { ?a <p> ?b . BIND(BOGUSFN(?a) AS ?c) }",
+        "SELECT ?a WHERE { ?a <p> ?b . MINUS { } }",
+        'SELECT ?a WHERE { ?a <p> ?b . FILTER(BOUND("x")) }',
+    ],
+)
+def test_new_syntax_rejects(bad):
+    with pytest.raises(SparqlError):
+        parse_select(bad)
