@@ -648,7 +648,22 @@ def _parse_values(p: _Parser) -> tuple[list[str], list[tuple[str, ...]]]:
 def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a ``{ ... }`` group body (after the ``{``): returns a dict
     with keys ``patterns / optional / not_exists / filters / values``.
-    Property paths are allowed in required patterns only."""
+    Property paths are allowed in required patterns only. ``GRAPH <g>``
+    may wrap the whole group body (the engine's quad model: ``prov`` is
+    the graph label, as in :mod:`search_spark.io.ntriples`)."""
+    if p.peek() is not None and p.peek().lower() == "graph":
+        p.next()
+        gtok = p.next()
+        if gtok.startswith("?"):
+            raise SparqlError(
+                "variable GRAPH terms are not supported (constant graph "
+                "IRIs only)"
+            )
+        p.expect("{")
+        inner = _parse_group(p, max_hops)
+        inner["graph"] = _term(gtok)
+        p.expect("}")
+        return inner
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
                "filters": [], "values": [], "binds": [], "minus": []}
     while True:
@@ -763,6 +778,14 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
     patterns join the plain-BGP
     bindings on their shared variables (fail-loud when disconnected —
     same no-cartesian rule as the BGP operator)."""
+    if g.get("graph") is not None:
+        if "prov" not in triples.columns:
+            raise SparqlError(
+                "GRAPH needs a 'prov' column on the triple DataFrame "
+                "(the engine's graph label)"
+            )
+        # partition-prunable constant filter ahead of every pattern scan
+        triples = triples.filter(F.col("prov") == g["graph"])
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     path_patterns = [pt for pt in g["patterns"]
                      if not isinstance(pt[1], str)]
@@ -936,3 +959,139 @@ def sparql_select(triples: DataFrame, query: str,
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+def _parse_const_quads(p: _Parser) -> list[tuple[str, str, str, str | None]]:
+    """``{`` already consumed: constant triples, optionally wrapped in one
+    ``GRAPH <g> { ... }`` block. Returns (subj, pred, obj, graph|None)."""
+    graph = None
+    if p.peek() is not None and p.peek().lower() == "graph":
+        p.next()
+        gtok = p.next()
+        if gtok.startswith("?"):
+            raise SparqlError("GRAPH term in update data must be constant")
+        graph = _term(gtok)
+        p.expect("{")
+    quads = []
+    while p.peek() not in (None, "}"):
+        s, pr, o = _parse_pattern(p)
+        for t in (s, pr, o):
+            if t.startswith("?"):
+                raise SparqlError(
+                    "INSERT/DELETE DATA takes constant triples only "
+                    "(use DELETE WHERE for patterns)"
+                )
+        quads.append((s, pr, o, graph))
+    p.expect("}")
+    if graph is not None:
+        p.expect("}")
+    if not quads:
+        raise SparqlError("update data block has no triples")
+    return quads
+
+
+def sparql_update(table, update: str) -> dict:
+    """Apply a SPARQL UPDATE to a :class:`~search_spark.io.snapshots.
+    SnapshotTable` of triples. Supported forms (fail-loud outside them):
+
+    * ``INSERT DATA { [GRAPH <g> {] t1 . t2 ... [}] }`` — constant
+      triples appended as one new snapshot (url-hash-bucketed parquet +
+      lineage commit). The graph label lands in ``prov``; the bucketing
+      ``url`` is the graph when given, else ``urn:sparql:update``. The
+      new rows are schema-aligned to the table (missing columns NULL).
+    * ``DELETE DATA { [GRAPH <g> {] t1 ... [}] }`` — copy-on-write
+      delete of exactly those triples (``prov`` must also match when a
+      graph is given).
+    * ``DELETE WHERE { <one triple pattern> }`` (optionally inside
+      ``GRAPH <g>``) — deletes every triple matching the pattern;
+      variables match anything, so the whole form compiles to one
+      pushed-down predicate per constant position — a single
+      copy-on-write pass, never a join. Multi-pattern DELETE WHERE
+      (join semantics) is rejected.
+
+    Returns ``{"op", "n_rows"|"n_deleted", ...}``. Scale: INSERT DATA is
+    query-sized by construction; deletes rewrite only snapshots that
+    actually contain matches (``delete_where`` skips clean ones)."""
+    p = _Parser(_tokenize(update))
+    head = p.next().lower()
+    if head == "insert":
+        p.expect("DATA")
+        p.expect("{")
+        quads = _parse_const_quads(p)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        rows = [
+            (s, pr, o, g, g if g is not None else "urn:sparql:update")
+            for s, pr, o, g in quads
+        ]
+        df = table.spark.createDataFrame(
+            rows, "subj string, pred string, obj string, prov string, "
+                  "url string"
+        )
+        existing = table.load()
+        if existing is not None:
+            missing = [f for f in existing.schema.fields
+                       if f.name not in df.columns and f.name != "bucket"]
+            for f in missing:
+                df = df.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+            extra = [c for c in df.columns
+                     if c not in existing.columns]
+            if extra:
+                raise SparqlError(
+                    f"update columns not in the table schema: {extra}"
+                )
+        info = table.append(df, extra_metrics={"op": "sparql_insert_data"})
+        return {"op": "insert_data", "n_rows": info.n_rows,
+                "snapshot_id": info.snapshot_id}
+    if head != "delete":
+        raise SparqlError(f"unsupported update form {head!r}")
+    nxt = p.next().lower()
+    if nxt == "data":
+        p.expect("{")
+        quads = _parse_const_quads(p)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        cond = None
+        for s, pr, o, g in quads:
+            c = (
+                (F.col("subj") == s)
+                & (F.col("pred") == pr)
+                & (F.col("obj") == o)
+            )
+            if g is not None:
+                c = c & (F.col("prov") == g)
+            cond = c if cond is None else (cond | c)
+        return {"op": "delete_data", "n_deleted": table.delete_where(cond)}
+    if nxt != "where":
+        raise SparqlError(f"unsupported update form DELETE {nxt!r}")
+    p.expect("{")
+    graph = None
+    if p.peek() is not None and p.peek().lower() == "graph":
+        p.next()
+        gtok = p.next()
+        if gtok.startswith("?"):
+            raise SparqlError("DELETE WHERE graph term must be constant")
+        graph = _term(gtok)
+        p.expect("{")
+    s, pr, o = _parse_pattern(p)
+    if not isinstance(pr, str):
+        raise SparqlError("DELETE WHERE does not take property paths")
+    if p.peek() != "}":
+        raise SparqlError(
+            "DELETE WHERE supports exactly one triple pattern (join "
+            "semantics would need a full rewrite per binding)"
+        )
+    p.next()
+    if graph is not None:
+        p.expect("}")
+    if p.peek() is not None:
+        raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+    cond = F.lit(True)
+    for colname, term in (("subj", s), ("pred", pr), ("obj", o)):
+        if not term.startswith("?"):
+            cond = cond & (F.col(colname) == term)
+    if graph is not None:
+        cond = cond & (F.col("prov") == graph)
+    return {"op": "delete_where", "n_deleted": table.delete_where(cond)}

@@ -1,0 +1,162 @@
+"""SPARQL UPDATE over SnapshotTable (operators/sparql.py sparql_update)
+plus GRAPH-scoped SELECT over the quad model (prov = graph label)."""
+
+import pytest
+
+from search_spark.io.snapshots import SnapshotTable
+from search_spark.operators.sparql import (
+    SparqlError,
+    sparql_select,
+    sparql_update,
+)
+
+
+def _table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "kg"))
+    base = spark.createDataFrame(
+        [
+            ("alice", "knows", "bob", "g1", "http://a"),
+            ("bob", "knows", "carol", "g1", "http://b"),
+            ("alice", "type", "Person", "g2", "http://a"),
+        ],
+        "subj string, pred string, obj string, prov string, url string",
+    )
+    t.append(base)
+    return t
+
+
+def _rows(t):
+    return sorted(
+        (r.subj, r.pred, r.obj, r.prov)
+        for r in t.load().select("subj", "pred", "obj", "prov").collect()
+    )
+
+
+def test_insert_data_appends_snapshot(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t, 'INSERT DATA { <carol> <type> "Robot" . <dan> <type> "Person" . }'
+    )
+    assert res["op"] == "insert_data" and res["n_rows"] == 2
+    assert res["snapshot_id"] == 2
+    rows = _rows(t)
+    # default-graph inserts carry NULL prov (N-Triples, not N-Quads, on
+    # export) and the urn:sparql:update bucketing url
+    assert ("carol", "type", "Robot", None) in rows
+    assert len(rows) == 5
+    urls = {
+        r.url for r in t.load().filter("subj IN ('carol', 'dan')").collect()
+    }
+    assert urls == {"urn:sparql:update"}
+
+
+def test_insert_data_graph_sets_prov(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    sparql_update(
+        t, "INSERT DATA { GRAPH <g9> { <x> <p> <y> . <x> <p> <z> . } }"
+    )
+    rows = _rows(t)
+    assert ("x", "p", "y", "g9") in rows and ("x", "p", "z", "g9") in rows
+    # bucketing url is the graph label
+    urls = {r.url for r in t.load().filter("prov = 'g9'").collect()}
+    assert urls == {"g9"}
+
+
+def test_delete_data_exact_triples(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "DELETE DATA { <alice> <knows> <bob> . }")
+    assert res == {"op": "delete_data", "n_deleted": 1}
+    assert ("alice", "knows", "bob", "g1") not in _rows(t)
+    assert len(_rows(t)) == 2
+
+
+def test_delete_data_wrong_graph_deletes_nothing(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t, "DELETE DATA { GRAPH <g2> { <alice> <knows> <bob> . } }"
+    )
+    assert res["n_deleted"] == 0
+    assert len(_rows(t)) == 3
+
+
+def test_delete_where_pattern(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "DELETE WHERE { ?s <knows> ?o . }")
+    assert res == {"op": "delete_where", "n_deleted": 2}
+    assert _rows(t) == [("alice", "type", "Person", "g2")]
+
+
+def test_delete_where_graph_scoped(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "DELETE WHERE { GRAPH <g1> { ?s ?p ?o . } }")
+    assert res["n_deleted"] == 2
+    assert _rows(t) == [("alice", "type", "Person", "g2")]
+
+
+def test_update_round_trip_with_select(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    sparql_update(t, 'INSERT DATA { GRAPH <g1> { <carol> <knows> "dan" . } }')
+    out = sparql_select(
+        t.load(),
+        "SELECT ?a ?b WHERE { GRAPH <g1> { ?a <knows> ?b . } } ORDER BY ?a",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [
+        ("alice", "bob"), ("bob", "carol"), ("carol", "dan")
+    ]
+
+
+def test_graph_select_filters_prov(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    out = sparql_select(
+        t.load(), "SELECT ?a WHERE { GRAPH <g2> { ?a ?p ?o . } }"
+    )
+    assert [r.a for r in out.collect()] == ["alice"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "INSERT DATA { ?v <p> <o> . }",  # variable in DATA
+        "DELETE WHERE { ?s <p> ?o . ?o <q> ?r . }",  # join semantics
+        "DELETE WHERE { ?s <p>/<q> ?o . }",  # property path
+        "CLEAR GRAPH <g1>",  # unsupported form
+        "INSERT DATA { }",  # empty
+    ],
+)
+def test_update_rejects(spark, tmp_path, bad):
+    t = _table(spark, tmp_path)
+    with pytest.raises(SparqlError):
+        sparql_update(t, bad)
+
+
+def test_cli_sparql_update_round_trip(spark, tmp_path):
+    """cli.py sparql dispatches UPDATE forms: INSERT DATA commits a new
+    snapshot (JSON result line), and a follow-up SELECT sees the row."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = _table(spark, tmp_path)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    ins = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root,
+         "--query", 'INSERT DATA { GRAPH <g1> { <zed> <knows> "alice" . } }'],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert ins.returncode == 0, ins.stderr[-2000:]
+    res = json.loads(ins.stdout.strip().splitlines()[-1])
+    assert res["op"] == "insert_data" and res["n_rows"] == 1
+
+    sel = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root,
+         "--query", "SELECT ?o WHERE { <zed> <knows> ?o . }"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert sel.returncode == 0, sel.stderr[-2000:]
+    lines = [ln for ln in sel.stdout.splitlines() if ln]
+    assert lines == ["o", "alice"]

@@ -186,7 +186,9 @@ def main() -> int:
     p_sparql = sub.add_parser(
         "sparql",
         help="run a SPARQL query string over a snapshot KG (SELECT / "
-             "CONSTRUCT / ASK / DESCRIBE; operators/sparql.py subset)",
+             "CONSTRUCT / ASK / DESCRIBE, plus the UPDATE forms INSERT "
+             "DATA / DELETE DATA / DELETE WHERE which commit a new "
+             "snapshot / copy-on-write delete; operators/sparql.py subset)",
     )
     p_sparql.add_argument("--snapshot", required=True,
                           help="snapshot table root")
@@ -471,10 +473,17 @@ def main() -> int:
         out = out.orderBy(*out.columns).limit(args.limit)
         print(out.toPandas().to_csv(index=False), end="")
     elif args.cmd == "sparql":
-        from search_spark.io.snapshots import SnapshotTable
-        from search_spark.operators.sparql import sparql_query
+        import json
 
-        full = SnapshotTable(spark, args.snapshot).load(as_of=args.as_of)
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.sparql import sparql_query, sparql_update
+
+        table = SnapshotTable(spark, args.snapshot)
+        head = args.query.lstrip().split(None, 1)[0].lower()
+        if head in ("insert", "delete"):  # SPARQL UPDATE forms
+            print(json.dumps(sparql_update(table, args.query)))
+            return 0
+        full = table.load(as_of=args.as_of)
         if full is None:
             print("no committed snapshots", file=sys.stderr)
             return 1
