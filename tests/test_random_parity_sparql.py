@@ -1,0 +1,346 @@
+"""Seeded randomized parity for the SPARQL compiler: random triple sets +
+random queries generated as *structures* that render to (a) a SPARQL
+string for the engine and (b) a pure-Python evaluation plan — so the
+tokenizer, parser and DataFrame compiler are all on the tested path.
+Results compare as sets of tuples (the module is set-semantics
+throughout), which keeps the comparison robust to join order."""
+
+from __future__ import annotations
+
+import random
+
+from search_spark.operators.sparql import sparql_select
+
+
+def _mk_rng():
+    return random.Random(20260819)
+
+
+_NODES = [f"n{i}" for i in range(10)]
+_PREDS = ["pa", "pb", "pc"]
+
+
+def _random_triples(rng, n=140):
+    rows = {
+        (rng.choice(_NODES), rng.choice(_PREDS), rng.choice(_NODES))
+        for _ in range(n)
+    }
+    return sorted(rows)
+
+
+def _eval_patterns(triples, patterns):
+    """Conjunctive pattern join with set semantics (dict bindings)."""
+    binds = [{}]
+    for s, p, o in patterns:
+        new = []
+        for b in binds:
+            for ts, tp, to in triples:
+                m = dict(b)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        k = term[1:]
+                        if k in m and m[k] != val:
+                            ok = False
+                            break
+                        m[k] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(m)
+        binds = new
+    seen, out = set(), []
+    for b in binds:
+        key = tuple(sorted(b.items()))
+        if key not in seen:
+            seen.add(key)
+            out.append(b)
+    return out
+
+
+def _render_term(t):
+    return t if t.startswith("?") else f'"{t}"'
+
+
+def _render_patterns(patterns):
+    return " ".join(
+        f"{_render_term(s)} {_render_term(p)} {_render_term(o)} ."
+        for s, p, o in patterns
+    )
+
+
+def _gen_chain(rng, vstart=0):
+    """1-3 patterns chained on shared variables; some positions constant."""
+    n = rng.randint(1, 3)
+    patterns = []
+    subj = f"?v{vstart}"
+    for i in range(n):
+        pred = rng.choice(_PREDS)
+        obj = (
+            rng.choice(_NODES)
+            if rng.random() < 0.25
+            else f"?v{vstart + i + 1}"
+        )
+        patterns.append((subj, pred, obj))
+        if obj.startswith("?"):
+            subj = obj
+        # if the chain hit a constant, restart from the first variable
+        else:
+            subj = f"?v{vstart}"
+    return patterns
+
+
+def _bound_vars(patterns):
+    out = []
+    for pt in patterns:
+        for t in pt:
+            if t.startswith("?") and t[1:] not in out:
+                out.append(t[1:])
+    return out
+
+
+def _gen_filter(rng, variables):
+    """One random FILTER atom → (sparql_fragment, python_predicate)."""
+    v = rng.choice(variables)
+    kind = rng.choice(["cmp", "contains", "starts", "in", "notin"])
+    if kind == "cmp":
+        if len(variables) > 1 and rng.random() < 0.5:
+            w = rng.choice([x for x in variables if x != v])
+            op = rng.choice(["<", "<=", "!=", "="])
+            frag = f"FILTER(?{v} {op} ?{w})"
+            py = {
+                "<": lambda b: b[v] < b[w],
+                "<=": lambda b: b[v] <= b[w],
+                "!=": lambda b: b[v] != b[w],
+                "=": lambda b: b[v] == b[w],
+            }[op]
+            return frag, py
+        c = rng.choice(_NODES)
+        op = rng.choice(["<", ">=", "!="])
+        frag = f'FILTER(?{v} {op} "{c}")'
+        py = {
+            "<": lambda b: b[v] < c,
+            ">=": lambda b: b[v] >= c,
+            "!=": lambda b: b[v] != c,
+        }[op]
+        return frag, py
+    if kind == "contains":
+        needle = rng.choice("n0123456789")
+        neg = rng.random() < 0.5
+        frag = f'FILTER({"!" if neg else ""}CONTAINS(?{v}, "{needle}"))'
+        return frag, (
+            (lambda b: needle not in b[v])
+            if neg
+            else (lambda b: needle in b[v])
+        )
+    if kind == "starts":
+        pre = rng.choice(["n", "n1", "n2", "x"])
+        frag = f'FILTER(STRSTARTS(?{v}, "{pre}"))'
+        return frag, lambda b: b[v].startswith(pre)
+    terms = rng.sample(_NODES, rng.randint(1, 3))
+    lst = ", ".join(f'"{t}"' for t in terms)
+    if kind == "in":
+        return f"FILTER(?{v} IN ({lst}))", lambda b: b[v] in terms
+    return f"FILTER(?{v} NOT IN ({lst}))", lambda b: b[v] not in terms
+
+
+def _gen_bind(rng, variables, idx):
+    """One random BIND → (fragment, python_fn, new_var_name)."""
+    v = rng.choice(variables)
+    name = f"b{idx}"
+    kind = rng.choice(["ucase", "concat", "substr"])
+    if kind == "ucase":
+        return (
+            f"BIND(UCASE(?{v}) AS ?{name})",
+            lambda b: b[v].upper(),
+            name,
+        )
+    if kind == "concat":
+        w = rng.choice(variables)
+        return (
+            f'BIND(CONCAT(?{v}, "-", ?{w}) AS ?{name})',
+            lambda b: b[v] + "-" + b[w],
+            name,
+        )
+    return (
+        f"BIND(SUBSTR(?{v}, 1, 2) AS ?{name})",
+        lambda b: b[v][:2],
+        name,
+    )
+
+
+def _eval_group(triples, patterns, filters, binds, minus_patterns):
+    rows = _eval_patterns(triples, patterns)
+    for fn, name in binds:
+        for b in rows:
+            b[name] = fn(b)
+    for fn in filters:
+        rows = [b for b in rows if fn(b)]
+    if minus_patterns:
+        mrows = _eval_patterns(triples, minus_patterns)
+        mvars = set(_bound_vars(minus_patterns))
+        gvars = {k for b in rows for k in b}
+        shared = sorted(mvars & gvars)
+        if shared:
+            mkeys = {tuple(m[k] for k in shared) for m in mrows}
+            rows = [
+                b for b in rows
+                if tuple(b[k] for k in shared) not in mkeys
+            ]
+    return rows
+
+
+def test_sparql_groups_random_vs_python_reference(spark):
+    rng = _mk_rng()
+    triples = _random_triples(rng)
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    n_nonempty = 0
+    for case in range(12):
+        patterns = _gen_chain(rng)
+        variables = _bound_vars(patterns)
+        frags = [_render_patterns(patterns)]
+
+        binds = []
+        if rng.random() < 0.5:
+            frag, fn, name = _gen_bind(rng, variables, len(binds))
+            frags.append(frag)
+            binds.append((fn, name))
+
+        filters = []
+        for _ in range(rng.randint(0, 2)):
+            filter_vars = variables + [n for _, n in binds]
+            frag, fn = _gen_filter(rng, filter_vars)
+            frags.append(frag)
+            filters.append(fn)
+
+        minus_patterns = []
+        if rng.random() < 0.4:
+            minus_patterns = [
+                (f"?{rng.choice(variables)}", rng.choice(_PREDS), "?mz")
+            ]
+            frags.append(
+                "MINUS { " + _render_patterns(minus_patterns) + " }"
+            )
+
+        proj_pool = variables + [n for _, n in binds]
+        proj = rng.sample(proj_pool, rng.randint(1, len(proj_pool)))
+        query = (
+            "SELECT DISTINCT "
+            + " ".join(f"?{v}" for v in proj)
+            + " WHERE { "
+            + " ".join(frags)
+            + " }"
+        )
+
+        expected = {
+            tuple(b[v] for v in proj)
+            for b in _eval_group(
+                triples, patterns, filters, binds, minus_patterns
+            )
+        }
+        got = {
+            tuple(row[v] for v in proj)
+            for row in sparql_select(tdf, query).collect()
+        }
+        assert got == expected, f"case {case}: {query}"
+        n_nonempty += bool(expected)
+    # the generator must exercise real data, not vacuous empty matches
+    assert n_nonempty >= 6
+
+
+def test_sparql_union_random_vs_python_reference(spark):
+    rng = _mk_rng()
+    triples = _random_triples(rng)
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    for case in range(6):
+        # two branches over the same variable names → no NULL padding,
+        # so the python reference stays a plain set union
+        p1 = _gen_chain(rng)
+        p2 = _gen_chain(rng)
+        shared = sorted(set(_bound_vars(p1)) & set(_bound_vars(p2)))
+        proj = shared[: rng.randint(1, len(shared))]
+        query = (
+            "SELECT DISTINCT "
+            + " ".join(f"?{v}" for v in proj)
+            + " WHERE { { "
+            + _render_patterns(p1)
+            + " } UNION { "
+            + _render_patterns(p2)
+            + " } }"
+        )
+        expected = {
+            tuple(b[v] for v in proj)
+            for b in _eval_patterns(triples, p1)
+        } | {
+            tuple(b[v] for v in proj)
+            for b in _eval_patterns(triples, p2)
+        }
+        got = {
+            tuple(row[v] for v in proj)
+            for row in sparql_select(tdf, query).collect()
+        }
+        assert got == expected, f"case {case}: {query}"
+
+
+def test_sparql_paths_random_vs_python_bfs(spark):
+    rng = _mk_rng()
+    # one edge relation; random digraph
+    edges = sorted(
+        {
+            (rng.choice(_NODES), "e", rng.choice(_NODES))
+            for _ in range(30)
+        }
+    )
+    tdf = spark.createDataFrame(
+        edges, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+    fwd = {(s, o) for s, _, o in edges}
+
+    def reach(starts, undirected, k):
+        """Nodes reachable in 1..k hops (BFS over fwd / fwd∪flipped)."""
+        step = fwd | {(b, a) for a, b in fwd} if undirected else fwd
+        frontier, seen = set(starts), set()
+        for _ in range(k):
+            frontier = {
+                b for a, b in step if a in frontier
+            }
+            frontier -= seen
+            if not frontier:
+                break
+            seen |= frontier
+        return seen
+
+    for case in range(6):
+        k = rng.randint(1, 3)
+        undirected = rng.random() < 0.5
+        start = rng.choice(_NODES)
+        path = "(<e>|^<e>)" if undirected else "<e>"
+        flip = rng.random() < 0.5  # constant object instead of subject
+        if flip:
+            q = f'SELECT ?x WHERE {{ ?x {path}{{1,{k}}} "{start}" . }}'
+            # x reaches start in 1..k hops == start reaches x over the
+            # flipped relation (identical set when undirected)
+            base = {(b, a) for a, b in fwd}
+            step = base | fwd if undirected else base
+            frontier, seen = {start}, set()
+            for _ in range(k):
+                frontier = {b for a, b in step if a in frontier} - seen
+                if not frontier:
+                    break
+                seen |= frontier
+            expected = seen
+        else:
+            q = f'SELECT ?x WHERE {{ "{start}" {path}{{1,{k}}} ?x . }}'
+            expected = reach({start}, undirected, k)
+        got = {row.x for row in sparql_select(tdf, q).collect()}
+        assert got == expected, f"case {case}: {q}"
