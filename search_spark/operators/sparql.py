@@ -25,7 +25,8 @@ Supported subset (documented, fail-loud outside it):
   token — IRI brackets and literal quotes are stripped: the engine's
   triple terms are plain strings,
 * ``OPTIONAL { <one triple pattern> }`` (left join; may chain),
-* ``FILTER NOT EXISTS { <one triple pattern> }`` (anti join),
+* ``FILTER [NOT] EXISTS { <one triple pattern> }`` (semi / anti join
+  on the shared variables),
 * ``FILTER (expr)`` with comparisons ``= != < <= > >=`` between variables
   and constants, boolean builtins ``CONTAINS / STRSTARTS / STRENDS /
   REGEX(?v, "s")`` and ``BOUND(?v)`` (each negatable with ``!``), and
@@ -578,7 +579,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     elif group_by:
         raise SparqlError("GROUP BY without any aggregate projection")
     g0 = groups[0] if len(groups) == 1 else {
-        "patterns": [], "optional": [], "not_exists": [],
+        "patterns": [], "optional": [], "not_exists": [], "exists": [],
         "filters": [], "values": [], "binds": [], "minus": [],
     }
     return {
@@ -665,7 +666,8 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
         p.expect("}")
         return inner
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
-               "filters": [], "values": [], "binds": [], "minus": []}
+               "exists": [], "filters": [], "values": [], "binds": [],
+               "minus": []}
     while True:
         tok = p.peek()
         if tok is None:
@@ -688,6 +690,11 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
                 p.expect("EXISTS")
                 p.expect("{")
                 g["not_exists"].append(_parse_pattern(p))
+                p.expect("}")
+            elif p.peek() and p.peek().lower() == "exists":
+                p.next()
+                p.expect("{")
+                g["exists"].append(_parse_pattern(p))
                 p.expect("}")
             else:
                 p.expect("(")
@@ -807,6 +814,14 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                 "other patterns (cartesian products are not supported)"
             )
         out = out.join(pdf, on=shared, how="inner")
+    for pt in g["exists"]:
+        edf = match_bgp(triples, [pt])
+        shared = sorted(set(out.columns) & set(edf.columns))
+        if not shared:
+            raise SparqlError(
+                "FILTER EXISTS pattern shares no variable with the group"
+            )
+        out = out.join(edf.select(*shared), on=shared, how="left_semi")
     for vars_, rows in g["values"]:
         missing = [v for v in vars_ if v not in out.columns]
         if missing:

@@ -460,3 +460,21 @@ def test_filter_negated_contains_mixed_conj(spark):
 def test_new_syntax_rejects(bad):
     with pytest.raises(SparqlError):
         parse_select(bad)
+
+
+def test_filter_exists_semi_join(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . '
+        "FILTER EXISTS { ?a <name> ?n . } }",
+    )
+    assert [r.a for r in out.collect()] == ["bob"]
+
+
+def test_filter_exists_disjoint_raises(spark):
+    with pytest.raises(SparqlError):
+        sparql_select(
+            _triples(spark),
+            'SELECT ?a WHERE { ?a <type> "Person" . '
+            "FILTER EXISTS { ?x <banned> ?y . } }",
+        ).collect()
