@@ -24,9 +24,12 @@ Supported subset (documented, fail-loud outside it):
   ``<iri>``, ``"literal"`` (with ``\\"`` / ``\\\\`` escapes) or a bare
   token — IRI brackets and literal quotes are stripped: the engine's
   triple terms are plain strings,
-* ``OPTIONAL { <one triple pattern> }`` (left join; may chain),
-* ``FILTER [NOT] EXISTS { <one triple pattern> }`` (semi / anti join
-  on the shared variables),
+* ``OPTIONAL { <pattern or full group> }`` (left join on the shared
+  variables; a single plain pattern stays on the BGP fast path, a full
+  group — multiple patterns, filters, paths — compiles to its own
+  bindings frame first; may chain),
+* ``FILTER [NOT] EXISTS { <pattern or full group> }`` (semi / anti
+  join on the shared variables),
 * ``FILTER (expr)`` with comparisons ``= != < <= > >=`` between variables
   and constants, boolean builtins ``CONTAINS / STRSTARTS / STRENDS /
   REGEX(?v, "s")`` and ``BOUND(?v)`` (each negatable with ``!``), and
@@ -581,6 +584,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     g0 = groups[0] if len(groups) == 1 else {
         "patterns": [], "optional": [], "not_exists": [], "exists": [],
         "filters": [], "values": [], "binds": [], "minus": [],
+        "optional_groups": [], "exists_groups": [], "not_exists_groups": [],
     }
     return {
         "distinct": distinct,
@@ -667,7 +671,31 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
         return inner
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
                "exists": [], "filters": [], "values": [], "binds": [],
-               "minus": []}
+               "minus": [], "optional_groups": [], "exists_groups": [],
+               "not_exists_groups": []}
+
+    def _sub_group(single_key: str, group_key: str) -> None:
+        """A nested ``{ ... }`` body for OPTIONAL / FILTER [NOT] EXISTS:
+        a single plain pattern stays on the match_bgp fast path; a full
+        group (multiple patterns, filters, paths, ...) compiles to its
+        own bindings DataFrame joined on the shared variables."""
+        p.expect("{")
+        og = _parse_group(p, max_hops)
+        plain_only = (
+            len(og["patterns"]) == 1
+            and isinstance(og["patterns"][0][1], str)
+            and og.get("graph") is None
+            and not any(
+                og[k]
+                for k in og
+                if k not in ("patterns", "graph")
+            )
+        )
+        if plain_only:
+            g[single_key].append(og["patterns"][0])
+        else:
+            g[group_key].append(og)
+
     while True:
         tok = p.peek()
         if tok is None:
@@ -680,22 +708,16 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
             continue
         if tok.lower() == "optional":
             p.next()
-            p.expect("{")
-            g["optional"].append(_parse_pattern(p))
-            p.expect("}")
+            _sub_group("optional", "optional_groups")
         elif tok.lower() == "filter":
             p.next()
             if p.peek() and p.peek().lower() == "not":
                 p.next()
                 p.expect("EXISTS")
-                p.expect("{")
-                g["not_exists"].append(_parse_pattern(p))
-                p.expect("}")
+                _sub_group("not_exists", "not_exists_groups")
             elif p.peek() and p.peek().lower() == "exists":
                 p.next()
-                p.expect("{")
-                g["exists"].append(_parse_pattern(p))
-                p.expect("}")
+                _sub_group("exists", "exists_groups")
             else:
                 p.expect("(")
                 g["filters"].append(_parse_filter_expr(p))
@@ -822,6 +844,22 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                 "FILTER EXISTS pattern shares no variable with the group"
             )
         out = out.join(edf.select(*shared), on=shared, how="left_semi")
+    for kind, how in (
+        ("optional_groups", "left"),
+        ("exists_groups", "left_semi"),
+        ("not_exists_groups", "left_anti"),
+    ):
+        for og in g.get(kind, ()):
+            odf = _compile_group(triples, og)
+            shared = sorted(set(out.columns) & set(odf.columns))
+            if not shared:
+                raise SparqlError(
+                    "nested OPTIONAL / FILTER [NOT] EXISTS group shares "
+                    "no variable with the outer group"
+                )
+            if how != "left":
+                odf = odf.select(*shared).distinct()
+            out = out.join(odf, on=shared, how=how)
     for vars_, rows in g["values"]:
         missing = [v for v in vars_ if v not in out.columns]
         if missing:

@@ -478,3 +478,50 @@ def test_filter_exists_disjoint_raises(spark):
             'SELECT ?a WHERE { ?a <type> "Person" . '
             "FILTER EXISTS { ?x <banned> ?y . } }",
         ).collect()
+
+
+def test_optional_full_group(spark):
+    # multi-pattern OPTIONAL: both the name AND a knows edge must match
+    # for the branch to bind; otherwise NULLs
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?n WHERE { ?a <type> "Person" . '
+        "OPTIONAL { ?a <name> ?n . ?a <knows> ?c . } } ORDER BY ?a",
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [
+        ("alice", None), ("bob", "Bobby")
+    ]
+
+
+def test_optional_group_with_filter(spark):
+    # a filter inside OPTIONAL scopes to the optional branch (its failure
+    # unbinds the branch instead of dropping the outer row)
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?n WHERE { ?a <type> "Person" . '
+        'OPTIONAL { ?a <name> ?n . FILTER(STRSTARTS(?n, "Z")) } } '
+        "ORDER BY ?a",
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [
+        ("alice", None), ("bob", None)
+    ]
+
+
+def test_not_exists_full_group(spark):
+    # anti-join a two-pattern group: drop people who know a Robot
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> "Person" . '
+        'FILTER NOT EXISTS { ?a <knows> ?x . ?x <type> "Robot" . } }',
+    )
+    assert [r.a for r in out.collect()] == []
+
+
+def test_exists_full_group(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> ?t . '
+        'FILTER EXISTS { ?a <knows> ?x . ?x <type> "Robot" . } } '
+        "ORDER BY ?a",
+    )
+    assert [r.a for r in out.collect()] == ["alice", "bob"]
