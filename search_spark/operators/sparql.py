@@ -17,9 +17,15 @@ Supported subset (documented, fail-loud outside it):
   and ``DESCRIBE <resource>`` (single OR-of-equalities scan),
 * ``SELECT [DISTINCT] ?v1 ?v2 ... | * WHERE { ... }``
 * aggregate projections ``(COUNT([DISTINCT] ?v | *) AS ?alias)`` /
-  ``(SUM|MIN|MAX|AVG(?v) AS ?alias)`` with ``GROUP BY ?v ...`` (or a
-  global aggregate when GROUP BY is absent); non-aggregated SELECT
-  variables must appear in GROUP BY (fail-loud, like ANSI SQL),
+  ``(SUM|MIN|MAX|AVG|SAMPLE(?v) AS ?alias)`` /
+  ``(GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?alias)`` with
+  ``GROUP BY ?v ...`` (or a global aggregate when GROUP BY is absent);
+  non-aggregated SELECT variables must appear in GROUP BY (fail-loud,
+  like ANSI SQL). ``SAMPLE`` is deterministic-any-value (MIN);
+  ``GROUP_CONCAT`` concatenates in sorted order (SPARQL leaves the order
+  implementation-defined; sorting keeps results hash-comparable).
+  ``HAVING (expr)`` filters the aggregated rows — the expression grammar
+  is FILTER's, with aggregate aliases usable as variables,
 * triple patterns ``term term term .`` where a term is ``?var``,
   ``<iri>``, ``"literal"`` (with ``\\"`` / ``\\\\`` escapes) or a bare
   token — IRI brackets and literal quotes are stripped: the engine's
@@ -50,6 +56,12 @@ Supported subset (documented, fail-loud outside it):
   body (each branch a full group: patterns / OPTIONAL / FILTER / VALUES;
   branch-local variables are NULL — i.e. unbound — in the other
   branches' rows, as in SPARQL),
+* subqueries ``{ SELECT ... WHERE { ... } [GROUP BY/HAVING/ORDER/LIMIT] }``
+  nested inside a group (SPARQL 1.1 §12): evaluated bottom-up on the full
+  (graph-restricted) triple table, then the projected bindings hash-join
+  the enclosing group on the shared variables (no shared variable
+  raises — same no-cartesian rule as everywhere else). The classic
+  per-group top-k / aggregate-then-join shapes compile to one plan,
 * property paths in the predicate position of *required* patterns —
   ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2`` (alternation),
   ``p+`` (one-or-more, bounded by ``path_max_hops`` with semi-naive
@@ -108,18 +120,18 @@ _TOKEN = re.compile(
       | <[^>\s]*>                  # iri (no whitespace — keeps `< ?b`
                                    #      in FILTER from lexing as an iri)
       | "(?:[^"\\]|\\.)*"          # quoted literal
-      | \{ | \} | \( | \) | \.     # structure
+      | \{ | \} | \( | \) | \. | ; # structure / GROUP_CONCAT separator
       | && | \|\| | != | <= | >= | = | < | >
       | \|                         # path alternation (after || above)
       | ! | ,                      # FILTER negation / argument separator
-      | [^\s{}()."?<>=!&|,]+       # bare token
+      | [^\s{}()."?<>=!&|,;]+      # bare token
     """,
     re.VERBOSE,
 )
 
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
-_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
 
 #: boolean FILTER builtins → how the single/double string args compile
 _BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound"}
@@ -490,10 +502,24 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a SPARQL SELECT into a plain dict (used by :func:`sparql_select`
     and directly testable without a SparkSession for the plan parts)."""
     p = _Parser(_tokenize(query))
+    q = _parse_select_body(p, path_max_hops, subquery=False)
+    if p.peek() is not None:
+        raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+    return q
+
+
+def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
+                       subquery: bool = False) -> dict:
+    """Parse ``SELECT ... [solution modifiers]`` from the current parser
+    position. With ``subquery=True`` (a ``{ SELECT ... }`` nested inside a
+    group) the trailing solution-modifier loop stops at the enclosing
+    ``}`` instead of requiring end-of-input; the caller consumes the
+    brace."""
     p.expect("SELECT")
     distinct = p.kw("distinct")
     select_vars: list[str] = []  # output names in projection order
-    aggs: list[tuple[str, bool, str, str]] = []  # (fn, distinct, arg, alias)
+    # (fn, distinct, arg, alias, group_concat-separator)
+    aggs: list[tuple[str, bool, str, str, str]] = []
     star = False
     while True:
         tok = p.peek()
@@ -520,6 +546,19 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
                 raise SparqlError(f"bad aggregate argument {arg!r}")
             if agg_distinct and fn != "count":
                 raise SparqlError("DISTINCT is only supported inside COUNT")
+            sep = " "  # SPARQL's GROUP_CONCAT default separator
+            if p.peek() == ";":
+                if fn != "group_concat":
+                    raise SparqlError(
+                        "';' argument is only valid in GROUP_CONCAT"
+                    )
+                p.next()
+                p.expect("SEPARATOR")
+                p.expect("=")
+                stok = p.next()
+                if not (stok.startswith('"') and stok.endswith('"')):
+                    raise SparqlError("SEPARATOR takes a quoted literal")
+                sep = _unescape(stok[1:-1])
             p.expect(")")
             p.expect("AS")
             alias = p.next()
@@ -527,7 +566,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
                 raise SparqlError(f"aggregate alias must be a variable, "
                                   f"got {alias!r}")
             p.expect(")")
-            aggs.append((fn, agg_distinct, arg, alias[1:]))
+            aggs.append((fn, agg_distinct, arg, alias[1:], sep))
             select_vars.append(alias[1:])
         else:
             raise SparqlError(f"bad SELECT term {tok!r}")
@@ -539,11 +578,18 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
     groups = _parse_where_body(p, path_max_hops)
     order: list[tuple[str, bool]] = []  # (var, descending)
     group_by: list[str] = []
+    having: list[list] = []
     limit: int | None = None
     offset: int | None = None
-    while p.peek() is not None:
+    while p.peek() is not None and not (subquery and p.peek() == "}"):
         tok = p.next().lower()
-        if tok == "order":
+        if tok == "having":
+            p.expect("(")
+            having.append(_parse_filter_expr(p))
+            while p.peek() == "(":  # HAVING (e1) (e2) — implicit AND
+                p.next()
+                having.append(_parse_filter_expr(p))
+        elif tok == "order":
             p.expect("BY")
             while True:
                 nxt = p.peek()
@@ -572,7 +618,7 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
         else:
             raise SparqlError(f"unexpected trailing token {tok!r}")
     if aggs:
-        alias_set = {a for _, _, _, a in aggs}
+        alias_set = {a for _, _, _, a, _ in aggs}
         bad = [v for v in select_vars
                if v not in alias_set and v not in group_by]
         if bad:
@@ -581,16 +627,20 @@ def parse_select(query: str, path_max_hops: int = PATH_MAX_HOPS) -> dict:
             )
     elif group_by:
         raise SparqlError("GROUP BY without any aggregate projection")
+    if having and not aggs:
+        raise SparqlError("HAVING without any aggregate projection")
     g0 = groups[0] if len(groups) == 1 else {
         "patterns": [], "optional": [], "not_exists": [], "exists": [],
         "filters": [], "values": [], "binds": [], "minus": [],
         "optional_groups": [], "exists_groups": [], "not_exists_groups": [],
+        "subselects": [],
     }
     return {
         "distinct": distinct,
         "select": select_vars,  # empty means *
         "aggs": aggs,
         "group_by": group_by,
+        "having": having,
         "groups": groups,
         # single-group convenience views (authoritative form is "groups")
         "patterns": g0["patterns"],
@@ -672,7 +722,7 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
                "exists": [], "filters": [], "values": [], "binds": [],
                "minus": [], "optional_groups": [], "exists_groups": [],
-               "not_exists_groups": []}
+               "not_exists_groups": [], "subselects": []}
 
     def _sub_group(single_key: str, group_key: str) -> None:
         """A nested ``{ ... }`` body for OPTIONAL / FILTER [NOT] EXISTS:
@@ -731,10 +781,24 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
             p.next()
             p.expect("{")
             g["minus"].append(_parse_group(p, max_hops))
+        elif tok == "{":
+            # ``{ SELECT ... }`` — a SPARQL 1.1 subquery: evaluated first,
+            # its projected bindings join the group on the shared vars
+            p.next()
+            if p.peek() is None or p.peek().lower() != "select":
+                raise SparqlError(
+                    "nested '{' inside a group must open a subquery "
+                    "({ SELECT ... }) — use UNION at the WHERE top level "
+                    "for group alternation"
+                )
+            g["subselects"].append(
+                _parse_select_body(p, max_hops, subquery=True)
+            )
+            p.expect("}")
         else:
             g["patterns"].append(_parse_pattern(p, paths=True,
                                                 max_hops=max_hops))
-    if not g["patterns"]:
+    if not g["patterns"] and not g["subselects"]:
         raise SparqlError("group has no required triple pattern")
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     if not plain and (g["optional"] or g["not_exists"]):
@@ -756,7 +820,19 @@ def _parse_where_body(
     groups = []
     while True:
         p.expect("{")
-        groups.append(_parse_group(p, max_hops))
+        if p.peek() is not None and p.peek().lower() == "select":
+            # a subquery directly under WHERE (or as a UNION branch):
+            # wrap it as a group whose only member is the subselect
+            g = {"patterns": [], "optional": [], "not_exists": [],
+                 "exists": [], "filters": [], "values": [], "binds": [],
+                 "minus": [], "optional_groups": [], "exists_groups": [],
+                 "not_exists_groups": [],
+                 "subselects": [_parse_select_body(p, max_hops,
+                                                   subquery=True)]}
+            p.expect("}")
+            groups.append(g)
+        else:
+            groups.append(_parse_group(p, max_hops))
         if p.peek() is not None and p.peek().lower() == "union":
             p.next()
             continue
@@ -836,6 +912,21 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                 "other patterns (cartesian products are not supported)"
             )
         out = out.join(pdf, on=shared, how="inner")
+    for sq in g.get("subselects", ()):
+        # bottom-up evaluation, as in the SPARQL algebra: the subquery
+        # runs on the full (graph-restricted) triple table, then its
+        # projected bindings hash-join the group on the shared variables
+        sdf = _compile_select(triples, sq)
+        if out is None:
+            out = sdf
+            continue
+        shared = sorted(set(out.columns) & set(sdf.columns))
+        if not shared:
+            raise SparqlError(
+                "subquery shares no variable with the enclosing group "
+                "(cartesian products are not supported)"
+            )
+        out = out.join(sdf, on=shared, how="inner")
     for pt in g["exists"]:
         edf = match_bgp(triples, [pt])
         shared = sorted(set(out.columns) & set(edf.columns))
@@ -967,17 +1058,23 @@ def sparql_select(triples: DataFrame, query: str,
                   path_max_hops: int = PATH_MAX_HOPS) -> DataFrame:
     """Compile and run a SPARQL SELECT against a ``(subj, pred, obj)``
     DataFrame. Returns one column per selected variable."""
-    q = parse_select(query, path_max_hops)
+    return _compile_select(triples, parse_select(query, path_max_hops))
+
+
+def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
+    """Compile a parsed SELECT dict (top-level query or subquery) to a
+    DataFrame: WHERE bindings → aggregation → HAVING → projection →
+    DISTINCT → ORDER/OFFSET/LIMIT."""
     out = _compile_where(triples, q["groups"])
     if q["aggs"]:
-        for fn, _, arg, _ in q["aggs"]:
+        for fn, _, arg, _, _ in q["aggs"]:
             if arg != "*" and arg not in out.columns:
                 raise SparqlError(f"aggregate argument never bound: ?{arg}")
         missing = [v for v in q["group_by"] if v not in out.columns]
         if missing:
             raise SparqlError(f"GROUP BY variables never bound: {missing}")
         exprs = []
-        for fn, agg_distinct, arg, alias in q["aggs"]:
+        for fn, agg_distinct, arg, alias, sep in q["aggs"]:
             if fn == "count":
                 if arg == "*":
                     c = F.count(F.lit(1))
@@ -985,6 +1082,16 @@ def sparql_select(triples: DataFrame, query: str,
                     c = F.countDistinct(F.col(arg))
                 else:
                     c = F.count(F.col(arg))
+            elif fn == "group_concat":
+                # SPARQL leaves GROUP_CONCAT order implementation-defined;
+                # sorting the collected values makes the result a pure
+                # function of the group (hash-comparable across engines)
+                c = F.array_join(
+                    F.sort_array(F.collect_list(F.col(arg))), sep
+                )
+            elif fn == "sample":
+                # SAMPLE is "any value"; MIN is a deterministic any-value
+                c = F.min(F.col(arg))
             else:
                 col = F.col(arg)
                 if fn in ("sum", "avg"):
@@ -995,7 +1102,12 @@ def sparql_select(triples: DataFrame, query: str,
                      "max": F.max, "avg": F.avg}[fn](col)
             exprs.append(c.alias(alias))
         grouped = out.groupBy(*q["group_by"]) if q["group_by"] else out
-        out = grouped.agg(*exprs).select(*q["select"])
+        out = grouped.agg(*exprs)
+        for ast in q.get("having", ()):
+            # aggregate aliases are plain columns here, so HAVING shares
+            # the FILTER expression grammar and compiler
+            out = out.filter(_compile_filter(ast))
+        out = out.select(*q["select"])
     elif q["select"]:
         missing = [v for v in q["select"] if v not in out.columns]
         if missing:

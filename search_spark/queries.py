@@ -4019,6 +4019,47 @@ FROM (SELECT dst FROM hop1 UNION ALL SELECT dst FROM hop2
 """
 
 
+def _q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery (§12) + HAVING + GROUP_CONCAT: entities whose
+    type has at least two distinct members, joined to the per-type count
+    and the sorted member list. The inner SELECT compiles bottom-up to
+    one hash aggregate with the HAVING as a post-agg Catalyst filter,
+    then the outer pattern hash-joins it on ?bt — the classic
+    aggregate-then-join shape in one declarative string, one plan
+    (no driver-side two-step). GROUP_CONCAT sorts its collected values
+    (sort_array → array_join), making the result a pure function of the
+    group — the oracle's string_agg(... ORDER BY ...) mirrors it."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = """
+    SELECT DISTINCT ?a ?bt ?n ?members WHERE {
+      ?a <has_type> ?bt .
+      { SELECT ?bt (COUNT(?x) AS ?n)
+               (GROUP_CONCAT(?x ; SEPARATOR="|") AS ?members)
+        WHERE { ?x <has_type> ?bt . }
+        GROUP BY ?bt HAVING (?n >= 2) }
+    }
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_SUBQUERY = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations),
+typed AS (SELECT DISTINCT subj AS a, obj AS bt FROM triples
+          WHERE pred = 'has_type'),
+per_type AS (
+  SELECT bt, COUNT(a) AS n, string_agg(a, '|' ORDER BY a) AS members
+  FROM typed GROUP BY bt HAVING COUNT(a) >= 2)
+SELECT DISTINCT t.a, t.bt, c.n, c.members
+FROM typed t JOIN per_type c ON c.bt = t.bt
+"""
+
+
 def _q_ntriples_export(spark, sf_dir):
     """N-Quads serialization of the doc triples (io/ntriples.py — the
     same module the CLI export and the lossless reader share):
@@ -6733,6 +6774,7 @@ QUERIES: dict[str, Q] = {
     "sparql_property_path": Q(
         _q_sparql_property_path, _SQL_SPARQL_PROPERTY_PATH
     ),
+    "sparql_subquery": Q(_q_sparql_subquery, _SQL_SPARQL_SUBQUERY),
     "ntriples_export": Q(_q_ntriples_export, _sql_ntriples_export()),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),

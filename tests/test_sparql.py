@@ -525,3 +525,131 @@ def test_exists_full_group(spark):
         "ORDER BY ?a",
     )
     assert [r.a for r in out.collect()] == ["alice", "bob"]
+
+
+def test_having_filters_groups(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        "GROUP BY ?a HAVING (?n >= 2)",
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [("alice", 2)]
+
+
+def test_having_references_group_key_and_alias(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        'GROUP BY ?a HAVING (?n = 1 && STRSTARTS(?a, "b")) ORDER BY ?a',
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [("bob", 1)]
+
+
+def test_having_multiple_blocks_are_anded(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        "GROUP BY ?a HAVING (?n >= 1) (?n < 2)",
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [("bob", 1)]
+
+
+def test_group_concat_sorted_with_separator(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a (GROUP_CONCAT(?b ; SEPARATOR="|") AS ?all) '
+        "WHERE { ?a <knows> ?b . } GROUP BY ?a ORDER BY ?a",
+    )
+    assert [(r.a, r.all) for r in out.collect()] == [
+        ("alice", "bob|carol"),
+        ("bob", "carol"),
+    ]
+
+
+def test_group_concat_default_separator_is_space(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT (GROUP_CONCAT(?b) AS ?all) WHERE { <alice> <knows> ?b . }",
+    )
+    assert out.collect()[0].all == "bob carol"
+
+
+def test_sample_is_deterministic_min(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (SAMPLE(?b) AS ?one) WHERE { ?a <knows> ?b . } "
+        "GROUP BY ?a ORDER BY ?a",
+    )
+    assert [(r.a, r.one) for r in out.collect()] == [
+        ("alice", "bob"),
+        ("bob", "carol"),
+    ]
+
+
+def test_subquery_aggregate_then_join(spark):
+    # classic agg-then-join: people alice knows, with their out-degree
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?b ?n WHERE { <alice> <knows> ?b . "
+        "{ SELECT ?b (COUNT(?c) AS ?n) WHERE { ?b <knows> ?c . } "
+        "GROUP BY ?b } } ORDER BY ?b",
+    )
+    assert [(r.b, r.n) for r in out.collect()] == [("bob", 1)]
+
+
+def test_subquery_projection_restricts_join_vars(spark):
+    # inner ?x is projected away -> join happens on ?b only
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?b WHERE { ?b <type> "Person" . '
+        "{ SELECT ?b WHERE { ?x <knows> ?b . } } } ORDER BY ?b",
+    )
+    assert [r.b for r in out.collect()] == ["bob"]
+
+
+def test_subquery_with_having_and_limit(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { ?a <type> ?t . "
+        "{ SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        "GROUP BY ?a HAVING (?n >= 2) LIMIT 5 } }",
+    )
+    assert [r.a for r in out.collect()] == ["alice"]
+
+
+def test_subquery_disjoint_raises(spark):
+    with pytest.raises(SparqlError, match="cartesian"):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?a ?z WHERE { ?a <type> ?t . "
+            "{ SELECT ?z WHERE { ?z <banned> ?w . } } }",
+        ).collect()
+
+
+def test_subquery_only_group(spark):
+    # a group may consist of just the subquery
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?n WHERE { "
+        "{ SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        "GROUP BY ?a } } ORDER BY DESC(?n)",
+    )
+    assert [(r.a, r.n) for r in out.collect()] == [("alice", 2), ("bob", 1)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # HAVING without aggregates
+        "SELECT ?a WHERE { ?a <p> ?b . } HAVING (?a > 1)",
+        # separator argument outside GROUP_CONCAT
+        'SELECT (COUNT(?b ; SEPARATOR=",") AS ?n) WHERE { ?a <p> ?b . }',
+        # nested brace that is not a subquery
+        "SELECT ?a WHERE { ?a <p> ?b . { ?b <q> ?c . } }",
+        # unquoted separator
+        "SELECT (GROUP_CONCAT(?b ; SEPARATOR=x) AS ?s) WHERE { ?a <p> ?b . }",
+    ],
+)
+def test_having_subquery_rejects(bad):
+    with pytest.raises(SparqlError):
+        parse_select(bad)
