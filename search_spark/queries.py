@@ -4028,9 +4028,15 @@ def _q_sparql_subquery(spark, sf_dir):
     aggregate-then-join shape in one declarative string, one plan
     (no driver-side two-step). GROUP_CONCAT sorts its collected values
     (sort_array → array_join), making the result a pure function of the
-    group — the oracle's string_agg(... ORDER BY ...) mirrors it."""
+    group — the oracle's string_agg(... ORDER BY ...) mirrors it.
+
+    The triple table is cached once: the outer pattern and the inner
+    subquery are two consumers of the same derived frame, and without the
+    pin the NER-extraction lineage would execute once per consumer."""
     from search_spark.operators.sparql import sparql_select
 
+    t = _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj").cache()
+    t.count()
     query = """
     SELECT DISTINCT ?a ?bt ?n ?members WHERE {
       ?a <has_type> ?bt .
@@ -4040,7 +4046,7 @@ def _q_sparql_subquery(spark, sf_dir):
         GROUP BY ?bt HAVING (?n >= 2) }
     }
     """
-    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+    return sparql_select(t, query)
 
 
 _SQL_SPARQL_SUBQUERY = f"""
