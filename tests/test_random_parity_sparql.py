@@ -344,3 +344,108 @@ def test_sparql_paths_random_vs_python_bfs(spark):
             expected = reach({start}, undirected, k)
         got = {row.x for row in sparql_select(tdf, q).collect()}
         assert got == expected, f"case {case}: {q}"
+
+
+def test_sparql_aggregates_having_random_vs_python(spark):
+    """Random GROUP BY + COUNT/MIN/GROUP_CONCAT/SAMPLE + HAVING vs a
+    pure-Python grouping over the same distinct binding rows. The
+    aggregates run over the *full* binding rows (set semantics), so the
+    reference groups the _eval_patterns dicts, not distinct (g, a)
+    pairs — duplicated ?a values across rows stay in GROUP_CONCAT."""
+    rng = _mk_rng()
+    triples = _random_triples(rng)
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    n_nonempty = 0
+    for case in range(12):
+        patterns = _gen_chain(rng)
+        variables = _bound_vars(patterns)
+        if len(variables) < 2:
+            continue
+        g, a = rng.sample(variables, 2)
+        k = rng.randint(1, 2)
+        query = (
+            f"SELECT ?{g} (COUNT(?{a}) AS ?cnt) (MIN(?{a}) AS ?mn) "
+            f'(GROUP_CONCAT(?{a} ; SEPARATOR="|") AS ?cc) '
+            f"(SAMPLE(?{a}) AS ?sm) "
+            "WHERE { " + _render_patterns(patterns) + " } "
+            f"GROUP BY ?{g} HAVING (?cnt >= {k})"
+        )
+        groups: dict = {}
+        for b in _eval_patterns(triples, patterns):
+            groups.setdefault(b[g], []).append(b[a])
+        expected = {
+            (gv, len(vals), min(vals), "|".join(sorted(vals)), min(vals))
+            for gv, vals in groups.items()
+            if len(vals) >= k
+        }
+        got = {
+            (r[g], r["cnt"], r["mn"], r["cc"], r["sm"])
+            for r in sparql_select(tdf, query).collect()
+        }
+        assert got == expected, f"case {case}: {query}"
+        n_nonempty += bool(expected)
+    assert n_nonempty >= 5
+
+
+def test_sparql_subquery_random_vs_python(spark):
+    """Random subqueries (plain-projection and aggregate+HAVING forms)
+    joined to a random outer chain on the shared variable, vs a
+    pure-Python bottom-up evaluation. COUNT in the inner select counts
+    distinct (join-var, ?sw) binding rows — BGP set semantics."""
+    rng = _mk_rng()
+    triples = _random_triples(rng)
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    n_nonempty = 0
+    for case in range(12):
+        patterns = _gen_chain(rng)
+        variables = _bound_vars(patterns)
+        jv = rng.choice(variables)
+        ipred = rng.choice(_PREDS)
+        use_agg = rng.random() < 0.6
+        if use_agg:
+            k = rng.randint(1, 2)
+            sub = (
+                f"{{ SELECT ?{jv} (COUNT(?sw) AS ?n) WHERE {{ "
+                f"?{jv} {ipred} ?sw . }} GROUP BY ?{jv} "
+                f"HAVING (?n >= {k}) }}"
+            )
+            proj = [jv, "n"]
+        else:
+            sub = f"{{ SELECT ?{jv} WHERE {{ ?{jv} {ipred} ?sw . }} }}"
+            proj = [jv]
+        query = (
+            "SELECT DISTINCT "
+            + " ".join(f"?{v}" for v in proj)
+            + " WHERE { "
+            + _render_patterns(patterns)
+            + " "
+            + sub
+            + " }"
+        )
+        outer = _eval_patterns(triples, patterns)
+        fanout: dict = {}
+        for ts, tp, to in triples:
+            if tp == ipred:
+                fanout.setdefault(ts, set()).add(to)
+        if use_agg:
+            counts = {s: len(o) for s, o in fanout.items() if len(o) >= k}
+            expected = {
+                (b[jv], counts[b[jv]]) for b in outer if b[jv] in counts
+            }
+        else:
+            expected = {(b[jv],) for b in outer if b[jv] in fanout}
+        got = {
+            tuple(r[v] for v in proj)
+            for r in sparql_select(tdf, query).collect()
+        }
+        assert got == expected, f"case {case}: {query}"
+        n_nonempty += bool(expected)
+    assert n_nonempty >= 5
