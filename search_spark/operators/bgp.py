@@ -336,3 +336,27 @@ def describe(triples: DataFrame, resource: str) -> DataFrame:
     return triples.filter(
         (F.col("subj") == r) | (F.col("pred") == r) | (F.col("obj") == r)
     )
+
+
+def describe_bound(triples: DataFrame, resources: DataFrame) -> DataFrame:
+    """SPARQL ``DESCRIBE ?v WHERE { ... }``: every triple mentioning any
+    resource in the (one-column) bound set.
+
+    Three position-wise *equi* semi-joins unioned and de-duplicated —
+    never an OR-join (which Catalyst can only nested-loop) and never a
+    driver-side collect of the resource list. The resource set is a
+    WHERE-restricted entity list, usually small, so AQE broadcasts each
+    semi-join; at worst they are shuffled hash joins. A triple matched in
+    more than one position collapses to one row (set semantics — this
+    also collapses pre-existing duplicate provenance rows, same as every
+    other binding surface in this module).
+    """
+    r = resources.select(
+        F.col(resources.columns[0]).alias("__r")
+    ).distinct()
+    parts = [
+        triples.join(r, on=triples[c] == r["__r"], how="left_semi")
+        for c in ("subj", "pred", "obj")
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]) \
+        .dropDuplicates()

@@ -13,8 +13,12 @@ Supported subset (documented, fail-loud outside it):
 
 * all four query forms via :func:`sparql_query`: ``SELECT``,
   ``CONSTRUCT { template } WHERE { ... }`` (templated triples over the
-  FILTERed bindings), ``ASK { ... }`` (bool, LocalLimit short-circuit)
-  and ``DESCRIBE <resource>`` (single OR-of-equalities scan),
+  FILTERed bindings) plus the ``CONSTRUCT WHERE { bgp }`` shorthand
+  (the pattern set is the template; spec-restricted to a plain BGP),
+  ``ASK { ... }`` (bool, LocalLimit short-circuit) and
+  ``DESCRIBE <resource>`` (single OR-of-equalities scan) or
+  ``DESCRIBE ?v WHERE { ... }`` (the variable's bindings become the
+  resource set — position-wise semi-joins, no OR-join, no collect),
 * ``SELECT [DISTINCT] ?v1 ?v2 ... | * WHERE { ... }``
 * aggregate projections ``(COUNT([DISTINCT] ?v | *) AS ?alias)`` /
   ``(SUM|MIN|MAX|AVG|SAMPLE(?v) AS ?alias)`` /
@@ -1007,7 +1011,8 @@ def sparql_query(triples: DataFrame, query: str,
       FILTERed bindings, incomplete instantiations dropped),
     * ``ASK { ... }`` → Python bool (LocalLimit short-circuit),
     * ``DESCRIBE <resource>`` → one OR-of-equalities scan, provenance
-      columns pass through.
+      columns pass through; ``DESCRIBE ?v WHERE { ... }`` → semi-joins
+      against the variable's bindings.
     """
     head = _tokenize(query)[0].lower()
     if head == "select":
@@ -1023,12 +1028,31 @@ def sparql_query(triples: DataFrame, query: str,
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
         return _compile_where(triples, groups).limit(1).count() > 0
     if head == "describe":
-        from search_spark.operators.bgp import describe
+        from search_spark.operators.bgp import describe, describe_bound
 
         toks = _tokenize(query)
-        if len(toks) != 2:
-            raise SparqlError("DESCRIBE takes exactly one resource term")
-        return describe(triples, _term(toks[1]))
+        if len(toks) == 2 and not toks[1].startswith("?"):
+            return describe(triples, _term(toks[1]))
+        # DESCRIBE ?v WHERE { ... } — the variable's WHERE-restricted
+        # bindings become the resource set (position-wise semi-joins,
+        # no OR-join, no collect)
+        p = _Parser(toks)
+        p.expect("DESCRIBE")
+        var = p.next()
+        if not var.startswith("?"):
+            raise SparqlError(
+                "DESCRIBE takes one constant resource, or one variable "
+                "plus a WHERE group"
+            )
+        p.expect("WHERE")
+        p.expect("{")
+        groups = _parse_where_body(p, path_max_hops)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        bindings = _compile_where(triples, groups)
+        if var[1:] not in bindings.columns:
+            raise SparqlError(f"DESCRIBE variable never bound: {var}")
+        return describe_bound(triples, bindings.select(var[1:]))
     raise SparqlError(f"unsupported query form {head!r}")
 
 
@@ -1038,6 +1062,32 @@ def _sparql_construct(triples: DataFrame, query: str,
 
     p = _Parser(_tokenize(query))
     p.expect("CONSTRUCT")
+    if p.peek() is not None and p.peek().lower() == "where":
+        # SPARQL 1.1 ``CONSTRUCT WHERE { bgp }`` shorthand: the template
+        # IS the pattern set. The spec restricts the body to a basic
+        # graph pattern — enforced below (single group, patterns only).
+        p.next()
+        p.expect("{")
+        groups = _parse_where_body(p, path_max_hops)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        if len(groups) != 1:
+            raise SparqlError("CONSTRUCT WHERE takes a single plain group")
+        g = groups[0]
+        extras = [k for k, v in g.items()
+                  if k not in ("patterns", "graph") and v]
+        if extras or g.get("graph") is not None:
+            raise SparqlError(
+                "CONSTRUCT WHERE allows only triple patterns in the body "
+                "(use the explicit-template form for anything else)"
+            )
+        template = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
+        if len(template) != len(g["patterns"]):
+            raise SparqlError(
+                "CONSTRUCT WHERE cannot template a property path"
+            )
+        bindings = _compile_where(triples, groups)
+        return instantiate_template(bindings, template)
     p.expect("{")
     template: list[tuple[str, str, str]] = []
     while p.peek() != "}":

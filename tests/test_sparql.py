@@ -653,3 +653,59 @@ def test_subquery_only_group(spark):
 def test_having_subquery_rejects(bad):
     with pytest.raises(SparqlError):
         parse_select(bad)
+
+
+def test_construct_where_shorthand(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _triples(spark),
+        'CONSTRUCT WHERE { ?a <knows> ?b . ?b <type> "Person" . }',
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # alice-knows-bob (bob is a Person) instantiates both patterns
+    assert rows == {
+        ("alice", "knows", "bob"),
+        ("bob", "type", "Person"),
+    }
+
+
+def test_construct_where_rejects_filters_and_paths(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    with pytest.raises(SparqlError):
+        sparql_query(
+            _triples(spark),
+            "CONSTRUCT WHERE { ?a <knows> ?b . FILTER(?a < ?b) }",
+        )
+    with pytest.raises(SparqlError):
+        sparql_query(
+            _triples(spark), "CONSTRUCT WHERE { ?a <knows>+ ?b . }"
+        )
+
+
+def test_describe_variable_where(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _triples(spark),
+        'DESCRIBE ?p WHERE { ?p <type> "Robot" . }',
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # every triple mentioning carol, in any position, exactly once
+    assert rows == {
+        ("alice", "knows", "carol"),
+        ("bob", "knows", "carol"),
+        ("carol", "type", "Robot"),
+        ("carol", "banned", "spam"),
+    }
+    assert out.count() == 4  # set semantics: no duplicate rows
+
+
+def test_describe_variable_unbound_raises(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    with pytest.raises(SparqlError):
+        sparql_query(
+            _triples(spark), 'DESCRIBE ?zz WHERE { ?p <type> "Robot" . }'
+        )
