@@ -160,3 +160,23 @@ def test_cli_sparql_update_round_trip(spark, tmp_path):
     assert sel.returncode == 0, sel.stderr[-2000:]
     lines = [ln for ln in sel.stdout.splitlines() if ln]
     assert lines == ["o", "alice"]
+
+
+def test_cli_sparql_explain_prints_plan(spark, tmp_path):
+    """--explain prints the formatted physical plan without executing."""
+    import os
+    import subprocess
+    import sys
+
+    t = _table(spark, tmp_path)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root, "--explain",
+         "--query", "SELECT ?s ?o WHERE { ?s <knows> ?o . }"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Physical Plan" in out.stdout
+    assert "s,o" not in out.stdout  # no result rows — plan only

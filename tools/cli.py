@@ -198,6 +198,9 @@ def main() -> int:
     p_sparql.add_argument("--limit", type=int, default=100,
                           help="row cap applied when the query has none")
     p_sparql.add_argument("--as-of", type=int, default=None, dest="as_of")
+    p_sparql.add_argument("--explain", action="store_true",
+                          help="print the formatted physical plan instead "
+                               "of executing (SELECT/CONSTRUCT/DESCRIBE)")
 
     p_val = sub.add_parser(
         "validate",
@@ -487,6 +490,13 @@ def main() -> int:
         if full is None:
             print("no committed snapshots", file=sys.stderr)
             return 1
+        if args.explain:
+            if head == "ask":
+                print("ASK executes eagerly (LocalLimit short-circuit); "
+                      "nothing to explain", file=sys.stderr)
+                return 1
+            sparql_query(full, args.query).explain("formatted")
+            return 0
         result = sparql_query(full, args.query)
         if isinstance(result, bool):  # ASK
             print("true" if result else "false")
