@@ -3,7 +3,9 @@
 The reference's mining cache is queried with flat SQL (``database/sql.py``);
 a KG constructor needs the next query surface up: path algebra —
 ``pred``, inverse ``^p``, sequence ``p1/p2``, alternation ``p1|p2`` and
-bounded repetition ``p{1,k}`` — evaluated *with binding propagation* so a
+bounded repetition ``p{0|1,k}`` (SPARQL ``+``/``*``/``?`` map onto it,
+zero-length pairs per SPARQL 1.1 §18.4) — evaluated *with binding
+propagation* so a
 seeded query (``:E path ?x``) never materializes the full path relation.
 
 Evaluation strategy (Spark-first):
@@ -69,10 +71,15 @@ class Alt(PathExpr):
 
 @dataclass(frozen=True)
 class Repeat(PathExpr):
-    """``inner{1,max_hops}`` — bounded repetition, at least one hop."""
+    """``inner{min_hops,max_hops}`` — bounded repetition. ``min_hops`` is
+    1 (SPARQL ``+``) or 0 (SPARQL ``*`` / ``?``): with 0 the result also
+    contains the zero-length pairs ``(n, n)`` — for every seed when the
+    evaluation is seeded, else for every node of the graph (SPARQL 1.1
+    §18.4 ZeroOrMorePath: all RDF terms appearing as subject or object)."""
 
     inner: PathExpr
     max_hops: int
+    min_hops: int = 1
 
 
 def normalize(expr: PathExpr, flip: bool = False) -> PathExpr:
@@ -87,7 +94,9 @@ def normalize(expr: PathExpr, flip: bool = False) -> PathExpr:
     if isinstance(expr, Alt):
         return Alt(normalize(expr.left, flip), normalize(expr.right, flip))
     if isinstance(expr, Repeat):
-        return Repeat(normalize(expr.inner, flip), expr.max_hops)
+        # zero-length pairs are symmetric, so only the step flips
+        return Repeat(normalize(expr.inner, flip), expr.max_hops,
+                      expr.min_hops)
     raise TypeError(f"unknown path expression: {expr!r}")
 
 
@@ -124,6 +133,24 @@ def _step_pairs(triples: DataFrame, expr: PathExpr) -> DataFrame:
     return _step_pairs(triples, expr.left).unionByName(
         _step_pairs(triples, expr.right)
     )
+
+
+def _zero_pairs(
+    triples: DataFrame, sources: DataFrame | None
+) -> DataFrame:
+    """Zero-length ``(n, n)`` pairs for a ``min_hops=0`` Repeat: the seeds
+    when seeded (a constant end matches itself), else every node of the
+    graph — SPARQL 1.1 ZeroOrMorePath over an unseeded pattern binds each
+    term appearing as subject or object."""
+    if sources is not None:
+        nodes = sources.select("src").distinct()
+    else:
+        nodes = (
+            triples.select(F.col("subj").alias("src"))
+            .unionByName(triples.select(F.col("obj").alias("src")))
+            .distinct()
+        )
+    return nodes.select("src", F.col("src").alias("dst"))
 
 
 def _eval(
@@ -195,6 +222,10 @@ def _eval(
                 if delta.isEmpty():
                     break
                 acc = acc.unionByName(delta).cache()
+            if expr.min_hops == 0:
+                acc = _zero_pairs(triples, sources).unionByName(
+                    acc
+                ).distinct()
             return acc
         acc = _eval(triples, expr.inner, sources).cache()
         delta = acc
@@ -214,6 +245,8 @@ def _eval(
             if delta.isEmpty():
                 break
             acc = acc.unionByName(delta).cache()
+        if expr.min_hops == 0:
+            acc = _zero_pairs(triples, sources).unionByName(acc).distinct()
         return acc
     raise TypeError(f"unknown path expression: {expr!r}")
 

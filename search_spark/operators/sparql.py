@@ -68,12 +68,15 @@ Supported subset (documented, fail-loud outside it):
   per-group top-k / aggregate-then-join shapes compile to one plan,
 * property paths in the predicate position of *required* patterns —
   ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2`` (alternation),
-  ``p+`` (one-or-more, bounded by ``path_max_hops`` with semi-naive
-  early exit) and ``p{1,k}`` (explicit bound); compiled onto
+  ``p+`` (one-or-more) and ``p*`` (zero-or-more) — both bounded by
+  ``path_max_hops`` with semi-naive early exit — ``p?`` (zero-or-one)
+  and ``p{0,k}`` / ``p{1,k}`` (explicit bounds); compiled onto
   :mod:`search_spark.operators.paths` with constant ends seeding the
   frontier-propagated evaluation (a constant *object* seeds the
-  algebraically flipped path). ``*`` is rejected — zero-length paths
-  bind every node,
+  algebraically flipped path). Zero-length paths match per SPARQL 1.1
+  §18.4: the seed itself when an end is constant, else every term
+  appearing as subject or object of the (graph-restricted) triple
+  table,
 * ``ORDER BY ?v ... | DESC(?v)``, ``LIMIT n`` and ``OFFSET n`` (offset
   applies after the sort, before the limit, as in SPARQL).
 
@@ -128,6 +131,8 @@ _TOKEN = re.compile(
       | && | \|\| | != | <= | >= | = | < | >
       | \|                         # path alternation (after || above)
       | ! | ,                      # FILTER negation / argument separator
+      | \?                         # zero-or-one path modifier (a bare
+                                   #  `?` not followed by a name)
       | [^\s{}()."?<>=!&|,;]+      # bare token
     """,
     re.VERBOSE,
@@ -230,29 +235,30 @@ def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
         expr = Pred(_term(tok))
     if inverted:
         expr = Inv(expr)
-    while p.peek() in ("+", "{", "*"):
+    while p.peek() in ("+", "{", "*", "?"):
         tok = p.next()
-        if tok == "*":
-            raise SparqlError(
-                "zero-or-more '*' is not supported (zero-length paths "
-                "bind every node); use '+' or an explicit {1,k} bound"
-            )
         if tok == "+":
             expr = Repeat(expr, max_hops)
-        else:  # {1,k} — Repeat is natively the bounded 1..k form
+        elif tok == "*":  # zero-or-more: bounded closure + zero frame
+            expr = Repeat(expr, max_hops, min_hops=0)
+        elif tok == "?":  # zero-or-one
+            expr = Repeat(expr, 1, min_hops=0)
+        else:  # {lo,k} with lo in {0,1} — Repeat's native bounded form
             lo = p.next()
-            if lo != "1" or p.peek() != ",":
+            if lo not in ("0", "1") or p.peek() != ",":
                 raise SparqlError(
-                    f"path repetition must be {{1,k}}, got {{{lo}...}}"
+                    f"path repetition must be {{0,k}} or {{1,k}}, "
+                    f"got {{{lo}...}}"
                 )
             p.next()  # ","
             hi = p.next()
-            if not hi.isdigit():
+            if not hi.isdigit() or int(hi) < 1:
                 raise SparqlError(
-                    f"path repetition bound must be an integer, got {hi!r}"
+                    f"path repetition bound must be a positive integer, "
+                    f"got {hi!r}"
                 )
             p.expect("}")
-            expr = Repeat(expr, int(hi))
+            expr = Repeat(expr, int(hi), min_hops=int(lo))
     return expr
 
 
@@ -276,7 +282,8 @@ def _parse_pattern(
     p: _Parser, paths: bool = False, max_hops: int = PATH_MAX_HOPS
 ) -> tuple:
     """One triple pattern. With ``paths=True`` the predicate position may
-    be a SPARQL 1.1 property path (``^``, ``/``, ``|``, ``+``, ``{1,k}``,
+    be a SPARQL 1.1 property path (``^``, ``/``, ``|``, ``+``, ``*``,
+    ``?``, ``{0,k}``, ``{1,k}``,
     parentheses); a path that reduces to one forward predicate stays a
     plain string so downstream plans are unchanged. Returns
     ``(subj, pred_or_PathExpr, obj)``."""

@@ -346,6 +346,54 @@ def test_sparql_paths_random_vs_python_bfs(spark):
         assert got == expected, f"case {case}: {q}"
 
 
+def test_sparql_zero_paths_random_vs_python_bfs(spark):
+    """Zero-capable modifiers (``*``, ``?``, ``{0,k}``) against a Python
+    BFS plus the SPARQL 1.1 zero-frame: the seed itself when seeded, every
+    graph node when both ends are variables."""
+    rng = _mk_rng()
+    edges = sorted(
+        {(rng.choice(_NODES), "e", rng.choice(_NODES)) for _ in range(25)}
+    )
+    tdf = spark.createDataFrame(
+        edges, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+    fwd = {(s, o) for s, _, o in edges}
+    nodes = {s for s, _ in fwd} | {o for _, o in fwd}
+
+    def reach(start, step, k):
+        frontier, seen = {start}, set()
+        for _ in range(k):
+            frontier = {b for a, b in step if a in frontier} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        return seen
+
+    for case in range(8):
+        mod, k = rng.choice([("*", 6), ("?", 1), ("{0,2}", 2)])
+        flip = rng.random() < 0.5
+        start = rng.choice(sorted(nodes))
+        if flip:
+            q = f'SELECT ?x WHERE {{ ?x <e>{mod} "{start}" . }}'
+            step = {(b, a) for a, b in fwd}
+        else:
+            q = f'SELECT ?x WHERE {{ "{start}" <e>{mod} ?x . }}'
+            step = fwd
+        expected = reach(start, step, k) | {start}
+        got = {row.x for row in sparql_select(tdf, q).collect()}
+        assert got == expected, f"case {case}: {q}"
+
+    # unseeded star: closure pairs plus (n, n) for every graph node
+    q = "SELECT ?s ?x WHERE { ?s <e>* ?x . }"
+    closure = set()
+    for n in nodes:
+        closure |= {(n, m) for m in reach(n, fwd, len(nodes))}
+    expected_pairs = closure | {(n, n) for n in nodes}
+    got_pairs = {(r.s, r.x) for r in sparql_select(tdf, q).collect()}
+    assert got_pairs == expected_pairs
+
+
 def test_sparql_aggregates_having_random_vs_python(spark):
     """Random GROUP BY + COUNT/MIN/GROUP_CONCAT/SAMPLE + HAVING vs a
     pure-Python grouping over the same distinct binding rows. The

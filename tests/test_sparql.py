@@ -332,9 +332,57 @@ def test_path_joins_plain_pattern(spark):
     assert [(r.a, r.t) for r in out.collect()] == [("alice", "Person")]
 
 
-def test_path_rejects_star_and_var(spark):
+def test_path_zero_or_more(spark):
+    rows = [("a", "next", "b"), ("b", "next", "c"), ("x", "other", "y")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # seeded: zero-length matches the seed itself
+    out = sparql_select(t, 'SELECT ?x WHERE { "a" <next>* ?x . } ORDER BY ?x')
+    assert [r.x for r in out.collect()] == ["a", "b", "c"]
+    # seeded at a node with no <next> edges: still matches itself
+    out = sparql_select(t, 'SELECT ?x WHERE { "y" <next>* ?x . }')
+    assert [r.x for r in out.collect()] == ["y"]
+    # unseeded: zero-length binds every node of the graph
+    out = sparql_select(
+        t, "SELECT ?s ?x WHERE { ?s <next>* ?x . } ORDER BY ?s ?x"
+    )
+    got = [(r.s, r.x) for r in out.collect()]
+    nodes = ["a", "b", "c", "x", "y"]
+    expect = sorted(
+        [(n, n) for n in nodes] + [("a", "b"), ("a", "c"), ("b", "c")]
+    )
+    assert got == expect
+
+
+def test_path_zero_or_one(spark):
+    rows = [("a", "next", "b"), ("b", "next", "c")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(t, 'SELECT ?x WHERE { "a" <next>? ?x . } ORDER BY ?x')
+    assert [r.x for r in out.collect()] == ["a", "b"]
+    # constant object seeds the flipped path; zero-length matches it too
+    out = sparql_select(t, 'SELECT ?x WHERE { ?x <next>? "c" . } ORDER BY ?x')
+    assert [r.x for r in out.collect()] == ["b", "c"]
+    # explicit {0,k} spelling
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" <next>{0,2} ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["a", "b", "c"]
+
+
+def test_path_star_composes(spark):
+    rows = [("a", "p", "b"), ("b", "q", "c"), ("b", "q", "d")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # seq with a zero-capable tail: <p>/<q>* reaches b (zero q-steps)
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" <p>/<q>* ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_path_rejects_bad_bounds_and_var(spark):
     with pytest.raises(SparqlError):
-        parse_select("SELECT ?a WHERE { ?a <p>* ?b . }")
+        parse_select("SELECT ?a WHERE { ?a <p>{2,5} ?b . }")
+    with pytest.raises(SparqlError):
+        parse_select("SELECT ?a WHERE { ?a <p>{1,0} ?b . }")
     with pytest.raises(SparqlError):
         parse_select("SELECT ?a WHERE { ?a <p>/?q ?b . }")
     with pytest.raises(SparqlError):
