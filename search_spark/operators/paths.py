@@ -53,6 +53,18 @@ class Pred(PathExpr):
 
 
 @dataclass(frozen=True)
+class NegSet(PathExpr):
+    """Negated property set ``!(p1|..|^q1|..)`` — ONE step over any
+    predicate outside the set (SPARQL 1.1 §18.4 NPS). ``fwd``/``inv`` are
+    the forward / inverse predicate names; ``None`` means that direction
+    does not participate at all (``!a`` has no inverse branch — it is NOT
+    "every reversed edge")."""
+
+    fwd: tuple[str, ...] | None
+    inv: tuple[str, ...] | None
+
+
+@dataclass(frozen=True)
 class Inv(PathExpr):
     inner: PathExpr
 
@@ -86,6 +98,9 @@ def normalize(expr: PathExpr, flip: bool = False) -> PathExpr:
     """Push every ``Inv`` down to the predicate leaves."""
     if isinstance(expr, Pred):
         return Pred(expr.name, expr.inverted ^ flip)
+    if isinstance(expr, NegSet):
+        # ^!(F|^I) = !(I|^F): flipping swaps the two direction branches
+        return NegSet(expr.inv, expr.fwd) if flip else expr
     if isinstance(expr, Inv):
         return normalize(expr.inner, not flip)
     if isinstance(expr, Seq):
@@ -111,11 +126,36 @@ def _is_leafy(expr: PathExpr) -> bool:
     the shape whose unrestricted pair relation is a single union of leaf
     scans and can be materialized once per Repeat instead of re-evaluated
     every round."""
-    if isinstance(expr, Pred):
+    if isinstance(expr, (Pred, NegSet)):
         return True
     if isinstance(expr, Alt):
         return _is_leafy(expr.left) and _is_leafy(expr.right)
     return False
+
+
+def _negset_pairs(triples: DataFrame, expr: NegSet) -> DataFrame:
+    """Unrestricted ``(src, dst)`` single-step relation of a negated
+    property set: forward edges whose predicate is outside ``fwd``,
+    unioned with reversed edges whose predicate is outside ``inv`` —
+    each branch only when present. The NOT IN filter pushes to the scan
+    like any constant predicate filter."""
+    parts = []
+    if expr.fwd is not None:
+        parts.append(
+            triples.filter(~F.col("pred").isin(*expr.fwd)).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        )
+    if expr.inv is not None:
+        parts.append(
+            triples.filter(~F.col("pred").isin(*expr.inv)).select(
+                F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+        )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def _step_pairs(triples: DataFrame, expr: PathExpr) -> DataFrame:
@@ -130,6 +170,8 @@ def _step_pairs(triples: DataFrame, expr: PathExpr) -> DataFrame:
         return pairs.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
+    if isinstance(expr, NegSet):
+        return _negset_pairs(triples, expr)
     return _step_pairs(triples, expr.left).unionByName(
         _step_pairs(triples, expr.right)
     )
@@ -167,6 +209,8 @@ def _eval(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")
             )
         return _restrict(pairs, sources).distinct()
+    if isinstance(expr, NegSet):
+        return _restrict(_negset_pairs(triples, expr), sources).distinct()
     if isinstance(expr, Seq):
         left = _eval(triples, expr.left, sources)
         mids = left.select(F.col("dst").alias("src")).distinct()

@@ -21,8 +21,8 @@ Supported subset (documented, fail-loud outside it):
   resource set — position-wise semi-joins, no OR-join, no collect),
 * ``SELECT [DISTINCT] ?v1 ?v2 ... | * WHERE { ... }``
 * aggregate projections ``(COUNT([DISTINCT] ?v | *) AS ?alias)`` /
-  ``(SUM|MIN|MAX|AVG|SAMPLE(?v) AS ?alias)`` /
-  ``(GROUP_CONCAT(?v [; SEPARATOR="s"]) AS ?alias)`` with
+  ``(SUM|MIN|MAX|AVG|SAMPLE([DISTINCT] ?v) AS ?alias)`` /
+  ``(GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]) AS ?alias)`` with
   ``GROUP BY ?v ...`` (or a global aggregate when GROUP BY is absent);
   non-aggregated SELECT variables must appear in GROUP BY (fail-loud,
   like ANSI SQL). ``SAMPLE`` is deterministic-any-value (MIN);
@@ -69,8 +69,10 @@ Supported subset (documented, fail-loud outside it):
 * property paths in the predicate position of *required* patterns —
   ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2`` (alternation),
   ``p+`` (one-or-more) and ``p*`` (zero-or-more) — both bounded by
-  ``path_max_hops`` with semi-naive early exit — ``p?`` (zero-or-one)
-  and ``p{0,k}`` / ``p{1,k}`` (explicit bounds); compiled onto
+  ``path_max_hops`` with semi-naive early exit — ``p?`` (zero-or-one),
+  ``p{0,k}`` / ``p{1,k}`` (explicit bounds) and negated property sets
+  ``!p`` / ``!(p1|^p2|...)`` (one step over any predicate outside the
+  set, per direction branch); compiled onto
   :mod:`search_spark.operators.paths` with constant ends seeding the
   frontier-propagated evaluation (a constant *object* seeds the
   algebraically flipped path). Zero-length paths match per SPARQL 1.1
@@ -109,6 +111,7 @@ from search_spark.operators.bgp import match_bgp
 from search_spark.operators.paths import (
     Alt,
     Inv,
+    NegSet,
     PathExpr,
     Pred,
     Repeat,
@@ -210,9 +213,45 @@ _PATH_OPS = ("/", "|", "+", "^", "*")
 
 def _parse_term_token(p: _Parser) -> str:
     tok = p.next()
-    if tok in "{}()." or tok.lower() in ("optional", "filter"):
+    if (
+        tok in "{}()."
+        or tok == "!"
+        or tok.lower() in ("optional", "filter")
+    ):
         raise SparqlError(f"malformed triple pattern near {tok!r}")
     return _term(tok)
+
+
+def _parse_negated_set(p: _Parser) -> NegSet:
+    """``!`` already consumed: parse ``iri``, ``^iri`` or
+    ``( one ('|' one)* )`` into a :class:`NegSet` (SPARQL 1.1
+    PathNegatedPropertySet)."""
+    fwd: list[str] = []
+    inv: list[str] = []
+
+    def one() -> None:
+        flipped = False
+        if p.peek() == "^":
+            p.next()
+            flipped = True
+        tok = p.next()
+        if tok.startswith("?") or tok in "{}()." or tok in _PATH_OPS:
+            raise SparqlError(
+                f"negated property set expects predicate names, "
+                f"got {tok!r}"
+            )
+        (inv if flipped else fwd).append(_term(tok))
+
+    if p.peek() == "(":
+        p.next()
+        one()
+        while p.peek() == "|":
+            p.next()
+            one()
+        p.expect(")")
+    else:
+        one()
+    return NegSet(tuple(fwd) or None, tuple(inv) or None)
 
 
 def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
@@ -224,6 +263,9 @@ def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
         p.next()
         expr = _parse_path_alt(p, max_hops)
         p.expect(")")
+    elif p.peek() == "!":
+        p.next()
+        expr = _parse_negated_set(p)
     else:
         tok = p.next()
         if tok.startswith("?"):
@@ -283,7 +325,7 @@ def _parse_pattern(
 ) -> tuple:
     """One triple pattern. With ``paths=True`` the predicate position may
     be a SPARQL 1.1 property path (``^``, ``/``, ``|``, ``+``, ``*``,
-    ``?``, ``{0,k}``, ``{1,k}``,
+    ``?``, ``{0,k}``, ``{1,k}``, ``!(...)``,
     parentheses); a path that reduces to one forward predicate stays a
     plain string so downstream plans are unchanged. Returns
     ``(subj, pred_or_PathExpr, obj)``."""
@@ -555,8 +597,9 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
                 arg = arg[1:]
             elif arg != "*" or fn != "count":
                 raise SparqlError(f"bad aggregate argument {arg!r}")
-            if agg_distinct and fn != "count":
-                raise SparqlError("DISTINCT is only supported inside COUNT")
+            # DISTINCT is legal in every SPARQL aggregate; for MIN/MAX/
+            # SAMPLE it is the identity and for COUNT(DISTINCT *) the
+            # module's set semantics already make rows distinct
             sep = " "  # SPARQL's GROUP_CONCAT default separator
             if p.peek() == ";":
                 if fn != "group_concat":
@@ -1143,11 +1186,14 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
                 # SPARQL leaves GROUP_CONCAT order implementation-defined;
                 # sorting the collected values makes the result a pure
                 # function of the group (hash-comparable across engines)
-                c = F.array_join(
-                    F.sort_array(F.collect_list(F.col(arg))), sep
+                collected = (
+                    F.collect_set(F.col(arg)) if agg_distinct
+                    else F.collect_list(F.col(arg))
                 )
+                c = F.array_join(F.sort_array(collected), sep)
             elif fn == "sample":
                 # SAMPLE is "any value"; MIN is a deterministic any-value
+                # (and absorbs DISTINCT, which is the identity for it)
                 c = F.min(F.col(arg))
             else:
                 col = F.col(arg)
@@ -1155,8 +1201,15 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
                     # triple terms are strings; non-numeric ones must
                     # aggregate as NULL, not abort the scan (ANSI mode)
                     col = col.try_cast("double")
-                c = {"sum": F.sum, "min": F.min,
-                     "max": F.max, "avg": F.avg}[fn](col)
+                if agg_distinct and fn in ("sum", "avg"):
+                    # DISTINCT over the *values*; var names are
+                    # [A-Za-z0-9_] so the expr string is injection-safe
+                    c = F.expr(
+                        f"{fn}(DISTINCT try_cast({arg} AS double))"
+                    )
+                else:
+                    c = {"sum": F.sum, "min": F.min,
+                         "max": F.max, "avg": F.avg}[fn](col)
             exprs.append(c.alias(alias))
         grouped = out.groupBy(*q["group_by"]) if q["group_by"] else out
         out = grouped.agg(*exprs)

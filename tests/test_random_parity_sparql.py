@@ -384,6 +384,70 @@ def test_sparql_zero_paths_random_vs_python_bfs(spark):
         got = {row.x for row in sparql_select(tdf, q).collect()}
         assert got == expected, f"case {case}: {q}"
 
+def test_sparql_negated_sets_random_vs_python(spark):
+    """Negated property sets against a direct Python evaluation: forward
+    edges outside the forward set ∪ reversed edges outside the inverse
+    set, each branch only when present."""
+    rng = _mk_rng()
+    triples = sorted(
+        {
+            (rng.choice(_NODES), rng.choice(_PREDS), rng.choice(_NODES))
+            for _ in range(40)
+        }
+    )
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    def nps_step(fwd, inv):
+        out = set()
+        if fwd is not None:
+            out |= {(s, o) for s, p, o in triples if p not in fwd}
+        if inv is not None:
+            out |= {(o, s) for s, p, o in triples if p not in inv}
+        return out
+
+    for case in range(8):
+        n_fwd = rng.randint(0, 2)
+        n_inv = rng.randint(0 if n_fwd else 1, 2)
+        fwd = tuple(rng.sample(_PREDS, n_fwd)) or None
+        inv = tuple(rng.sample(_PREDS, n_inv)) or None
+        elems = [f"<{p}>" for p in (fwd or ())] + [
+            f"^<{p}>" for p in (inv or ())
+        ]
+        nps = (
+            f"!({'|'.join(elems)})" if len(elems) > 1
+            else f"!{elems[0]}"
+        )
+        start = rng.choice(_NODES)
+        q = f'SELECT ?x WHERE {{ "{start}" {nps} ?x . }}'
+        expected = {b for a, b in nps_step(fwd, inv) if a == start}
+        got = {row.x for row in sparql_select(tdf, q).collect()}
+        assert got == expected, f"case {case}: {q}"
+
+
+def test_sparql_zero_paths_unseeded_star(spark):
+    rng = _mk_rng()
+    edges = sorted(
+        {(rng.choice(_NODES), "e", rng.choice(_NODES)) for _ in range(25)}
+    )
+    tdf = spark.createDataFrame(
+        edges, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+    fwd = {(s, o) for s, _, o in edges}
+    nodes = {s for s, _ in fwd} | {o for _, o in fwd}
+
+    def reach(start, step, k):
+        frontier, seen = {start}, set()
+        for _ in range(k):
+            frontier = {b for a, b in step if a in frontier} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        return seen
+
     # unseeded star: closure pairs plus (n, n) for every graph node
     q = "SELECT ?s ?x WHERE { ?s <e>* ?x . }"
     closure = set()

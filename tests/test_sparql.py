@@ -378,6 +378,66 @@ def test_path_star_composes(spark):
     assert [r.x for r in out.collect()] == ["b", "c", "d"]
 
 
+def test_path_negated_property_set(spark):
+    rows = [
+        ("a", "knows", "b"),
+        ("a", "hates", "c"),
+        ("a", "likes", "d"),
+        ("e", "knows", "a"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # forward-only: one step over any predicate except <knows>
+    out = sparql_select(t, 'SELECT ?x WHERE { "a" !<knows> ?x . } ORDER BY ?x')
+    assert [r.x for r in out.collect()] == ["c", "d"]
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" !(<knows>|<hates>) ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["d"]
+    # inverse-only branch: reversed edges whose predicate is not <likes>
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" !(^<likes>) ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["e"]
+    # mixed: forward non-knows ∪ reversed non-likes
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" !(<knows>|^<likes>) ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["c", "d", "e"]
+    # leading ^ flips the whole set: ^!<likes> == !(^<likes>)
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "a" ^!<likes> ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["e"]
+    # modifiers compose: !<hates>+ walks non-hates edges transitively
+    # (e -knows-> a -knows-> b, a -likes-> d; a -hates-> c is excluded)
+    out = sparql_select(
+        t, 'SELECT ?x WHERE { "e" !<hates>+ ?x . } ORDER BY ?x'
+    )
+    assert [r.x for r in out.collect()] == ["a", "b", "d"]
+
+
+def test_aggregate_distinct_beyond_count(spark):
+    # distinct subjects ?r keep duplicate ?x values alive under the
+    # module's set semantics, so DISTINCT-in-aggregate is observable
+    rows = [
+        ("g1", "1"), ("g1", "1"), ("g1", "3"),
+        ("g2", "5"),
+    ]
+    rows2 = []
+    for i, (g, x) in enumerate(rows):
+        rows2 += [(f"r{i}", "in_group", g), (f"r{i}", "val", x)]
+    t = spark.createDataFrame(
+        rows2, "subj string, pred string, obj string"
+    )
+    q = (
+        "SELECT ?g (SUM(DISTINCT ?x) AS ?s) (AVG(DISTINCT ?x) AS ?a) "
+        "(GROUP_CONCAT(DISTINCT ?x) AS ?c) WHERE { "
+        "?r <in_group> ?g . ?r <val> ?x . } GROUP BY ?g ORDER BY ?g"
+    )
+    got = [(r.g, r.s, r.a, r.c) for r in sparql_select(t, q).collect()]
+    assert got == [("g1", 4.0, 2.0, "1 3"), ("g2", 5.0, 5.0, "5")]
+
+
 def test_path_rejects_bad_bounds_and_var(spark):
     with pytest.raises(SparqlError):
         parse_select("SELECT ?a WHERE { ?a <p>{2,5} ?b . }")
