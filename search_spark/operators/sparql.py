@@ -45,7 +45,10 @@ Supported subset (documented, fail-loud outside it):
   REGEX(?v, "s")`` and ``BOUND(?v)`` (each negatable with ``!``), and
   ``?v [NOT] IN (t1, t2, ...)``, combined with ``&&`` / ``||``,
 * ``BIND(expr AS ?v)`` with ``CONCAT / UCASE / LCASE / STRLEN / STR /
-  REPLACE(e, pat, rep) / SUBSTR(e, start[, len])`` over variables and
+  REPLACE(e, pat, rep) / SUBSTR(e, start[, len]) / COALESCE(e, ...) /
+  IF(cmp, then, else)`` plus whitespace-separated arithmetic
+  ``+ - * /`` (operands ``try_cast`` to double; non-numeric terms yield
+  NULL rather than aborting the scan) over variables and
   literals (nested calls allowed; applied after the group's joins, so a
   later FILTER can reference the bound variable — SPARQL's group-wide
   FILTER scope),
@@ -150,7 +153,9 @@ _BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound"}
 
 #: value-expression builtins usable inside BIND(... AS ?v)
 _EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
-             "substr"}
+             "substr", "coalesce", "if"}
+
+_ARITH_OPS = ("+", "-", "*", "/")
 
 
 class SparqlError(ValueError):
@@ -478,11 +483,36 @@ def _compile_filter(ast: list) -> Column:
 
 def _parse_bind(p: _Parser) -> tuple[list, str]:
     """``BIND`` already consumed: ``( expr AS ?v )``. Expression AST:
-    ``("term", operand)`` or ``("call", fn, [sub-exprs])`` with fn in
-    ``_EXPR_FNS`` (nested calls allowed)."""
+    ``("term", operand)``, ``("call", fn, [sub-exprs])`` with fn in
+    ``_EXPR_FNS`` (nested calls allowed), ``("arith", op, l, r)`` for
+    ``+ - * /`` with the usual precedence (operators need surrounding
+    whitespace — ``?x-5`` lexes as one bare token), or
+    ``("if", (op, l, r), then, else)`` whose condition is one comparison
+    between two sub-expressions (same operators as FILTER)."""
 
-    def expr() -> tuple:
+    def factor() -> tuple:
         tok = p.peek()
+        if tok == "(":
+            p.next()
+            e = expr()
+            p.expect(")")
+            return e
+        if tok is not None and tok.lower() == "if":
+            p.next()
+            p.expect("(")
+            left = expr()
+            op = p.next()
+            if op not in _CMP_OPS:
+                raise SparqlError(
+                    f"IF condition must be a comparison, got {op!r}"
+                )
+            right = expr()
+            p.expect(",")
+            then_e = expr()
+            p.expect(",")
+            else_e = expr()
+            p.expect(")")
+            return ("if", (op, left, right), then_e, else_e)
         if tok is not None and tok.lower() in _EXPR_FNS:
             fn = p.next().lower()
             p.expect("(")
@@ -501,6 +531,18 @@ def _parse_bind(p: _Parser) -> tuple[list, str]:
             return ("term", ("var", tok[1:]))
         return ("term", ("lit", _term(tok)))
 
+    def mul() -> tuple:
+        e = factor()
+        while p.peek() in ("*", "/"):
+            e = ("arith", p.next(), e, factor())
+        return e
+
+    def expr() -> tuple:
+        e = mul()
+        while p.peek() in ("+", "-"):
+            e = ("arith", p.next(), e, mul())
+        return e
+
     p.expect("(")
     e = expr()
     p.expect("AS")
@@ -514,6 +556,26 @@ def _parse_bind(p: _Parser) -> tuple[list, str]:
 def _compile_bind_expr(e: tuple) -> Column:
     if e[0] == "term":
         return _col_of(e[1])
+    if e[0] == "arith":
+        # SPARQL numeric operators; string terms cast value-wise, non-
+        # numeric ones yield NULL (try_cast / try_divide keep ANSI mode
+        # from aborting the scan)
+        _, op, l, r = e
+        lc = _compile_bind_expr(l).try_cast("double")
+        rc = _compile_bind_expr(r).try_cast("double")
+        if op == "/":
+            return F.try_divide(lc, rc)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
+    if e[0] == "if":
+        _, (op, cl, cr), then_e, else_e = e
+        lc, rc = _compile_bind_expr(cl), _compile_bind_expr(cr)
+        cond = {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+        return F.when(cond, _compile_bind_expr(then_e)).otherwise(
+            _compile_bind_expr(else_e)
+        )
     _, fn, args = e
     cols = [_compile_bind_expr(a) for a in args]
 
@@ -532,6 +594,8 @@ def _compile_bind_expr(e: tuple) -> Column:
         return F.length(cols[0])
     if fn == "str":
         return cols[0].cast("string")
+    if fn == "coalesce":
+        return F.coalesce(*cols)
     if fn == "replace":
         if len(args) != 3 or args[1][0] != "term" or args[1][1][0] != "lit" \
                 or args[2][0] != "term" or args[2][1][0] != "lit":

@@ -484,6 +484,43 @@ def test_bind_nested_substr_strlen(spark):
     assert [(r.a, r.s, r.n) for r in out.collect()] == [("carol", "CAR", 5)]
 
 
+def test_bind_arithmetic_if_coalesce(spark):
+    rows = [
+        ("a", "price", "10"), ("a", "qty", "3"),
+        ("b", "price", "x"), ("b", "qty", "2"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # precedence: 1 + qty * price = 31; non-numeric price → NULL
+    out = sparql_select(
+        t,
+        "SELECT ?s ?v WHERE { ?s <price> ?p . ?s <qty> ?q . "
+        "BIND(1 + ?q * ?p AS ?v) } ORDER BY ?s",
+    )
+    assert [(r.s, r.v) for r in out.collect()] == [("a", 31.0), ("b", None)]
+    # parens override precedence; division is NULL-safe
+    out = sparql_select(
+        t,
+        "SELECT ?v WHERE { ?s <price> ?p . ?s <qty> ?q . "
+        'FILTER(?s = "a") BIND((?p + ?q) / 0 AS ?v) }',
+    )
+    assert [r.v for r in out.collect()] == [None]
+    # IF over a comparison, COALESCE fills the non-numeric hole
+    out = sparql_select(
+        t,
+        "SELECT ?s ?tag WHERE { ?s <qty> ?q . "
+        'BIND(IF(?q > "2", "big", "small") AS ?tag) } ORDER BY ?s',
+    )
+    assert [(r.s, r.tag) for r in out.collect()] == [
+        ("a", "big"), ("b", "small")
+    ]
+    out = sparql_select(
+        t,
+        "SELECT ?s ?n WHERE { ?s <price> ?p . "
+        'BIND(COALESCE(?p * 1, "0") AS ?n) } ORDER BY ?s',
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [("a", 10.0), ("b", 0.0)]
+
+
 def test_bind_rebinding_raises(spark):
     with pytest.raises(SparqlError):
         sparql_select(
