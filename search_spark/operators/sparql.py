@@ -40,10 +40,13 @@ Supported subset (documented, fail-loud outside it):
   bindings frame first; may chain),
 * ``FILTER [NOT] EXISTS { <pattern or full group> }`` (semi / anti
   join on the shared variables),
-* ``FILTER (expr)`` with comparisons ``= != < <= > >=`` between variables
-  and constants, boolean builtins ``CONTAINS / STRSTARTS / STRENDS /
-  REGEX(?v, "s")`` and ``BOUND(?v)`` (each negatable with ``!``), and
-  ``?v [NOT] IN (t1, t2, ...)``, combined with ``&&`` / ``||``,
+* ``FILTER (expr)`` with comparisons ``= != < <= > >=`` whose sides are
+  full value expressions (variables, constants, BIND builtins,
+  whitespace-separated arithmetic — ``FILTER(STRLEN(?n) > 3)``,
+  ``FILTER(?p * ?q >= ?cap)``), boolean builtins ``CONTAINS /
+  STRSTARTS / STRENDS / REGEX(?v, "s")`` and ``BOUND(?v)`` (each
+  negatable with ``!``), and ``?v [NOT] IN (t1, t2, ...)``, combined
+  with ``&&`` / ``||``,
 * ``BIND(expr AS ?v)`` with ``CONCAT / UCASE / LCASE / STRLEN / STR /
   REPLACE(e, pat, rep) / SUBSTR(e, start[, len]) / COALESCE(e, ...) /
   IF(cmp, then, else)`` plus whitespace-separated arithmetic
@@ -372,7 +375,9 @@ def _parse_filter_expr(p: _Parser) -> list:
     which this subset doesn't support, so it documents left-to-right).
     An atom is one of::
 
-        ("cmp", left, op, right)          ?v < "x"  etc.
+        ("cmp", vexpr, op, vexpr)         ?v < "x", STRLEN(?v) > 3,
+                                          ?a + 1 >= ?b  etc. — each side
+                                          a full BIND value expression
         ("fn", name, [operands], neg)     [!]CONTAINS/STRSTARTS/STRENDS/
                                           REGEX(?v, "s") | [!]BOUND(?v)
         ("in", operand, [terms], neg)     ?v [NOT] IN ("a", "b")
@@ -405,9 +410,13 @@ def _parse_filter_expr(p: _Parser) -> list:
             if fn == "bound" and args[0][0] != "var":
                 raise SparqlError("BOUND takes a variable")
             return ("fn", fn, args, neg)
-        left = operand()
+        left_e = _parse_value_expr(p)
         nxt = p.next()
         if nxt.lower() in ("in", "not"):
+            if left_e[0] != "term":
+                raise SparqlError(
+                    "[NOT] IN takes a variable or literal left side"
+                )
             if nxt.lower() == "not":
                 p.expect("IN")
                 neg = not neg
@@ -421,12 +430,12 @@ def _parse_filter_expr(p: _Parser) -> list:
             p.next()
             if not terms:
                 raise SparqlError("IN list has no terms")
-            return ("in", left, terms, neg)
+            return ("in", left_e[1], terms, neg)
         if neg:
             raise SparqlError("'!' applies to boolean functions only")
         if nxt not in _CMP_OPS:
             raise SparqlError(f"unsupported FILTER operator {nxt!r}")
-        return ("cmp", left, nxt, operand())
+        return ("cmp", left_e, nxt, _parse_value_expr(p))
 
     ast: list = [atom()]
     while p.peek() in ("&&", "||"):
@@ -441,11 +450,24 @@ def _col_of(operand: tuple[str, str]) -> Column:
     return F.col(val) if kind == "var" else F.lit(val)
 
 
+def _numericish(e: tuple) -> bool:
+    """True when a value expression is numeric-valued by construction
+    (arithmetic, or a numeric builtin like STRLEN)."""
+    return e[0] == "arith" or (e[0] == "call" and e[1] == "strlen")
+
+
 def _compile_filter(ast: list) -> Column:
     def atom_col(a: tuple) -> Column:
         if a[0] == "cmp":
             _, left, op, right = a
-            lc, rc = _col_of(left), _col_of(right)
+            lc, rc = _compile_bind_expr(left), _compile_bind_expr(right)
+            if _numericish(left) or _numericish(right):
+                # a numeric-valued side makes the whole comparison
+                # numeric (SPARQL operator semantics); try_cast keeps
+                # non-numeric terms NULL (filtered) instead of an ANSI
+                # cast abort
+                lc = lc.try_cast("double")
+                rc = rc.try_cast("double")
             return {
                 "=": lc == rc,
                 "!=": lc != rc,
@@ -481,8 +503,9 @@ def _compile_filter(ast: list) -> Column:
     return expr
 
 
-def _parse_bind(p: _Parser) -> tuple[list, str]:
-    """``BIND`` already consumed: ``( expr AS ?v )``. Expression AST:
+def _parse_value_expr(p: _Parser) -> tuple:
+    """Parse one value expression (shared by BIND and the comparison
+    sides of FILTER / HAVING). AST:
     ``("term", operand)``, ``("call", fn, [sub-exprs])`` with fn in
     ``_EXPR_FNS`` (nested calls allowed), ``("arith", op, l, r)`` for
     ``+ - * /`` with the usual precedence (operators need surrounding
@@ -543,8 +566,14 @@ def _parse_bind(p: _Parser) -> tuple[list, str]:
             e = ("arith", p.next(), e, mul())
         return e
 
+    return expr()
+
+
+def _parse_bind(p: _Parser) -> tuple[list, str]:
+    """``BIND`` already consumed: ``( expr AS ?v )`` with the shared
+    value-expression grammar (:func:`_parse_value_expr`)."""
     p.expect("(")
-    e = expr()
+    e = _parse_value_expr(p)
     p.expect("AS")
     var = p.next()
     if not var.startswith("?"):

@@ -438,6 +438,56 @@ def test_aggregate_distinct_beyond_count(spark):
     assert got == [("g1", 4.0, 2.0, "1 3"), ("g2", 5.0, 5.0, "5")]
 
 
+def test_filter_value_expressions(spark):
+    rows = [
+        ("a", "price", "10"), ("a", "qty", "3"),
+        ("b", "price", "4"), ("b", "qty", "2"),
+        ("c", "price", "x"), ("c", "qty", "9"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # arithmetic on both sides; non-numeric terms compare as NULL → drop
+    out = sparql_select(
+        t,
+        "SELECT ?s WHERE { ?s <price> ?p . ?s <qty> ?q . "
+        "FILTER(?p * ?q > 8 + 1) } ORDER BY ?s",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    # builtin inside the comparison
+    out = sparql_select(
+        t,
+        "SELECT ?s WHERE { ?s <price> ?p . "
+        "FILTER(STRLEN(?p) >= 2) } ORDER BY ?s",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    # HAVING shares the grammar: computed threshold over an agg alias
+    out = sparql_select(
+        t,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?pr ?o . } "
+        "GROUP BY ?s HAVING(?n * 2 >= 4) ORDER BY ?s",
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [
+        ("a", 2), ("b", 2), ("c", 2)
+    ]
+
+
+def test_optional_group_with_property_path(spark):
+    # a property path inside OPTIONAL compiles as a nested group and
+    # left-joins the outer bindings; unreachable rows keep NULL
+    rows = [
+        ("a", "type", "T"), ("b", "type", "T"),
+        ("a", "next", "m"), ("m", "next", "z"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        t,
+        'SELECT ?s ?r WHERE { ?s <type> "T" . '
+        "OPTIONAL { ?s <next>+ ?r . } } ORDER BY ?s ?r",
+    )
+    assert [(r.s, r.r) for r in out.collect()] == [
+        ("a", "m"), ("a", "z"), ("b", None)
+    ]
+
+
 def test_path_rejects_bad_bounds_and_var(spark):
     with pytest.raises(SparqlError):
         parse_select("SELECT ?a WHERE { ?a <p>{2,5} ?b . }")
