@@ -384,6 +384,67 @@ def test_sparql_zero_paths_random_vs_python_bfs(spark):
         got = {row.x for row in sparql_select(tdf, q).collect()}
         assert got == expected, f"case {case}: {q}"
 
+def test_sparql_filter_arithmetic_random_vs_python(spark):
+    """Random arithmetic FILTER comparisons over part-numeric terms vs a
+    Python mirror of the documented semantics: operands cast value-wise
+    to float, non-numeric terms become None, any None in an arithmetic
+    or comparison yields an unsatisfied filter (NULL drops the row)."""
+    rng = _mk_rng()
+    vals = [str(v) for v in range(-3, 9)] + ["x", "y", ""]
+    triples = sorted(
+        {
+            (f"s{i}", p, rng.choice(vals))
+            for i in range(12)
+            for p in ("pa", "pb")
+        }
+    )
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+    rows = {}
+    for s, p, o in triples:
+        rows.setdefault(s, {})[p] = o
+
+    def num(t):
+        try:
+            return float(t)
+        except ValueError:
+            return None
+
+    ops = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: (a / b) if b != 0 else None,
+    }
+    cmps = {
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    }
+    for case in range(10):
+        aop = rng.choice(list(ops))
+        cop = rng.choice(list(cmps))
+        lit = str(rng.randint(-2, 12))
+        q = (
+            "SELECT ?s WHERE { ?s <pa> ?a . ?s <pb> ?b . "
+            f"FILTER(?a {aop} ?b {cop} {lit}) }}"
+        )
+        expected = set()
+        for s, d in rows.items():
+            if "pa" not in d or "pb" not in d:
+                continue
+            a, b = num(d["pa"]), num(d["pb"])
+            if a is None or b is None:
+                continue
+            v = ops[aop](a, b)
+            if v is not None and cmps[cop](v, float(lit)):
+                expected.add(s)
+        got = {r.s for r in sparql_select(tdf, q).collect()}
+        assert got == expected, f"case {case}: {q}"
+
+
 def test_sparql_negated_sets_random_vs_python(spark):
     """Negated property sets against a direct Python evaluation: forward
     edges outside the forward set ∪ reversed edges outside the inverse
