@@ -113,7 +113,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from search_spark.operators.bgp import match_bgp
+from search_spark.operators.bgp import instantiate_template, match_bgp
 from search_spark.operators.paths import (
     Alt,
     Inv,
@@ -1358,6 +1358,23 @@ def _parse_const_quads(p: _Parser) -> list[tuple[str, str, str, str | None]]:
     return quads
 
 
+def _append_aligned(table, df: DataFrame, op: str):
+    """Schema-align update rows to the snapshot table (missing columns
+    NULL, unknown columns fail-loud) and append as one snapshot."""
+    existing = table.load()
+    if existing is not None:
+        missing = [f for f in existing.schema.fields
+                   if f.name not in df.columns and f.name != "bucket"]
+        for f in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        extra = [c for c in df.columns if c not in existing.columns]
+        if extra:
+            raise SparqlError(
+                f"update columns not in the table schema: {extra}"
+            )
+    return table.append(df, extra_metrics={"op": op})
+
+
 def sparql_update(table, update: str) -> dict:
     """Apply a SPARQL UPDATE to a :class:`~search_spark.io.snapshots.
     SnapshotTable` of triples. Supported forms (fail-loud outside them):
@@ -1376,43 +1393,82 @@ def sparql_update(table, update: str) -> dict:
       pushed-down predicate per constant position — a single
       copy-on-write pass, never a join. Multi-pattern DELETE WHERE
       (join semantics) is rejected.
+    * ``INSERT { template } WHERE { group }`` — SPARQL 1.1 templated
+      insert (derive-and-append): the WHERE group compiles to bindings
+      over the loaded table with the full SELECT-group surface
+      (patterns, paths, OPTIONAL, FILTER, BIND, ...), the template
+      instantiates per binding (NULL ends dropped, distinct), and the
+      result appends as one snapshot under the default graph (NULL
+      ``prov``, ``urn:sparql:update`` bucketing url). Appends are
+      quad-level (no dedup against existing rows), same as INSERT DATA.
+    * ``CLEAR GRAPH <g>`` — copy-on-write delete of every quad whose
+      ``prov`` is the graph label.
 
     Returns ``{"op", "n_rows"|"n_deleted", ...}``. Scale: INSERT DATA is
-    query-sized by construction; deletes rewrite only snapshots that
-    actually contain matches (``delete_where`` skips clean ones)."""
+    query-sized by construction; INSERT WHERE is one declarative
+    bindings plan plus a bucketed append; deletes rewrite only snapshots
+    that actually contain matches (``delete_where`` skips clean ones)."""
     p = _Parser(_tokenize(update))
     head = p.next().lower()
     if head == "insert":
-        p.expect("DATA")
+        if p.peek() is not None and p.peek().lower() == "data":
+            p.next()
+            p.expect("{")
+            quads = _parse_const_quads(p)
+            if p.peek() is not None:
+                raise SparqlError(
+                    f"unexpected trailing token {p.peek()!r}"
+                )
+            rows = [
+                (s, pr, o, g, g if g is not None else "urn:sparql:update")
+                for s, pr, o, g in quads
+            ]
+            df = table.spark.createDataFrame(
+                rows, "subj string, pred string, obj string, prov string,"
+                      " url string"
+            )
+            info = _append_aligned(table, df, "sparql_insert_data")
+            return {"op": "insert_data", "n_rows": info.n_rows,
+                    "snapshot_id": info.snapshot_id}
+        # INSERT { template } WHERE { group } — derive-and-append: the
+        # WHERE bindings compile to the usual declarative plan over the
+        # loaded table, the template instantiates per binding (NULL ends
+        # dropped, distinct), and the result appends as one snapshot.
+        # Query-shaped driver work only; the data path is all DataFrame.
         p.expect("{")
-        quads = _parse_const_quads(p)
+        template = []
+        while p.peek() not in (None, "}"):
+            template.append(_parse_pattern(p))
+        if not template:
+            raise SparqlError("INSERT template has no triples")
+        p.expect("}")
+        p.expect("WHERE")
+        p.expect("{")
+        groups = _parse_where_body(p, PATH_MAX_HOPS)
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
-        rows = [
-            (s, pr, o, g, g if g is not None else "urn:sparql:update")
-            for s, pr, o, g in quads
-        ]
-        df = table.spark.createDataFrame(
-            rows, "subj string, pred string, obj string, prov string, "
-                  "url string"
-        )
         existing = table.load()
-        if existing is not None:
-            missing = [f for f in existing.schema.fields
-                       if f.name not in df.columns and f.name != "bucket"]
-            for f in missing:
-                df = df.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
-                )
-            extra = [c for c in df.columns
-                     if c not in existing.columns]
-            if extra:
-                raise SparqlError(
-                    f"update columns not in the table schema: {extra}"
-                )
-        info = table.append(df, extra_metrics={"op": "sparql_insert_data"})
-        return {"op": "insert_data", "n_rows": info.n_rows,
+        if existing is None:
+            raise SparqlError("INSERT ... WHERE needs a populated table")
+        bindings = _compile_where(existing, groups)
+        new_triples = instantiate_template(bindings, template)
+        # default-graph convention, as INSERT DATA: NULL prov, the
+        # urn:sparql:update bucketing url
+        df = new_triples.withColumn(
+            "prov", F.lit(None).cast("string")
+        ).withColumn("url", F.lit("urn:sparql:update"))
+        info = _append_aligned(table, df, "sparql_insert_where")
+        return {"op": "insert_where", "n_rows": info.n_rows,
                 "snapshot_id": info.snapshot_id}
+    if head == "clear":
+        p.expect("GRAPH")
+        gtok = p.next()
+        if gtok.startswith("?"):
+            raise SparqlError("CLEAR GRAPH takes a constant graph IRI")
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        n = table.delete_where(F.col("prov") == _term(gtok))
+        return {"op": "clear_graph", "n_deleted": n}
     if head != "delete":
         raise SparqlError(f"unsupported update form {head!r}")
     nxt = p.next().lower()

@@ -93,6 +93,53 @@ def test_delete_where_graph_scoped(spark, tmp_path):
     assert _rows(t) == [("alice", "type", "Person", "g2")]
 
 
+def test_insert_where_template(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    # derive symmetric edges for every <knows> pair
+    res = sparql_update(
+        t,
+        "INSERT { ?b <known_by> ?a . ?a <has_contact> ?b . } "
+        "WHERE { ?a <knows> ?b . }",
+    )
+    assert res["op"] == "insert_where" and res["n_rows"] == 4
+    rows = _rows(t)
+    assert ("bob", "known_by", "alice", None) in rows
+    assert ("carol", "known_by", "bob", None) in rows
+    assert ("alice", "has_contact", "bob", None) in rows
+    assert len(rows) == 7
+    urls = {
+        r.url for r in t.load().filter("pred = 'known_by'").collect()
+    }
+    assert urls == {"urn:sparql:update"}
+
+
+def test_insert_where_with_filter_and_constant(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        'INSERT { ?a <flagged> "yes" . } '
+        'WHERE { ?a <knows> ?b . FILTER(STRSTARTS(?a, "a")) }',
+    )
+    assert res["n_rows"] == 1
+    assert ("alice", "flagged", "yes", None) in _rows(t)
+
+
+def test_insert_where_path_template_rejected(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(SparqlError):
+        sparql_update(
+            t, "INSERT { ?a <p>+ ?b . } WHERE { ?a <knows> ?b . }"
+        )
+
+
+def test_clear_graph(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "CLEAR GRAPH <g1>")
+    assert res == {"op": "clear_graph", "n_deleted": 2}
+    rows = _rows(t)
+    assert rows == [("alice", "type", "Person", "g2")]
+
+
 def test_update_round_trip_with_select(spark, tmp_path):
     t = _table(spark, tmp_path)
     sparql_update(t, 'INSERT DATA { GRAPH <g1> { <carol> <knows> "dan" . } }')
@@ -119,8 +166,10 @@ def test_graph_select_filters_prov(spark, tmp_path):
         "INSERT DATA { ?v <p> <o> . }",  # variable in DATA
         "DELETE WHERE { ?s <p> ?o . ?o <q> ?r . }",  # join semantics
         "DELETE WHERE { ?s <p>/<q> ?o . }",  # property path
-        "CLEAR GRAPH <g1>",  # unsupported form
+        "CLEAR GRAPH ?g",  # variable graph
+        "LOAD <http://x>",  # unsupported form
         "INSERT DATA { }",  # empty
+        "INSERT { } WHERE { ?s <p> ?o . }",  # empty template
     ],
 )
 def test_update_rejects(spark, tmp_path, bad):

@@ -187,8 +187,9 @@ def main() -> int:
         "sparql",
         help="run a SPARQL query string over a snapshot KG (SELECT / "
              "CONSTRUCT / ASK / DESCRIBE, plus the UPDATE forms INSERT "
-             "DATA / DELETE DATA / DELETE WHERE which commit a new "
-             "snapshot / copy-on-write delete; operators/sparql.py subset)",
+             "DATA / DELETE DATA / DELETE WHERE / INSERT...WHERE / CLEAR "
+             "GRAPH which commit a new snapshot / copy-on-write delete; "
+             "operators/sparql.py subset)",
     )
     p_sparql.add_argument("--snapshot", required=True,
                           help="snapshot table root")
@@ -483,7 +484,7 @@ def main() -> int:
 
         table = SnapshotTable(spark, args.snapshot)
         head = args.query.lstrip().split(None, 1)[0].lower()
-        if head in ("insert", "delete"):  # SPARQL UPDATE forms
+        if head in ("insert", "delete", "clear"):  # SPARQL UPDATE forms
             print(json.dumps(sparql_update(table, args.query)))
             return 0
         full = table.load(as_of=args.as_of)
