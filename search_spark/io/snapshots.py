@@ -220,6 +220,42 @@ class SnapshotTable:
         number of rows deleted. ``processed/`` markers are untouched: a
         redo re-mines content, it does not forget which urls were seen.
         """
+        # SQL DELETE WHERE removes only rows where the predicate is
+        # definitively TRUE; NULL-predicate rows are retained (the bare
+        # ~condition would silently drop them)
+        return self._rewrite_without(
+            lambda df: df.filter(~F.coalesce(condition, F.lit(False)))
+        )
+
+    def delete_matching(
+        self, keys: DataFrame, on: tuple[str, ...] = ("subj", "pred", "obj")
+    ) -> int:
+        """Join-based copy-on-write delete: remove every row whose ``on``
+        columns match a row of ``keys`` — the Iceberg ``MERGE ... WHEN
+        MATCHED THEN DELETE`` analogue, and the executor for templated
+        SPARQL ``DELETE { ... } WHERE { ... }`` (where the doomed triples
+        are derived, not enumerable as one predicate).
+
+        ``keys`` is deduplicated and eagerly ``localCheckpoint``-ed first:
+        the rewrite loop swaps the very directories a lazily-planned
+        ``keys`` built from this table would re-read mid-loop. Each
+        snapshot is then rewritten via ``LEFT ANTI`` join (AQE broadcasts
+        query-sized key sets; bigger ones shuffle — either way no driver
+        collect). Rows with a NULL in any join column never match an anti
+        join, so they are retained, consistent with
+        :meth:`delete_where`'s NULL-predicate rule. Returns rows deleted.
+        """
+        keys = keys.select(*on).distinct().localCheckpoint(eager=True)
+        return self._rewrite_without(
+            lambda df: df.join(keys, on=list(on), how="left_anti")
+        )
+
+    def _rewrite_without(self, transform) -> int:
+        """Shared copy-on-write loop for :meth:`delete_where` /
+        :meth:`delete_matching`: rewrite each committed snapshot as
+        ``transform(df)`` (which must only drop rows), swap directories
+        atomically, and update lineage with recomputed counts plus a
+        ``deletes`` audit entry."""
         total = 0
         for k in self.snapshots():
             path = f"{self.root}/data/snapshot={k}"
@@ -227,10 +263,7 @@ class SnapshotTable:
                 continue  # already tombstoned by a previous delete
             df = self.spark.read.parquet(path)
             n_before = df.count()
-            # SQL DELETE WHERE removes only rows where the predicate is
-            # definitively TRUE; NULL-predicate rows are retained (the bare
-            # ~condition would silently drop them)
-            remaining = df.filter(~F.coalesce(condition, F.lit(False)))
+            remaining = transform(df)
             n_after = remaining.count()
             if n_after == n_before:
                 continue

@@ -156,7 +156,9 @@ _BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound"}
 
 #: value-expression builtins usable inside BIND(... AS ?v)
 _EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
-             "substr", "coalesce", "if"}
+             "substr", "coalesce", "if",
+             "abs", "ceil", "floor", "round",
+             "strbefore", "strafter", "md5", "sha1", "sha256"}
 
 _ARITH_OPS = ("+", "-", "*", "/")
 
@@ -453,7 +455,10 @@ def _col_of(operand: tuple[str, str]) -> Column:
 def _numericish(e: tuple) -> bool:
     """True when a value expression is numeric-valued by construction
     (arithmetic, or a numeric builtin like STRLEN)."""
-    return e[0] == "arith" or (e[0] == "call" and e[1] == "strlen")
+    return e[0] == "arith" or (
+        e[0] == "call"
+        and e[1] in ("strlen", "abs", "ceil", "floor", "round")
+    )
 
 
 def _compile_filter(ast: list) -> Column:
@@ -625,6 +630,31 @@ def _compile_bind_expr(e: tuple) -> Column:
         return cols[0].cast("string")
     if fn == "coalesce":
         return F.coalesce(*cols)
+    if fn == "abs":
+        return F.abs(cols[0].try_cast("double"))
+    if fn in ("ceil", "floor"):
+        # cast back to double so CEIL/FLOOR results compose with the
+        # engine's double-valued arithmetic
+        c = cols[0].try_cast("double")
+        return (F.ceil(c) if fn == "ceil" else F.floor(c)).cast("double")
+    if fn == "round":
+        return F.round(cols[0].try_cast("double"), 0)
+    if fn in ("strbefore", "strafter"):
+        if len(args) != 2:
+            raise SparqlError(f"{fn.upper()} takes (string, search)")
+        pos = F.instr(cols[0], cols[1])
+        if fn == "strbefore":
+            # SPARQL: "" when the search string does not occur
+            return F.when(
+                pos > 0, F.substring(cols[0], F.lit(1), pos - 1)
+            ).otherwise(F.lit(""))
+        return F.when(
+            pos > 0, cols[0].substr(pos + F.length(cols[1]), F.lit(1 << 30))
+        ).otherwise(F.lit(""))
+    if fn in ("md5", "sha1"):
+        return (F.md5 if fn == "md5" else F.sha1)(cols[0].cast("string"))
+    if fn == "sha256":
+        return F.sha2(cols[0].cast("string"), 256)
     if fn == "replace":
         if len(args) != 3 or args[1][0] != "term" or args[1][1][0] != "lit" \
                 or args[2][0] != "term" or args[2][1][0] != "lit":
@@ -666,6 +696,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     select_vars: list[str] = []  # output names in projection order
     # (fn, distinct, arg, alias, group_concat-separator)
     aggs: list[tuple[str, bool, str, str, str]] = []
+    select_exprs: list[tuple[tuple, str]] = []  # (value-expr AST, alias)
     star = False
     while True:
         tok = p.peek()
@@ -680,6 +711,21 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
         elif tok.startswith("?"):
             select_vars.append(tok[1:])
         elif tok == "(":
+            if p.peek() is not None and p.peek().lower() not in _AGG_FNS:
+                # SPARQL 1.1 projection expression: ( expr AS ?alias ) —
+                # the shared BIND value-expression grammar; evaluated
+                # after grouping, so it may reference aggregate aliases
+                e = _parse_value_expr(p)
+                p.expect("AS")
+                alias = p.next()
+                if not alias.startswith("?"):
+                    raise SparqlError(
+                        f"projection alias must be a variable, got {alias!r}"
+                    )
+                p.expect(")")
+                select_exprs.append((e, alias[1:]))
+                select_vars.append(alias[1:])
+                continue
             fn = p.next().lower()
             if fn not in _AGG_FNS:
                 raise SparqlError(f"unsupported aggregate {fn!r}")
@@ -717,8 +763,10 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
             select_vars.append(alias[1:])
         else:
             raise SparqlError(f"bad SELECT term {tok!r}")
-    if star and aggs:
-        raise SparqlError("SELECT * cannot mix with aggregates")
+    if star and (aggs or select_exprs):
+        raise SparqlError(
+            "SELECT * cannot mix with aggregates or projection expressions"
+        )
     if not star and not select_vars:
         raise SparqlError("SELECT binds no variables")
     p.expect("{")
@@ -766,6 +814,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
             raise SparqlError(f"unexpected trailing token {tok!r}")
     if aggs:
         alias_set = {a for _, _, _, a, _ in aggs}
+        alias_set |= {a for _, a in select_exprs}
         bad = [v for v in select_vars
                if v not in alias_set and v not in group_by]
         if bad:
@@ -785,6 +834,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     return {
         "distinct": distinct,
         "select": select_vars,  # empty means *
+        "select_exprs": select_exprs,
         "aggs": aggs,
         "group_by": group_by,
         "having": having,
@@ -1254,6 +1304,35 @@ def sparql_select(triples: DataFrame, query: str,
     return _compile_select(triples, parse_select(query, path_max_hops))
 
 
+def _expr_vars(e: tuple) -> set[str]:
+    """Variables referenced anywhere in a value-expression AST."""
+    if e[0] == "term":
+        return {e[1][1]} if e[1][0] == "var" else set()
+    if e[0] == "arith":
+        return _expr_vars(e[2]) | _expr_vars(e[3])
+    if e[0] == "if":
+        _, (_, cl, cr), then_e, else_e = e
+        return (_expr_vars(cl) | _expr_vars(cr)
+                | _expr_vars(then_e) | _expr_vars(else_e))
+    return set().union(*(_expr_vars(a) for a in e[2])) if e[2] else set()
+
+
+def _apply_select_exprs(out: DataFrame, q: dict) -> DataFrame:
+    """Evaluate ``( expr AS ?alias )`` projection expressions in order —
+    after grouping when aggregates are present (so an expression may
+    reference aggregate aliases, and a later expression an earlier one),
+    fail-loud on unbound references."""
+    for ast, alias in q.get("select_exprs", ()):
+        unbound = _expr_vars(ast) - set(out.columns)
+        if unbound:
+            raise SparqlError(
+                f"projection expression ?{alias} references unbound "
+                f"variables: {sorted(unbound)}"
+            )
+        out = out.withColumn(alias, _compile_bind_expr(ast))
+    return out
+
+
 def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
     """Compile a parsed SELECT dict (top-level query or subquery) to a
     DataFrame: WHERE bindings → aggregation → HAVING → projection →
@@ -1310,8 +1389,10 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
             # aggregate aliases are plain columns here, so HAVING shares
             # the FILTER expression grammar and compiler
             out = out.filter(_compile_filter(ast))
+        out = _apply_select_exprs(out, q)
         out = out.select(*q["select"])
     elif q["select"]:
+        out = _apply_select_exprs(out, q)
         missing = [v for v in q["select"] if v not in out.columns]
         if missing:
             raise SparqlError(f"SELECT variables never bound: {missing}")
@@ -1360,7 +1441,11 @@ def _parse_const_quads(p: _Parser) -> list[tuple[str, str, str, str | None]]:
 
 def _append_aligned(table, df: DataFrame, op: str):
     """Schema-align update rows to the snapshot table (missing columns
-    NULL, unknown columns fail-loud) and append as one snapshot."""
+    NULL, unknown columns fail-loud) and append as one snapshot. Returns
+    ``None`` without committing when there is nothing to insert — a
+    partitioned write of an empty DataFrame emits only ``_SUCCESS``
+    (unreadable on the append read-back), and an empty snapshot would be
+    pure lineage noise anyway."""
     existing = table.load()
     if existing is not None:
         missing = [f for f in existing.schema.fields
@@ -1372,6 +1457,8 @@ def _append_aligned(table, df: DataFrame, op: str):
             raise SparqlError(
                 f"update columns not in the table schema: {extra}"
             )
+    if df.isEmpty():
+        return None
     return table.append(df, extra_metrics={"op": op})
 
 
@@ -1387,12 +1474,19 @@ def sparql_update(table, update: str) -> dict:
     * ``DELETE DATA { [GRAPH <g> {] t1 ... [}] }`` — copy-on-write
       delete of exactly those triples (``prov`` must also match when a
       graph is given).
-    * ``DELETE WHERE { <one triple pattern> }`` (optionally inside
-      ``GRAPH <g>``) — deletes every triple matching the pattern;
-      variables match anything, so the whole form compiles to one
-      pushed-down predicate per constant position — a single
-      copy-on-write pass, never a join. Multi-pattern DELETE WHERE
-      (join semantics) is rejected.
+    * ``DELETE WHERE { patterns }`` (optionally inside ``GRAPH <g>``) —
+      deletes every triple matching the pattern(s). One pattern
+      compiles to one pushed-down predicate per constant position — a
+      single copy-on-write pass, never a join; multiple patterns take
+      SPARQL's own expansion ``DELETE { P } WHERE { P }`` through the
+      modify path below (join semantics).
+    * ``DELETE { template } [INSERT { template }] WHERE { group }`` —
+      the full SPARQL 1.1 modify form: WHERE bindings evaluate once
+      against the pre-update store (full SELECT-group surface), the
+      DELETE template's instantiations are removed via anti-join
+      copy-on-write (:meth:`SnapshotTable.delete_matching`, matching
+      ``(subj, pred, obj)`` across all graphs), then the INSERT
+      template's instantiations append under the default graph.
     * ``INSERT { template } WHERE { group }`` — SPARQL 1.1 templated
       insert (derive-and-append): the WHERE group compiles to bindings
       over the loaded table with the full SELECT-group surface
@@ -1451,13 +1545,15 @@ def sparql_update(table, update: str) -> dict:
         if existing is None:
             raise SparqlError("INSERT ... WHERE needs a populated table")
         bindings = _compile_where(existing, groups)
-        new_triples = instantiate_template(bindings, template)
+        new_triples = _instantiate(bindings, template)
         # default-graph convention, as INSERT DATA: NULL prov, the
         # urn:sparql:update bucketing url
         df = new_triples.withColumn(
             "prov", F.lit(None).cast("string")
         ).withColumn("url", F.lit("urn:sparql:update"))
         info = _append_aligned(table, df, "sparql_insert_where")
+        if info is None:  # WHERE matched nothing: no-op, no snapshot
+            return {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
         return {"op": "insert_where", "n_rows": info.n_rows,
                 "snapshot_id": info.snapshot_id}
     if head == "clear":
@@ -1488,6 +1584,20 @@ def sparql_update(table, update: str) -> dict:
                 c = c & (F.col("prov") == g)
             cond = c if cond is None else (cond | c)
         return {"op": "delete_data", "n_deleted": table.delete_where(cond)}
+    if nxt == "{":
+        # SPARQL 1.1 modify: DELETE { tpl } [INSERT { tpl }] WHERE { group }
+        del_template = _parse_update_template(p, "DELETE")
+        ins_template = None
+        if p.peek() is not None and p.peek().lower() == "insert":
+            p.next()
+            p.expect("{")
+            ins_template = _parse_update_template(p, "INSERT")
+        p.expect("WHERE")
+        p.expect("{")
+        groups = _parse_where_body(p, PATH_MAX_HOPS)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        return _apply_modify(table, del_template, ins_template, groups)
     if nxt != "where":
         raise SparqlError(f"unsupported update form DELETE {nxt!r}")
     p.expect("{")
@@ -1499,19 +1609,22 @@ def sparql_update(table, update: str) -> dict:
             raise SparqlError("DELETE WHERE graph term must be constant")
         graph = _term(gtok)
         p.expect("{")
-    s, pr, o = _parse_pattern(p)
-    if not isinstance(pr, str):
-        raise SparqlError("DELETE WHERE does not take property paths")
-    if p.peek() != "}":
-        raise SparqlError(
-            "DELETE WHERE supports exactly one triple pattern (join "
-            "semantics would need a full rewrite per binding)"
-        )
-    p.next()
+    pats = _parse_update_template(p, "DELETE WHERE")
     if graph is not None:
         p.expect("}")
     if p.peek() is not None:
         raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+    if len(pats) > 1:
+        # DELETE WHERE { P1 . P2 } == DELETE { P1 . P2 } WHERE { P1 . P2 }
+        # (SPARQL 1.1 Update §3.1.3) — join semantics, via the modify path
+        if graph is not None:
+            raise SparqlError(
+                "multi-pattern DELETE WHERE does not take GRAPH"
+            )
+        return _apply_modify(table, pats, None, [_plain_group(pats)])
+    # one pattern: each constant position compiles to one pushed-down
+    # predicate — a single copy-on-write pass, never a join
+    s, pr, o = pats[0]
     cond = F.lit(True)
     for colname, term in (("subj", s), ("pred", pr), ("obj", o)):
         if not term.startswith("?"):
@@ -1519,3 +1632,74 @@ def sparql_update(table, update: str) -> dict:
     if graph is not None:
         cond = cond & (F.col("prov") == graph)
     return {"op": "delete_where", "n_deleted": table.delete_where(cond)}
+
+
+def _parse_update_template(p: _Parser, what: str) -> list[tuple]:
+    """``{`` already consumed: plain triple patterns (variables allowed,
+    property paths not) up to the closing ``}``, which is consumed."""
+    template = []
+    while p.peek() not in (None, "}"):
+        pat = _parse_pattern(p)
+        if not isinstance(pat[1], str):
+            raise SparqlError(f"{what} templates do not take property paths")
+        template.append(pat)
+    p.expect("}")
+    if not template:
+        raise SparqlError(f"{what} template has no triples")
+    return template
+
+
+def _plain_group(patterns: list[tuple]) -> dict:
+    """A bare group dict (as :func:`_parse_group` would return) holding
+    only required patterns."""
+    return {"patterns": list(patterns), "optional": [], "not_exists": [],
+            "exists": [], "filters": [], "values": [], "binds": [],
+            "minus": [], "optional_groups": [], "exists_groups": [],
+            "not_exists_groups": [], "subselects": []}
+
+
+def _instantiate(bindings: DataFrame, template: list[tuple]) -> DataFrame:
+    """instantiate_template with its ValueErrors (unbound template
+    variable, malformed entry) surfaced as SparqlError."""
+    try:
+        return instantiate_template(bindings, template)
+    except SparqlError:
+        raise
+    except ValueError as e:
+        raise SparqlError(str(e)) from e
+
+
+def _apply_modify(table, del_template: list[tuple],
+                  ins_template: list[tuple] | None, groups: list[dict],
+                  ) -> dict:
+    """Execute ``DELETE { tpl } [INSERT { tpl }] WHERE { group }``:
+    evaluate the WHERE bindings ONCE against the pre-update store,
+    instantiate both templates from those bindings, apply the delete,
+    then the insert (SPARQL 1.1 Update §3.1.3 ordering).
+
+    The derived doomed/new triples are eagerly materialized
+    (``localCheckpoint``) before any rewrite — their lazy plans read the
+    very snapshot directories the delete swaps out. Deletes match on
+    ``(subj, pred, obj)`` across all graphs (the store's default-graph
+    view is the union of its quads); inserts land under the default
+    graph (NULL ``prov``), same as ``INSERT ... WHERE``. Scale: one
+    declarative bindings plan, one anti-join rewrite per snapshot, one
+    bucketed append — no per-binding driver work."""
+    existing = table.load()
+    if existing is None:
+        raise SparqlError("DELETE/INSERT ... WHERE needs a populated table")
+    bindings = _compile_where(existing, groups)
+    doomed = _instantiate(bindings, del_template)
+    ins_df = None
+    if ins_template is not None:
+        ins_df = _instantiate(bindings, ins_template).withColumn(
+            "prov", F.lit(None).cast("string")
+        ).withColumn("url", F.lit("urn:sparql:update"))
+        ins_df = ins_df.localCheckpoint(eager=True)
+    n_deleted = table.delete_matching(doomed)
+    out = {"op": "modify", "n_deleted": n_deleted}
+    if ins_df is not None:
+        info = _append_aligned(table, ins_df, "sparql_modify_insert")
+        out["n_rows"] = 0 if info is None else info.n_rows
+        out["snapshot_id"] = None if info is None else info.snapshot_id
+    return out

@@ -904,3 +904,121 @@ def test_describe_variable_unbound_raises(spark):
         sparql_query(
             _triples(spark), 'DESCRIBE ?zz WHERE { ?p <type> "Robot" . }'
         )
+
+
+# ---- SELECT projection expressions: ( expr AS ?alias ) ----
+
+
+def test_select_expr_string_fn(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (UCASE(?b) AS ?ub) WHERE { ?a <knows> ?b . } "
+        "ORDER BY ?a ?ub",
+    )
+    assert [(r.a, r.ub) for r in out.collect()] == [
+        ("alice", "BOB"), ("alice", "CAROL"), ("bob", "CAROL"),
+    ]
+
+
+def test_select_expr_arithmetic_and_concat(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT (STRLEN(?b) + 1 AS ?n) (CONCAT(?a, "-", ?b) AS ?pair) '
+        "WHERE { ?a <knows> ?b . } ORDER BY ?pair",
+    )
+    rows = [(r.n, r.pair) for r in out.collect()]
+    assert rows == [
+        (4.0, "alice-bob"), (6.0, "alice-carol"), (6.0, "bob-carol"),
+    ]
+
+
+def test_select_expr_over_aggregate_alias(spark):
+    # expressions evaluate after grouping, so they may reference
+    # aggregate aliases
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) (?n * 10 AS ?n10) "
+        "WHERE { ?a <knows> ?b . } GROUP BY ?a ORDER BY ?a",
+    )
+    assert [(r.a, r.n, r.n10) for r in out.collect()] == [
+        ("alice", 2, 20.0), ("bob", 1, 10.0),
+    ]
+
+
+def test_select_expr_chained_aliases(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT (STRLEN(?a) AS ?n) (?n + ?n AS ?nn) "
+        'WHERE { ?a <type> "Robot" . }',
+    )
+    assert [(r.n, r.nn) for r in out.collect()] == [(5, 10.0)]
+
+
+def test_select_expr_unbound_reference_rejected(spark):
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            _triples(spark),
+            "SELECT (?zzz + 1 AS ?x) WHERE { ?a <knows> ?b . }",
+        )
+
+
+def test_select_star_with_expr_rejected(spark):
+    with pytest.raises(SparqlError):
+        sparql_select(
+            _triples(spark),
+            "SELECT * (STRLEN(?a) AS ?n) WHERE { ?a <knows> ?b . }",
+        )
+
+
+def test_bind_numeric_builtins(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?f ?c ?r ?ab WHERE { ?a <knows> ?b . "
+        "BIND(STRLEN(?a) / 2 AS ?h) "
+        "BIND(FLOOR(?h) AS ?f) BIND(CEIL(?h) AS ?c) "
+        "BIND(ROUND(?h) AS ?r) BIND(ABS(0 - ?h) AS ?ab) } "
+        "ORDER BY ?a ?f",
+    ).distinct()
+    rows = sorted((r.a, r.f, r.c, r.r, r.ab) for r in out.collect())
+    # alice: strlen 5 -> h=2.5; bob: strlen 3 -> h=1.5
+    assert rows == [
+        ("alice", 2.0, 3.0, 3.0, 2.5),
+        ("bob", 1.0, 2.0, 2.0, 1.5),
+    ]
+
+
+def test_bind_strbefore_strafter(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?b ?pre ?post ?miss WHERE { ?a <knows> ?b . '
+        'BIND(STRBEFORE(?b, "o") AS ?pre) '
+        'BIND(STRAFTER(?b, "o") AS ?post) '
+        'BIND(STRAFTER(?b, "zz") AS ?miss) } ORDER BY ?b',
+    ).distinct()
+    rows = sorted((r.b, r.pre, r.post, r.miss) for r in out.collect())
+    assert rows == [("bob", "b", "b", ""), ("carol", "car", "l", "")]
+
+
+def test_bind_hash_builtins(spark):
+    import hashlib
+
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?m ?s1 ?s2 WHERE { ?a <type> "Robot" . '
+        "BIND(MD5(?a) AS ?m) BIND(SHA1(?a) AS ?s1) "
+        "BIND(SHA256(?a) AS ?s2) }",
+    )
+    r = out.collect()[0]
+    assert r.m == hashlib.md5(b"carol").hexdigest()
+    assert r.s1 == hashlib.sha1(b"carol").hexdigest()
+    assert r.s2 == hashlib.sha256(b"carol").hexdigest()
+
+
+def test_filter_numeric_builtin_comparison(spark):
+    # FLOOR in a FILTER comparison side takes the numeric compare path
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { ?a <knows> ?b . "
+        "FILTER(FLOOR(STRLEN(?a) / 2) >= 2) }",
+    ).distinct()
+    assert [r.a for r in out.collect()] == ["alice"]

@@ -93,6 +93,89 @@ def test_delete_where_graph_scoped(spark, tmp_path):
     assert _rows(t) == [("alice", "type", "Person", "g2")]
 
 
+def test_delete_where_multi_pattern_join(spark, tmp_path):
+    """DELETE WHERE { P1 . P2 } expands to DELETE { P1 . P2 } WHERE
+    { P1 . P2 } (SPARQL 1.1 Update §3.1.3) — join semantics: only the
+    chain's own triples go."""
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t, "DELETE WHERE { ?a <knows> ?b . ?b <knows> ?c . }"
+    )
+    # the alice→bob→carol chain instantiates both patterns; the type
+    # triple survives
+    assert res["op"] == "modify" and res["n_deleted"] == 2
+    assert _rows(t) == [("alice", "type", "Person", "g2")]
+
+
+def test_modify_delete_insert(spark, tmp_path):
+    """Full modify form: WHERE evaluates once against the pre-update
+    store; deletes apply before inserts."""
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        "DELETE { ?s <knows> ?o . } INSERT { ?o <knownBy> ?s . } "
+        "WHERE { ?s <knows> ?o . }",
+    )
+    assert res["n_deleted"] == 2 and res["n_rows"] == 2
+    rows = _rows(t)
+    assert ("bob", "knownBy", "alice", None) in rows
+    assert ("carol", "knownBy", "bob", None) in rows
+    assert not [r for r in rows if r[1] == "knows"]
+    assert len(rows) == 3  # 2 inserted + the untouched type triple
+
+
+def test_modify_delete_matches_across_graphs(spark, tmp_path):
+    """Templated deletes match (subj, pred, obj) across all graphs —
+    the default-graph view is the union of the store's quads."""
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        'DELETE { ?s <type> "Person" . } WHERE { ?s <knows> ?o . }'
+    )
+    # alice knows bob -> (alice, type, Person) goes even though its
+    # prov is g2; bob has no type triple so nothing else matches
+    assert res["n_deleted"] == 1
+    assert not [r for r in _rows(t) if r[1] == "type"]
+
+
+def test_modify_empty_where_is_noop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snaps_before = t.snapshots()
+    res = sparql_update(
+        t,
+        "DELETE { ?s <knows> ?o . } INSERT { ?s <met> ?o . } "
+        "WHERE { ?s <nosuchpred> ?o . }",
+    )
+    assert res == {"op": "modify", "n_deleted": 0, "n_rows": 0,
+                   "snapshot_id": None}
+    assert len(_rows(t)) == 3
+    assert t.snapshots() == snaps_before  # no empty snapshot committed
+
+
+def test_insert_where_empty_bindings_no_snapshot(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snaps_before = t.snapshots()
+    res = sparql_update(
+        t, "INSERT { ?s <met> ?o . } WHERE { ?s <nosuchpred> ?o . }"
+    )
+    assert res == {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
+    assert t.snapshots() == snaps_before
+
+
+def test_modify_with_filter_group(spark, tmp_path):
+    """The WHERE group keeps the full SELECT surface (FILTER here)."""
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        'DELETE { ?s <knows> ?o . } WHERE '
+        '{ ?s <knows> ?o . FILTER(?s = "alice") }',
+    )
+    assert res["n_deleted"] == 1
+    rows = _rows(t)
+    assert ("bob", "knows", "carol", "g1") in rows
+    assert ("alice", "knows", "bob", "g1") not in rows
+
+
 def test_insert_where_template(spark, tmp_path):
     t = _table(spark, tmp_path)
     # derive symmetric edges for every <knows> pair
@@ -164,8 +247,11 @@ def test_graph_select_filters_prov(spark, tmp_path):
     "bad",
     [
         "INSERT DATA { ?v <p> <o> . }",  # variable in DATA
-        "DELETE WHERE { ?s <p> ?o . ?o <q> ?r . }",  # join semantics
         "DELETE WHERE { ?s <p>/<q> ?o . }",  # property path
+        "DELETE { ?s <p>/<q> ?o . } WHERE { ?s <p> ?o . }",  # path in tpl
+        "DELETE { ?s <p> ?x . } WHERE { ?s <p> ?o . }",  # unbound tpl var
+        "DELETE { } WHERE { ?s <p> ?o . }",  # empty delete template
+        "DELETE WHERE { GRAPH <g1> { ?s <p> ?o . ?o <q> ?r . } }",  # graph+multi
         "CLEAR GRAPH ?g",  # variable graph
         "LOAD <http://x>",  # unsupported form
         "INSERT DATA { }",  # empty
