@@ -790,16 +790,29 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
                 nxt = p.peek()
                 if nxt is None or nxt.lower() in ("limit", "offset", "group"):
                     break
-                nxt = p.next()
                 desc = False
                 if nxt.lower() in ("desc", "asc"):
+                    p.next()
                     desc = nxt.lower() == "desc"
                     p.expect("(")
-                    nxt = p.next()
+                    key: object = _parse_value_expr(p)
                     p.expect(")")
-                if not nxt.startswith("?"):
-                    raise SparqlError(f"ORDER BY expects a variable, got {nxt!r}")
-                order.append((nxt[1:], desc))
+                    # DESC(?v) sorts on the variable itself, not a copy
+                    if key[0] == "term" and key[1][0] == "var":
+                        key = key[1][1]
+                elif nxt.startswith("?"):
+                    key = p.next()[1:]
+                elif nxt == "(":
+                    # bare parenthesized sort expression: ORDER BY (expr)
+                    p.next()
+                    key = _parse_value_expr(p)
+                    p.expect(")")
+                else:
+                    raise SparqlError(
+                        f"ORDER BY expects ?var, DESC/ASC(expr) or "
+                        f"(expr), got {nxt!r}"
+                    )
+                order.append((key, desc))
         elif tok == "group":
             p.expect("BY")
             while p.peek() is not None and p.peek().startswith("?"):
@@ -1400,9 +1413,20 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
         if q["distinct"]:
             out = out.distinct()
     if q["order"]:
-        out = out.orderBy(
-            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q["order"]]
-        )
+        keys = []
+        for v, d in q["order"]:
+            if isinstance(v, str):
+                col = F.col(v)
+            else:  # ORDER BY DESC/ASC(expr) / (expr): a sort expression
+                unbound = _expr_vars(v) - set(out.columns)
+                if unbound:
+                    raise SparqlError(
+                        f"ORDER BY expression references unbound "
+                        f"variables: {sorted(unbound)}"
+                    )
+                col = _compile_bind_expr(v)
+            keys.append(col.desc() if d else col.asc())
+        out = out.orderBy(*keys)
     if q["offset"] is not None:
         out = out.offset(q["offset"])
     if q["limit"] is not None:

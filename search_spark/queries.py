@@ -3943,6 +3943,49 @@ ORDER BY bt
 """
 
 
+def _q_sparql_expr_project(spark, sf_dir):
+    """SPARQL 1.1 projection expressions ``( expr AS ?alias )`` over a
+    grouped query: expressions evaluate after the hash aggregate (so
+    ``?n2`` references the ``?n`` aggregate alias) and compile to plain
+    Catalyst column expressions in the same projection — no extra
+    shuffle, no UDF. Exercises the numeric (``FLOOR``, arithmetic),
+    string (``UCASE``, ``STRBEFORE``) and hash (``MD5``) builtins."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = f"""
+    SELECT ?bt (COUNT(?a) AS ?n) (?n * 2 AS ?n2) (FLOOR(?n / 2) AS ?half)
+           (UCASE(?bt) AS ?ubt) (STRBEFORE(?bt, "E") AS ?pre)
+           (MD5(?bt) AS ?h)
+    WHERE {{ ?a <{DIFF}> ?b . ?b <has_type> ?bt . }}
+    GROUP BY ?bt ORDER BY ?bt
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_EXPR_PROJECT = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations)
+SELECT bt, COUNT(a) AS n,
+       CAST(COUNT(a) * 2 AS DOUBLE) AS n2,
+       CAST(FLOOR(CAST(COUNT(a) AS DOUBLE) / 2) AS DOUBLE) AS half,
+       UPPER(bt) AS ubt,
+       CASE WHEN strpos(bt, 'E') > 0
+            THEN substr(bt, 1, strpos(bt, 'E') - 1) ELSE '' END AS pre,
+       md5(bt) AS h
+FROM (SELECT DISTINCT p1.subj AS a, p1.obj AS b, p3.obj AS bt
+      FROM (SELECT DISTINCT subj, obj FROM triples WHERE pred = '{DIFF}') p1
+      JOIN (SELECT DISTINCT subj, obj FROM triples
+            WHERE pred = 'has_type') p3
+        ON p3.subj = p1.obj)
+GROUP BY bt
+ORDER BY bt
+"""
+
+
 def _q_sparql_union_values(spark, sf_dir):
     """SPARQL UNION of two group patterns plus a VALUES inline-data
     restriction: each branch compiles independently (the second one's
@@ -6776,6 +6819,9 @@ QUERIES: dict[str, Q] = {
     "kg_bgp_match": Q(_q_kg_bgp_match, _SQL_KG_BGP_MATCH),
     "sparql_select": Q(_q_sparql_select, _SQL_SPARQL_SELECT),
     "sparql_aggregate": Q(_q_sparql_aggregate, _SQL_SPARQL_AGGREGATE),
+    "sparql_expr_project": Q(
+        _q_sparql_expr_project, _SQL_SPARQL_EXPR_PROJECT
+    ),
     "sparql_union_values": Q(_q_sparql_union_values, _SQL_SPARQL_UNION_VALUES),
     "sparql_property_path": Q(
         _q_sparql_property_path, _SQL_SPARQL_PROPERTY_PATH

@@ -622,3 +622,78 @@ def test_sparql_subquery_random_vs_python(spark):
         assert got == expected, f"case {case}: {query}"
         n_nonempty += bool(expected)
     assert n_nonempty >= 5
+
+
+def test_sparql_projection_exprs_random_vs_python(spark):
+    """Random ( expr AS ?alias ) projection expressions over random BGP
+    bindings vs a Python mirror — covers the expression grammar end to
+    end (UCASE/LCASE, STRLEN arithmetic, STRBEFORE/STRAFTER, MD5,
+    CONCAT, FLOOR) through the tokenizer, parser and column compiler."""
+    import hashlib
+
+    rng = _mk_rng()
+    triples = _random_triples(rng)
+    tdf = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    ).cache()
+    tdf.count()
+
+    def gen_expr(rng, v, alias):
+        kind = rng.choice(
+            ["ucase", "lcase", "len_arith", "before", "after", "md5",
+             "concat", "floor"]
+        )
+        if kind == "ucase":
+            return f"(UCASE(?{v}) AS ?{alias})", lambda b: b[v].upper()
+        if kind == "lcase":
+            return f"(LCASE(?{v}) AS ?{alias})", lambda b: b[v].lower()
+        if kind == "len_arith":
+            k = rng.randint(1, 5)
+            return (
+                f"(STRLEN(?{v}) * 2 + {k} AS ?{alias})",
+                lambda b, k=k: float(len(b[v]) * 2 + k),
+            )
+        if kind == "before":
+            c = rng.choice(["n", "1", "z"])
+            return (
+                f'(STRBEFORE(?{v}, "{c}") AS ?{alias})',
+                lambda b, c=c: b[v][: b[v].index(c)] if c in b[v] else "",
+            )
+        if kind == "after":
+            c = rng.choice(["n", "2", "z"])
+            return (
+                f'(STRAFTER(?{v}, "{c}") AS ?{alias})',
+                lambda b, c=c: (
+                    b[v][b[v].index(c) + 1:] if c in b[v] else ""
+                ),
+            )
+        if kind == "md5":
+            return (
+                f"(MD5(?{v}) AS ?{alias})",
+                lambda b: hashlib.md5(b[v].encode()).hexdigest(),
+            )
+        if kind == "concat":
+            return (
+                f'(CONCAT(?{v}, ":", ?{v}) AS ?{alias})',
+                lambda b: b[v] + ":" + b[v],
+            )
+        return (
+            f"(FLOOR(STRLEN(?{v}) / 2) AS ?{alias})",
+            lambda b: float(len(b[v]) // 2),
+        )
+
+    for case in range(10):
+        patterns = _gen_chain(rng)
+        variables = _bound_vars(patterns)
+        keep = rng.choice(variables)
+        exprs = [gen_expr(rng, rng.choice(variables), f"e{i}")
+                 for i in range(rng.randint(1, 3))]
+        frag = " ".join(f for f, _ in exprs)
+        q = (f"SELECT ?{keep} {frag} WHERE "
+             f"{{ {_render_patterns(patterns)} }}")
+        expected = {
+            tuple([b[keep]] + [fn(b) for _, fn in exprs])
+            for b in _eval_patterns(triples, patterns)
+        }
+        got = {tuple(r) for r in sparql_select(tdf, q).collect()}
+        assert got == expected, f"case {case}: {q}"

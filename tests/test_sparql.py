@@ -1022,3 +1022,34 @@ def test_filter_numeric_builtin_comparison(spark):
         "FILTER(FLOOR(STRLEN(?a) / 2) >= 2) }",
     ).distinct()
     assert [r.a for r in out.collect()] == ["alice"]
+
+
+def test_order_by_expression(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . } "
+        "ORDER BY DESC(STRLEN(?b)) ?a ?b",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [
+        ("alice", "carol"), ("bob", "carol"), ("alice", "bob"),
+    ]
+
+
+def test_order_by_bare_parenthesized_expr(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . } "
+        "ORDER BY (CONCAT(?b, ?a))",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [
+        ("alice", "bob"), ("alice", "carol"), ("bob", "carol"),
+    ]
+
+
+def test_order_by_expr_unbound_rejected(spark):
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?a WHERE { ?a <knows> ?b . } "
+            "ORDER BY DESC(STRLEN(?zz))",
+        )
