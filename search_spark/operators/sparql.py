@@ -1317,6 +1317,42 @@ def sparql_select(triples: DataFrame, query: str,
     return _compile_select(triples, parse_select(query, path_max_hops))
 
 
+def to_sparql_results_json(rows: list, columns: list[str]) -> dict:
+    """Serialize collected SELECT rows as the W3C SPARQL 1.1 Query
+    Results JSON Format. The engine's quad model stores every term as a
+    plain string, so all bound values serialize as ``"type": "literal"``
+    (there is no IRI/literal distinction to recover); NULL (an unbound
+    OPTIONAL variable) omits the binding, per the spec. Driver-side by
+    design — callers pass an already-limited, request-sized result."""
+    bindings = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(zip(columns, r))
+        bindings.append({
+            k: {"type": "literal", "value": str(v)}
+            for k, v in d.items() if v is not None
+        })
+    return {"head": {"vars": list(columns)},
+            "results": {"bindings": bindings}}
+
+
+def to_sparql_results_tsv(rows: list, columns: list[str]) -> str:
+    """Serialize collected SELECT rows as SPARQL 1.1 Query Results TSV:
+    ``?var``-prefixed header, one row per binding, unbound values
+    empty. Tabs/newlines inside values are escaped as ``\\t`` / ``\\n``
+    so the row structure stays parseable."""
+    def esc(v) -> str:
+        if v is None:
+            return ""
+        return (str(v).replace("\\", "\\\\")
+                .replace("\t", "\\t").replace("\n", "\\n"))
+
+    lines = ["\t".join(f"?{c}" for c in columns)]
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(zip(columns, r))
+        lines.append("\t".join(esc(d.get(c)) for c in columns))
+    return "\n".join(lines) + "\n"
+
+
 def _expr_vars(e: tuple) -> set[str]:
     """Variables referenced anywhere in a value-expression AST."""
     if e[0] == "term":

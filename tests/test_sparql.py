@@ -1053,3 +1053,36 @@ def test_order_by_expr_unbound_rejected(spark):
             "SELECT ?a WHERE { ?a <knows> ?b . } "
             "ORDER BY DESC(STRLEN(?zz))",
         )
+
+
+def test_sparql_results_json_serialization(spark):
+    from search_spark.operators.sparql import to_sparql_results_json
+
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?n WHERE { ?a <type> ?t . "
+        "OPTIONAL { ?a <name> ?n . } } ORDER BY ?a",
+    )
+    doc = to_sparql_results_json(out.collect(), out.columns)
+    assert doc["head"] == {"vars": ["a", "n"]}
+    b = doc["results"]["bindings"]
+    assert {"a": {"type": "literal", "value": "bob"},
+            "n": {"type": "literal", "value": "Bobby"}} in b
+    # unbound OPTIONAL omits the binding, per the spec
+    alice = [x for x in b if x["a"]["value"] == "alice"][0]
+    assert "n" not in alice
+
+
+def test_sparql_results_tsv_serialization(spark):
+    from search_spark.operators.sparql import to_sparql_results_tsv
+
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?n WHERE { ?a <type> ?t . "
+        "OPTIONAL { ?a <name> ?n . } } ORDER BY ?a",
+    )
+    tsv = to_sparql_results_tsv(out.collect(), out.columns)
+    lines = tsv.splitlines()
+    assert lines[0] == "?a\t?n"
+    assert "bob\tBobby" in lines
+    assert "alice\t" in lines  # unbound -> empty field

@@ -315,3 +315,131 @@ def test_cli_sparql_explain_prints_plan(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Physical Plan" in out.stdout
     assert "s,o" not in out.stdout  # no result rows — plan only
+
+
+def test_modify_random_vs_python_mirror(spark, tmp_path):
+    """Seeded randomized parity for the modify form: random stores +
+    random DELETE/INSERT templates over a random chain WHERE, vs a
+    pure-Python mirror (bindings join, template instantiation,
+    delete-then-insert ordering). Compares the post-update store as a
+    set of (subj, pred, obj)."""
+    import random
+
+    rng = random.Random(20260819)
+    nodes = [f"n{i}" for i in range(8)]
+    preds = ["pa", "pb", "pc"]
+
+    def eval_patterns(triples, patterns):
+        binds = [{}]
+        for s, p, o in patterns:
+            new = []
+            for b in binds:
+                for ts, tp, to in triples:
+                    m = dict(b)
+                    ok = True
+                    for term, val in ((s, ts), (p, tp), (o, to)):
+                        if term.startswith("?"):
+                            k = term[1:]
+                            if k in m and m[k] != val:
+                                ok = False
+                                break
+                            m[k] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(m)
+            binds = new
+        return binds
+
+    def gen_chain(rng):
+        n = rng.randint(1, 2)
+        patterns = []
+        subj = "?v0"
+        for i in range(n):
+            obj = (rng.choice(nodes) if rng.random() < 0.25
+                   else f"?v{i + 1}")
+            patterns.append((subj, rng.choice(preds), obj))
+            subj = obj if obj.startswith("?") else "?v0"
+        return patterns
+
+    def render(pats):
+        def t(x):
+            return x if x.startswith("?") else f'"{x}"'
+        return " ".join(f"{t(s)} <{p}> {t(o)} ." for s, p, o in pats)
+
+    def gen_template(rng, variables, k):
+        out = []
+        for _ in range(k):
+            s = (f"?{rng.choice(variables)}" if rng.random() < 0.8
+                 else rng.choice(nodes))
+            o = (f"?{rng.choice(variables)}" if rng.random() < 0.8
+                 else rng.choice(nodes))
+            out.append((s, rng.choice(preds + ["derived"]), o))
+        return out
+
+    def instantiate(bindings, template):
+        out = set()
+        for b in bindings:
+            for s, p, o in template:
+                sv = b[s[1:]] if s.startswith("?") else s
+                ov = b[o[1:]] if o.startswith("?") else o
+                out.add((sv, p, ov))
+        return out
+
+    for case in range(5):
+        base = sorted({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(40)
+        })
+        t = SnapshotTable(spark, str(tmp_path / f"kg{case}"))
+        t.append(spark.createDataFrame(
+            [(s, p, o, "g", f"http://{s}") for s, p, o in base],
+            "subj string, pred string, obj string, prov string, url string",
+        ))
+        where = gen_chain(rng)
+        variables = sorted({x[1:] for pt in where for x in pt
+                            if x.startswith("?")})
+        del_tpl = gen_template(rng, variables, rng.randint(1, 2))
+        ins_tpl = (gen_template(rng, variables, 1)
+                   if rng.random() < 0.7 else None)
+        upd = f"DELETE {{ {render(del_tpl)} }} "
+        if ins_tpl is not None:
+            upd += f"INSERT {{ {render(ins_tpl)} }} "
+        upd += f"WHERE {{ {render(where)} }}"
+
+        bindings = eval_patterns(base, where)
+        doomed = instantiate(bindings, del_tpl)
+        inserted = (instantiate(bindings, ins_tpl)
+                    if ins_tpl is not None else set())
+        expected = (set(base) - doomed) | inserted
+
+        res = sparql_update(t, upd)
+        got = {(r.subj, r.pred, r.obj)
+               for r in (t.load() or spark.createDataFrame(
+                   [], "subj string, pred string, obj string")).collect()}
+        assert got == expected, f"case {case}: {upd}\nres={res}"
+
+
+def test_cli_sparql_json_format(spark, tmp_path):
+    """--format json emits the W3C SPARQL 1.1 Results JSON document."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = _table(spark, tmp_path)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root, "--format", "json",
+         "--query", "SELECT ?o WHERE { <alice> <knows> ?o . }"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["head"] == {"vars": ["o"]}
+    assert doc["results"]["bindings"] == [
+        {"o": {"type": "literal", "value": "bob"}}
+    ]

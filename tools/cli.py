@@ -187,9 +187,10 @@ def main() -> int:
         "sparql",
         help="run a SPARQL query string over a snapshot KG (SELECT / "
              "CONSTRUCT / ASK / DESCRIBE, plus the UPDATE forms INSERT "
-             "DATA / DELETE DATA / DELETE WHERE / INSERT...WHERE / CLEAR "
-             "GRAPH which commit a new snapshot / copy-on-write delete; "
-             "operators/sparql.py subset)",
+             "DATA / DELETE DATA / DELETE WHERE / INSERT...WHERE / "
+             "DELETE...INSERT...WHERE / CLEAR GRAPH which commit a new "
+             "snapshot / copy-on-write delete; operators/sparql.py "
+             "subset)",
     )
     p_sparql.add_argument("--snapshot", required=True,
                           help="snapshot table root")
@@ -202,6 +203,11 @@ def main() -> int:
     p_sparql.add_argument("--explain", action="store_true",
                           help="print the formatted physical plan instead "
                                "of executing (SELECT/CONSTRUCT/DESCRIBE)")
+    p_sparql.add_argument("--format", choices=("csv", "json", "tsv"),
+                          default="csv",
+                          help="result serialization: csv (default), "
+                               "json (W3C SPARQL 1.1 Results JSON) or "
+                               "tsv (W3C SPARQL 1.1 Results TSV)")
 
     p_val = sub.add_parser(
         "validate",
@@ -500,10 +506,26 @@ def main() -> int:
             return 0
         result = sparql_query(full, args.query)
         if isinstance(result, bool):  # ASK
-            print("true" if result else "false")
+            if args.format == "json":
+                print(json.dumps({"head": {}, "boolean": result}))
+            else:
+                print("true" if result else "false")
             return 0
         result = result.limit(args.limit)
-        print(result.toPandas().to_csv(index=False), end="")
+        if args.format == "json":
+            from search_spark.operators.sparql import to_sparql_results_json
+
+            print(json.dumps(to_sparql_results_json(
+                result.collect(), result.columns
+            )))
+        elif args.format == "tsv":
+            from search_spark.operators.sparql import to_sparql_results_tsv
+
+            print(to_sparql_results_tsv(
+                result.collect(), result.columns
+            ), end="")
+        else:
+            print(result.toPandas().to_csv(index=False), end="")
     elif args.cmd == "validate":
         import json
 
