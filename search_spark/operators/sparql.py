@@ -406,11 +406,24 @@ def _parse_filter_expr(p: _Parser) -> list:
                 p.next()
                 args.append(operand())
             p.expect(")")
-            want = 1 if fn == "bound" else 2
-            if len(args) != want:
-                raise SparqlError(f"{fn.upper()} takes {want} argument(s)")
-            if fn == "bound" and args[0][0] != "var":
-                raise SparqlError("BOUND takes a variable")
+            if fn == "bound":
+                if len(args) != 1 or args[0][0] != "var":
+                    raise SparqlError("BOUND takes one variable")
+            elif fn == "regex":
+                if len(args) not in (2, 3):
+                    raise SparqlError(
+                        "REGEX takes (text, pattern[, flags])"
+                    )
+                if len(args) == 3:
+                    if args[2][0] != "lit" or not (
+                        set(args[2][1]) <= set("smix")
+                    ):
+                        raise SparqlError(
+                            "REGEX flags must be a literal drawn from "
+                            "'smix' (Java inline-flag subset)"
+                        )
+            elif len(args) != 2:
+                raise SparqlError(f"{fn.upper()} takes 2 arguments")
             return ("fn", fn, args, neg)
         left_e = _parse_value_expr(p)
         nxt = p.next()
@@ -485,16 +498,26 @@ def _compile_filter(ast: list) -> Column:
             _, fn, args, neg = a
             if fn == "bound":
                 c = _col_of(args[0]).isNotNull()
+            elif fn == "regex":
+                # SPARQL REGEX is a partial match, same as rlike; flags
+                # compile to a Java inline-flag prefix on the pattern
+                lc = _col_of(args[0])
+                flags = args[2][1] if len(args) == 3 else ""
+                if args[1][0] == "lit":
+                    pat = (f"(?{flags})" if flags else "") + args[1][1]
+                    c = lc.rlike(pat)
+                else:
+                    if flags:
+                        raise SparqlError(
+                            "REGEX flags need a literal pattern"
+                        )
+                    c = F.rlike(lc, _col_of(args[1]))
             else:
                 lc, rc = _col_of(args[0]), _col_of(args[1])
                 c = {
                     "contains": lc.contains(rc),
                     "strstarts": lc.startswith(rc),
                     "strends": lc.endswith(rc),
-                    # SPARQL REGEX is a partial match, same as rlike
-                    "regex": lc.rlike(args[1][1])
-                    if args[1][0] == "lit"
-                    else F.rlike(lc, rc),
                 }[fn]
             return ~c if neg else c
         _, left, terms, neg = a  # "in"

@@ -236,3 +236,31 @@ def test_tpch_join_queries_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in q5
     assert "CartesianProduct" not in q5
+
+
+def test_delete_matching_rewrite_is_anti_join(spark, tmp_path):
+    """SnapshotTable.delete_matching rewrites each snapshot via a LEFT
+    ANTI equi-join on the key columns — never a cartesian, never a
+    driver-side collect — and deletes exactly the matching rows."""
+    from search_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "kg"))
+    t.append(spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i % 7}", "g", f"http://{i % 11}")
+         for i in range(200)],
+        "subj string, pred string, obj string, prov string, url string",
+    ))
+    keys = t.load().filter("obj = 'o3'").select("subj", "pred", "obj")
+    # the same per-snapshot plan delete_matching builds internally
+    ck = keys.distinct().localCheckpoint(eager=True)
+    snap = spark.read.parquet(f"{t.root}/data/snapshot=1")
+    plan = plan_of(
+        snap.join(ck, on=["subj", "pred", "obj"], how="left_anti")
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    n_match = keys.count()
+    assert t.delete_matching(keys) == n_match
+    assert t.load().filter("obj = 'o3'").count() == 0
+    assert t.load().count() == 200 - n_match

@@ -1086,3 +1086,25 @@ def test_sparql_results_tsv_serialization(spark):
     assert lines[0] == "?a\t?n"
     assert "bob\tBobby" in lines
     assert "alice\t" in lines  # unbound -> empty field
+
+
+def test_filter_regex_flags(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> ?t . FILTER(REGEX(?t, "^ROB", "i")) }',
+    )
+    assert [r.a for r in out.collect()] == ["carol"]
+    # without the i flag the uppercase pattern misses the mixed-case term
+    out2 = sparql_select(
+        _triples(spark),
+        'SELECT ?a WHERE { ?a <type> ?t . FILTER(REGEX(?t, "^ROB")) }',
+    )
+    assert out2.collect() == []
+
+
+def test_filter_regex_bad_flags_rejected(spark):
+    with pytest.raises(SparqlError, match="flags"):
+        sparql_select(
+            _triples(spark),
+            'SELECT ?a WHERE { ?a <type> ?t . FILTER(REGEX(?t, "x", "g")) }',
+        )
