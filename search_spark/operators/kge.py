@@ -100,3 +100,27 @@ def rank_tails(
             F.count("*").cast("int").alias("n_candidates"),
         )
     )
+
+
+def ranking_metrics(ranked: DataFrame) -> DataFrame:
+    """Standard filtered link-prediction metrics over :func:`rank_tails`
+    output: MRR, Hits@1/3/10, mean rank, triple count — the evaluation
+    protocol of the TransE line of work (Bordes et al., NeurIPS 2013).
+
+    One global hash aggregate (the metrics are corpus-level by
+    definition; group upstream for per-relation breakdowns). Values are
+    rounded to 6 decimals so the numbers are stable across engines and
+    summation orders."""
+    def hits(k: int) -> Column:
+        return F.round(
+            F.avg((F.col("rank") <= k).cast("double")), 6
+        ).alias(f"hits_at_{k}")
+
+    return ranked.agg(
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        hits(1),
+        hits(3),
+        hits(10),
+        F.round(F.avg(F.col("rank").cast("double")), 6).alias("mean_rank"),
+        F.count(F.lit(1)).alias("n_triples"),
+    )

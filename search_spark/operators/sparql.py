@@ -171,7 +171,69 @@ def _tokenize(query: str) -> list[str]:
     toks = _TOKEN.findall(query)
     if "".join(toks).replace(" ", "") == "":
         raise SparqlError("empty query")
-    return toks
+    return _expand_prefixes(toks)
+
+
+_PNAME = re.compile(r"^([A-Za-z_][A-Za-z0-9_.\-]*)?:([A-Za-z0-9_.\-/#%]*)$")
+
+
+def _expand_prefixes(toks: list[str]) -> list[str]:
+    """Consume leading ``PREFIX ns: <iri>`` declarations and expand every
+    prefixed name (``ns:local``, including the empty prefix ``:local``)
+    into a bracketed IRI token, so the rest of the compiler only ever
+    sees full terms. Applied inside :func:`_tokenize`, which makes
+    PREFIX work uniformly across SELECT / CONSTRUCT / ASK / DESCRIBE and
+    every UPDATE form. Colon-bearing tokens whose prefix is undeclared
+    pass through untouched (bare terms like ``urn:x:y`` stay legal);
+    ``BASE`` (relative-IRI resolution) is not supported and fails loud
+    at the query-form dispatch."""
+    mapping: dict[str, str] = {}
+    i = 0
+    while i < len(toks) and toks[i].lower() == "prefix":
+        if i + 2 >= len(toks):
+            raise SparqlError("malformed PREFIX declaration")
+        name, iri = toks[i + 1], toks[i + 2]
+        if not name.endswith(":") or not (
+            iri.startswith("<") and iri.endswith(">")
+        ):
+            raise SparqlError(
+                f"malformed PREFIX declaration near {name!r}"
+            )
+        mapping[name[:-1]] = iri[1:-1]
+        i += 3
+    rest = toks[i:]
+    if not mapping:
+        return rest
+    out = []
+    for t in rest:
+        out.extend(_expand_one(t, mapping))
+    return out
+
+
+def _expand_one(t: str, mapping: dict[str, str]) -> list[str]:
+    if t.startswith(("<", '"', "?")):
+        return [t]
+    m = _PNAME.match(t)
+    if m and (m.group(1) or "") in mapping:
+        return [f"<{mapping[m.group(1) or '']}{m.group(2)}>"]
+    if ":" not in t:
+        return [t]
+    # the bare-token lexer merges path chains (`ex:a/ex:b`, `ex:p+`) into
+    # one token — split on the path operators that CAN be merged
+    # (/ + * ^; | { } ? are lexed separately) and expand the segments;
+    # commit only if something expanded, so undeclared colon terms like
+    # urn:x:y stay one literal token
+    parts = [p for p in re.split(r"([/+*^])", t) if p]
+    expanded = []
+    changed = False
+    for part in parts:
+        mm = _PNAME.match(part)
+        if mm and (mm.group(1) or "") in mapping:
+            expanded.append(f"<{mapping[mm.group(1) or '']}{mm.group(2)}>")
+            changed = True
+        else:
+            expanded.append(part)
+    return expanded if changed else [t]
 
 
 def _unescape(lit: str) -> str:

@@ -7485,6 +7485,46 @@ FROM x GROUP BY subj, pred, obj, energy
 """
 
 
+def _q_kg_kge_eval(spark, sf_dir):
+    """Link-prediction evaluation metrics (MRR, Hits@1/3/10, mean rank)
+    over the TransE filtered ranking — ranking_metrics is one tiny
+    global hash aggregate on top of the rank_tails plan, so the whole
+    query stays broadcast-corruption + two hash aggregates."""
+    from search_spark.operators.kge import rank_tails, ranking_metrics
+
+    pos = _doc_relations(spark, sf_dir).select(
+        "subj", "pred", "obj"
+    ).distinct()
+    cand = pos.select(F.col("obj").alias("entity")).distinct()
+    return ranking_metrics(rank_tails(pos, cand))
+
+
+_SQL_KG_KGE_EVAL = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pos AS (SELECT DISTINCT subj, pred, obj FROM relations),
+cand AS (SELECT DISTINCT obj AS cand FROM relations),
+scored AS (SELECT subj, pred, obj,
+                  {_transe_energy_sql('subj', 'pred', 'obj')} AS energy
+           FROM pos),
+x AS (SELECT s.subj, s.pred, s.obj, s.energy, c.cand,
+             {_transe_energy_sql('s.subj', 's.pred', 'c.cand')} AS c_energy
+      FROM scored s JOIN cand c ON c.cand <> s.obj),
+ranked AS (
+  SELECT subj, pred, obj,
+         1 + sum(CASE WHEN c_energy < energy
+                      OR (c_energy = energy AND cand < obj)
+                 THEN 1 ELSE 0 END) AS rank
+  FROM x GROUP BY subj, pred, obj, energy)
+SELECT ROUND(AVG(CAST(1 AS DOUBLE) / rank), 6) AS mrr,
+       ROUND(AVG(CAST(rank <= 1 AS INT)), 6) AS hits_at_1,
+       ROUND(AVG(CAST(rank <= 3 AS INT)), 6) AS hits_at_3,
+       ROUND(AVG(CAST(rank <= 10 AS INT)), 6) AS hits_at_10,
+       ROUND(AVG(CAST(rank AS DOUBLE)), 6) AS mean_rank,
+       COUNT(*) AS n_triples
+FROM ranked
+"""
+
+
 def _register_crawl_coref_kge() -> None:
     from search_spark import oracles
 
@@ -7498,6 +7538,7 @@ def _register_crawl_coref_kge() -> None:
         _q_coref_pronouns, oracles.coref_oracle_sql()
     )
     QUERIES["kg_transe_rank"] = Q(_q_kg_transe_rank, _SQL_KG_TRANSE_RANK)
+    QUERIES["kg_kge_eval"] = Q(_q_kg_kge_eval, _SQL_KG_KGE_EVAL)
 
 
 _register_crawl_coref_kge()

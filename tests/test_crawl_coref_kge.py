@@ -317,3 +317,16 @@ def test_cli_crawl_subcommand(spark, tmp_path):
     assert lines[0] == "loc,host,slot,fetch_offset_s"
     # 4 hosts x 5-slot cap
     assert len(lines) == 1 + 20
+
+
+def test_ranking_metrics_known_ranks(spark):
+    from search_spark.operators.kge import ranking_metrics
+
+    df = spark.createDataFrame([(r,) for r in (1, 2, 10, 20)], "rank int")
+    m = ranking_metrics(df).collect()[0]
+    assert m.mrr == round((1 + 0.5 + 0.1 + 0.05) / 4, 6)
+    assert m.hits_at_1 == 0.25
+    assert m.hits_at_3 == 0.5
+    assert m.hits_at_10 == 0.75
+    assert m.mean_rank == 8.25
+    assert m.n_triples == 4

@@ -1108,3 +1108,98 @@ def test_filter_regex_bad_flags_rejected(spark):
             _triples(spark),
             'SELECT ?a WHERE { ?a <type> ?t . FILTER(REGEX(?t, "x", "g")) }',
         )
+
+
+# ---- PREFIX declarations ----
+
+
+def _iri_triples(spark):
+    rows = [
+        ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob"),
+        ("http://ex.org/bob", "http://ex.org/knows", "http://ex.org/carol"),
+        ("http://ex.org/alice", "http://other.org/age", "34"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def test_prefix_expansion_select(spark):
+    out = sparql_select(
+        _iri_triples(spark),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?o WHERE { ex:alice ex:knows ?o . }",
+    )
+    assert [r.o for r in out.collect()] == ["http://ex.org/bob"]
+
+
+def test_prefix_empty_and_multiple(spark):
+    out = sparql_select(
+        _iri_triples(spark),
+        "PREFIX : <http://ex.org/> PREFIX oth: <http://other.org/> "
+        "SELECT ?n WHERE { :alice oth:age ?n . }",
+    )
+    assert [r.n for r in out.collect()] == ["34"]
+
+
+def test_prefix_in_property_path_and_filter(spark):
+    out = sparql_select(
+        _iri_triples(spark),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?o WHERE { ex:alice ex:knows/ex:knows ?o . "
+        'FILTER(STRSTARTS(?o, "http")) }',
+    )
+    assert [r.o for r in out.collect()] == ["http://ex.org/carol"]
+
+
+def test_undeclared_prefix_token_passes_through(spark):
+    # colon-bearing bare terms with no declared prefix stay literal
+    rows = [("urn:x:1", "p", "v")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { urn:x:1 p ?o . }"
+    )
+    assert [r.o for r in out.collect()] == ["v"]
+
+
+def test_malformed_prefix_rejected(spark):
+    with pytest.raises(SparqlError, match="PREFIX"):
+        sparql_select(
+            _iri_triples(spark),
+            'PREFIX ex <http://ex.org/> SELECT ?o WHERE { ?s ?p ?o . }',
+        )
+
+
+def test_prefix_path_modifier_adjoined(spark):
+    # `ex:knows+` merges into one bare token at the lexer; expansion
+    # splits it back into path tokens
+    out = sparql_select(
+        _iri_triples(spark),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?o WHERE { ex:alice ex:knows+ ?o . } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == [
+        "http://ex.org/bob", "http://ex.org/carol",
+    ]
+
+
+def test_prefix_update_forms(spark, tmp_path):
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.operators.sparql import sparql_update
+
+    t = SnapshotTable(spark, str(tmp_path / "kg"))
+    t.append(spark.createDataFrame(
+        [("http://ex.org/alice", "http://ex.org/knows",
+          "http://ex.org/bob", "g", "http://a")],
+        "subj string, pred string, obj string, prov string, url string",
+    ))
+    res = sparql_update(
+        t,
+        "PREFIX ex: <http://ex.org/> "
+        "DELETE { ?s ex:knows ?o . } INSERT { ?o ex:knownBy ?s . } "
+        "WHERE { ?s ex:knows ?o . }",
+    )
+    assert res["n_deleted"] == 1 and res["n_rows"] == 1
+    rows = {(r.subj, r.pred, r.obj) for r in t.load().collect()}
+    assert rows == {("http://ex.org/bob", "http://ex.org/knownBy",
+                     "http://ex.org/alice")}
