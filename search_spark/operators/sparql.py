@@ -147,12 +147,17 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
+#: what the ``a`` keyword means in the predicate position (SPARQL 1.1
+#: §4.2.4 — the rdf:type IRI)
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
 
 #: boolean FILTER builtins → how the single/double string args compile
-_BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound"}
+_BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound",
+             "isnumeric"}
 
 #: value-expression builtins usable inside BIND(... AS ?v)
 _EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
@@ -346,7 +351,7 @@ def _parse_path_unary(p: _Parser, max_hops: int) -> PathExpr:
             )
         if tok in "{}()." or tok in _PATH_OPS:
             raise SparqlError(f"malformed property path near {tok!r}")
-        expr = Pred(_term(tok))
+        expr = Pred(RDF_TYPE if tok == "a" else _term(tok))
     if inverted:
         expr = Inv(expr)
     while p.peek() in ("+", "{", "*", "?"):
@@ -408,6 +413,8 @@ def _parse_pattern(
             pred = pred.name
     else:
         pred = _parse_term_token(p)
+        if pred == "a":  # SPARQL's rdf:type keyword (predicate position)
+            pred = RDF_TYPE
         if p.peek() in _PATH_OPS:
             raise SparqlError(
                 "property paths are only supported in required patterns "
@@ -471,6 +478,9 @@ def _parse_filter_expr(p: _Parser) -> list:
             if fn == "bound":
                 if len(args) != 1 or args[0][0] != "var":
                     raise SparqlError("BOUND takes one variable")
+            elif fn == "isnumeric":
+                if len(args) != 1:
+                    raise SparqlError("ISNUMERIC takes one argument")
             elif fn == "regex":
                 if len(args) not in (2, 3):
                     raise SparqlError(
@@ -560,6 +570,10 @@ def _compile_filter(ast: list) -> Column:
             _, fn, args, neg = a
             if fn == "bound":
                 c = _col_of(args[0]).isNotNull()
+            elif fn == "isnumeric":
+                # plain-string term model: true when the term casts to a
+                # number (the value-typed reading of SPARQL isNumeric)
+                c = _col_of(args[0]).try_cast("double").isNotNull()
             elif fn == "regex":
                 # SPARQL REGEX is a partial match, same as rlike; flags
                 # compile to a Java inline-flag prefix on the pattern
@@ -857,6 +871,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     p.expect("{")
     groups = _parse_where_body(p, path_max_hops)
     order: list[tuple[str, bool]] = []  # (var, descending)
+    post_values: list[tuple[list[str], list[tuple[str, ...]]]] = []
     group_by: list[str] = []
     having: list[list] = []
     limit: int | None = None
@@ -908,6 +923,11 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
             limit = int(p.next())
         elif tok == "offset":
             offset = int(p.next())
+        elif tok == "values":
+            # trailing VALUES (SPARQL 1.1 §10.2): inline data joined to
+            # the whole WHERE result (across all UNION branches), before
+            # grouping/projection
+            post_values.append(_parse_values(p))
         else:
             raise SparqlError(f"unexpected trailing token {tok!r}")
     if aggs:
@@ -944,6 +964,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
         "filters": g0["filters"],
         "values": g0["values"],
         "order": order,
+        "post_values": post_values,
         "limit": limit,
         "offset": offset,
     }
@@ -1472,6 +1493,21 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
     DataFrame: WHERE bindings → aggregation → HAVING → projection →
     DISTINCT → ORDER/OFFSET/LIMIT."""
     out = _compile_where(triples, q["groups"])
+    for vars_, rows in q.get("post_values", ()):
+        # trailing VALUES: broadcast inner join against the inline rows,
+        # applied to the whole WHERE result before grouping/projection
+        missing = [v for v in vars_ if v not in out.columns]
+        if missing:
+            raise SparqlError(f"VALUES variables never bound: {missing}")
+        from pyspark.sql import types as T
+
+        vdf = triples.sparkSession.createDataFrame(
+            rows,
+            schema=T.StructType(
+                [T.StructField(v, T.StringType()) for v in vars_]
+            ),
+        )
+        out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
     if q["aggs"]:
         for fn, _, arg, _, _ in q["aggs"]:
             if arg != "*" and arg not in out.columns:

@@ -1203,3 +1203,67 @@ def test_prefix_update_forms(spark, tmp_path):
     rows = {(r.subj, r.pred, r.obj) for r in t.load().collect()}
     assert rows == {("http://ex.org/bob", "http://ex.org/knownBy",
                      "http://ex.org/alice")}
+
+
+def test_a_keyword_is_rdf_type(spark):
+    from search_spark.operators.sparql import RDF_TYPE
+
+    rows = [
+        ("alice", RDF_TYPE, "Person"),
+        ("r2d2", RDF_TYPE, "Robot"),
+        ("alice", "a", "ignored"),  # 'a' as a DATA predicate is untouched
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf, 'SELECT ?s WHERE { ?s a "Person" . }'
+    )
+    assert [r.s for r in out.collect()] == ["alice"]
+    # 'a' in subject/object positions stays a plain constant
+    out2 = sparql_select(tdf, "SELECT ?o WHERE { alice a ?o . }")
+    assert [r.o for r in out2.collect()] == ["Person"]
+    # and inside a property path
+    out3 = sparql_select(tdf, 'SELECT ?s WHERE { ?s a|<never> "Robot" . }')
+    assert [r.s for r in out3.collect()] == ["r2d2"]
+
+
+def test_trailing_values_clause(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?a ?b WHERE { ?a <knows> ?b . } VALUES ?b { "carol" }',
+    )
+    assert sorted((r.a, r.b) for r in out.collect()) == [
+        ("alice", "carol"), ("bob", "carol"),
+    ]
+
+
+def test_trailing_values_spans_union(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { { ?a <knows> ?x . } UNION { ?x <knows> ?a . } } "
+        'VALUES ?a { "carol" "alice" }',
+    )
+    assert sorted({r.a for r in out.collect()}) == ["alice", "carol"]
+
+
+def test_trailing_values_before_aggregation(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b . } "
+        'GROUP BY ?a VALUES ?b { "bob" "carol" } ORDER BY ?a',
+    )
+    # VALUES restricts bindings BEFORE the aggregate
+    assert [(r.a, r.n) for r in out.collect()] == [("alice", 2), ("bob", 1)]
+
+
+def test_filter_isnumeric(spark):
+    rows = [("a", "v", "34"), ("b", "v", "3.5e2"), ("c", "v", "x12"),
+            ("d", "v", "")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf, "SELECT ?s WHERE { ?s <v> ?o . FILTER(ISNUMERIC(?o)) }"
+    )
+    assert sorted(r.s for r in out.collect()) == ["a", "b"]
+    out2 = sparql_select(
+        tdf, "SELECT ?s WHERE { ?s <v> ?o . FILTER(!ISNUMERIC(?o)) }"
+    )
+    assert sorted(r.s for r in out2.collect()) == ["c", "d"]
