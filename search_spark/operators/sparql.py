@@ -830,11 +830,14 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
                 raise SparqlError(f"unsupported aggregate {fn!r}")
             p.expect("(")
             agg_distinct = p.kw("distinct")
-            arg = p.next()
-            if arg.startswith("?"):
-                arg = arg[1:]
-            elif arg != "*" or fn != "count":
-                raise SparqlError(f"bad aggregate argument {arg!r}")
+            if p.peek() == "*":
+                p.next()
+                if fn != "count":
+                    raise SparqlError(f"bad aggregate argument '*'")
+                arg: object = "*"
+            else:
+                # full value expression (SUM(?x * ?y), COUNT(UCASE(?v)))
+                arg = _parse_value_expr(p)
             # DISTINCT is legal in every SPARQL aggregate; for MIN/MAX/
             # SAMPLE it is the identity and for COUNT(DISTINCT *) the
             # module's set semantics already make rows distinct
@@ -1510,45 +1513,51 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
         out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
     if q["aggs"]:
         for fn, _, arg, _, _ in q["aggs"]:
-            if arg != "*" and arg not in out.columns:
-                raise SparqlError(f"aggregate argument never bound: ?{arg}")
+            if arg == "*":
+                continue
+            unbound = _expr_vars(arg) - set(out.columns)
+            if unbound:
+                raise SparqlError(
+                    f"aggregate argument references unbound variables: "
+                    f"{sorted(unbound)}"
+                )
         missing = [v for v in q["group_by"] if v not in out.columns]
         if missing:
             raise SparqlError(f"GROUP BY variables never bound: {missing}")
         exprs = []
         for fn, agg_distinct, arg, alias, sep in q["aggs"]:
+            col = None if arg == "*" else _compile_bind_expr(arg)
             if fn == "count":
                 if arg == "*":
                     c = F.count(F.lit(1))
                 elif agg_distinct:
-                    c = F.countDistinct(F.col(arg))
+                    c = F.countDistinct(col)
                 else:
-                    c = F.count(F.col(arg))
+                    c = F.count(col)
             elif fn == "group_concat":
                 # SPARQL leaves GROUP_CONCAT order implementation-defined;
                 # sorting the collected values makes the result a pure
                 # function of the group (hash-comparable across engines)
                 collected = (
-                    F.collect_set(F.col(arg)) if agg_distinct
-                    else F.collect_list(F.col(arg))
+                    F.collect_set(col) if agg_distinct
+                    else F.collect_list(col)
                 )
                 c = F.array_join(F.sort_array(collected), sep)
             elif fn == "sample":
                 # SAMPLE is "any value"; MIN is a deterministic any-value
                 # (and absorbs DISTINCT, which is the identity for it)
-                c = F.min(F.col(arg))
+                c = F.min(col)
             else:
-                col = F.col(arg)
-                if fn in ("sum", "avg"):
+                if fn in ("sum", "avg") and not _numericish(arg):
                     # triple terms are strings; non-numeric ones must
                     # aggregate as NULL, not abort the scan (ANSI mode)
                     col = col.try_cast("double")
-                if agg_distinct and fn in ("sum", "avg"):
-                    # DISTINCT over the *values*; var names are
-                    # [A-Za-z0-9_] so the expr string is injection-safe
-                    c = F.expr(
-                        f"{fn}(DISTINCT try_cast({arg} AS double))"
-                    )
+                if agg_distinct and fn == "sum":
+                    c = F.sum_distinct(col)
+                elif agg_distinct and fn == "avg":
+                    # AVG DISTINCT = sum of distinct values over their
+                    # count (no avg_distinct builtin)
+                    c = F.sum_distinct(col) / F.count_distinct(col)
                 else:
                     c = {"sum": F.sum, "min": F.min,
                          "max": F.max, "avg": F.avg}[fn](col)
@@ -1678,6 +1687,10 @@ def sparql_update(table, update: str) -> dict:
       quad-level (no dedup against existing rows), same as INSERT DATA.
     * ``CLEAR GRAPH <g>`` — copy-on-write delete of every quad whose
       ``prov`` is the graph label.
+    * ``ADD/COPY/MOVE [GRAPH] <g1> TO [GRAPH] <g2>`` — graph management
+      (§3.2.5-3.2.7): append g1's distinct triples into g2; COPY clears
+      the destination first; MOVE also clears the source; ``DEFAULT``
+      names the NULL-``prov`` default graph; same-graph calls no-op.
 
     Returns ``{"op", "n_rows"|"n_deleted", ...}``. Scale: INSERT DATA is
     query-sized by construction; INSERT WHERE is one declarative
@@ -1746,6 +1759,57 @@ def sparql_update(table, update: str) -> dict:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
         n = table.delete_where(F.col("prov") == _term(gtok))
         return {"op": "clear_graph", "n_deleted": n}
+    if head in ("add", "copy", "move"):
+        # graph management (SPARQL 1.1 Update §3.2.5-3.2.7):
+        #   ADD g1 TO g2   — append g1's triples into g2 (g1 unchanged)
+        #   COPY g1 TO g2  — g2 := g1 (destination cleared first)
+        #   MOVE g1 TO g2  — COPY, then the source graph is cleared
+        # DEFAULT names the default graph (NULL prov). Same-graph forms
+        # are no-ops per spec.
+        def graph_ref() -> str | None:
+            if p.peek() is not None and p.peek().lower() == "graph":
+                p.next()
+            tok = p.next()
+            if tok.lower() == "default":
+                return None
+            if tok.startswith("?"):
+                raise SparqlError(f"{head.upper()} takes constant graphs")
+            return _term(tok)
+
+        src = graph_ref()
+        p.expect("TO")
+        dst = graph_ref()
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        if src == dst:
+            return {"op": f"{head}_graph", "n_rows": 0,
+                    "n_deleted": 0, "snapshot_id": None}
+        existing = table.load()
+        if existing is None:
+            raise SparqlError(f"{head.upper()} needs a populated table")
+        src_cond = (F.col("prov").isNull() if src is None
+                    else F.col("prov") == src)
+        dst_cond = (F.col("prov").isNull() if dst is None
+                    else F.col("prov") == dst)
+        # materialize the source triples BEFORE any rewrite touches the
+        # directories the plan reads (graphs are triple sets: distinct)
+        moved = existing.filter(src_cond).select(
+            "subj", "pred", "obj"
+        ).distinct().withColumn(
+            "prov", F.lit(dst).cast("string")
+        ).withColumn(
+            "url", F.lit(dst if dst is not None else "urn:sparql:update")
+        ).localCheckpoint(eager=True)
+        n_deleted = 0
+        if head in ("copy", "move"):
+            n_deleted += table.delete_where(dst_cond)
+        info = _append_aligned(table, moved, f"sparql_{head}_graph")
+        if head == "move":
+            n_deleted += table.delete_where(src_cond)
+        return {"op": f"{head}_graph",
+                "n_rows": 0 if info is None else info.n_rows,
+                "n_deleted": n_deleted,
+                "snapshot_id": None if info is None else info.snapshot_id}
     if head != "delete":
         raise SparqlError(f"unsupported update form {head!r}")
     nxt = p.next().lower()

@@ -1267,3 +1267,23 @@ def test_filter_isnumeric(spark):
         tdf, "SELECT ?s WHERE { ?s <v> ?o . FILTER(!ISNUMERIC(?o)) }"
     )
     assert sorted(r.s for r in out2.collect()) == ["c", "d"]
+
+
+def test_aggregate_expression_arguments(spark):
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a (SUM(STRLEN(?b) * 2) AS ?s) "
+        "(COUNT(DISTINCT UCASE(?b)) AS ?cu) (AVG(STRLEN(?b)) AS ?m) "
+        "WHERE { ?a <knows> ?b . } GROUP BY ?a ORDER BY ?a",
+    )
+    rows = [(r.a, r.s, r.cu, r.m) for r in out.collect()]
+    # alice knows bob(3), carol(5); bob knows carol(5)
+    assert rows == [("alice", 16.0, 2, 4.0), ("bob", 10.0, 1, 5.0)]
+
+
+def test_aggregate_expression_unbound_rejected(spark):
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            _triples(spark),
+            "SELECT (SUM(?zz + 1) AS ?s) WHERE { ?a <knows> ?b . }",
+        )

@@ -443,3 +443,56 @@ def test_cli_sparql_json_format(spark, tmp_path):
     assert doc["results"]["bindings"] == [
         {"o": {"type": "literal", "value": "bob"}}
     ]
+
+
+def test_add_graph(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "ADD GRAPH <g1> TO GRAPH <g2>")
+    assert res["op"] == "add_graph" and res["n_rows"] == 2
+    rows = _rows(t)
+    assert ("alice", "knows", "bob", "g2") in rows
+    assert ("bob", "knows", "carol", "g2") in rows
+    assert ("alice", "knows", "bob", "g1") in rows  # source untouched
+    assert len(rows) == 5
+
+
+def test_copy_graph_clears_destination(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "COPY <g1> TO <g2>")
+    assert res["n_rows"] == 2 and res["n_deleted"] == 1
+    rows = _rows(t)
+    assert ("alice", "type", "Person", "g2") not in rows  # old g2 gone
+    assert ("alice", "knows", "bob", "g2") in rows
+    assert ("alice", "knows", "bob", "g1") in rows
+    assert len(rows) == 4
+
+
+def test_move_graph(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "MOVE <g1> TO <g2>")
+    assert res["n_rows"] == 2 and res["n_deleted"] == 3  # old g2 + src g1
+    rows = _rows(t)
+    assert rows == [
+        ("alice", "knows", "bob", "g2"),
+        ("bob", "knows", "carol", "g2"),
+    ]
+
+
+def test_add_graph_to_default(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "ADD <g2> TO DEFAULT")
+    assert res["n_rows"] == 1
+    rows = {
+        (r.subj, r.pred, r.obj, r.prov)
+        for r in t.load().select("subj", "pred", "obj", "prov").collect()
+    }
+    assert ("alice", "type", "Person", None) in rows
+    assert ("alice", "type", "Person", "g2") in rows  # source untouched
+
+
+def test_copy_graph_same_is_noop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "COPY <g1> TO <g1>")
+    assert res == {"op": "copy_graph", "n_rows": 0, "n_deleted": 0,
+                   "snapshot_id": None}
+    assert len(_rows(t)) == 3

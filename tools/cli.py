@@ -490,7 +490,8 @@ def main() -> int:
 
         table = SnapshotTable(spark, args.snapshot)
         head = args.query.lstrip().split(None, 1)[0].lower()
-        if head in ("insert", "delete", "clear"):  # SPARQL UPDATE forms
+        if head in ("insert", "delete", "clear",
+                    "add", "copy", "move"):  # SPARQL UPDATE forms
             print(json.dumps(sparql_update(table, args.query)))
             return 0
         full = table.load(as_of=args.as_of)
