@@ -1685,8 +1685,10 @@ def sparql_update(table, update: str) -> dict:
       result appends as one snapshot under the default graph (NULL
       ``prov``, ``urn:sparql:update`` bucketing url). Appends are
       quad-level (no dedup against existing rows), same as INSERT DATA.
-    * ``CLEAR GRAPH <g>`` — copy-on-write delete of every quad whose
-      ``prov`` is the graph label.
+    * ``CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL`` — copy-on-write
+      delete of the selected quads (graph label = ``prov``; DEFAULT is
+      the NULL-``prov`` graph). DROP ≡ CLEAR here: with no empty-graph
+      existence in a quad store, removing the quads removes the graph.
     * ``ADD/COPY/MOVE [GRAPH] <g1> TO [GRAPH] <g2>`` — graph management
       (§3.2.5-3.2.7): append g1's distinct triples into g2; COPY clears
       the destination first; MOVE also clears the source; ``DEFAULT``
@@ -1750,15 +1752,32 @@ def sparql_update(table, update: str) -> dict:
             return {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
         return {"op": "insert_where", "n_rows": info.n_rows,
                 "snapshot_id": info.snapshot_id}
-    if head == "clear":
-        p.expect("GRAPH")
-        gtok = p.next()
-        if gtok.startswith("?"):
-            raise SparqlError("CLEAR GRAPH takes a constant graph IRI")
+    if head in ("clear", "drop"):
+        # DROP is CLEAR in a quad store with no empty-graph existence
+        # (§3.2.2): removing a graph's quads IS removing the graph
+        tok = p.next()
+        kind = tok.lower()
+        if kind == "graph":
+            gtok = p.next()
+            if gtok.startswith("?"):
+                raise SparqlError(
+                    f"{head.upper()} GRAPH takes a constant graph IRI"
+                )
+            cond = F.col("prov") == _term(gtok)
+        elif kind == "default":
+            cond = F.col("prov").isNull()
+        elif kind == "named":
+            cond = F.col("prov").isNotNull()
+        elif kind == "all":
+            cond = F.lit(True)
+        else:
+            raise SparqlError(
+                f"{head.upper()} takes GRAPH <g> / DEFAULT / NAMED / ALL"
+            )
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
-        n = table.delete_where(F.col("prov") == _term(gtok))
-        return {"op": "clear_graph", "n_deleted": n}
+        return {"op": f"{head}_{'graph' if kind == 'graph' else kind}",
+                "n_deleted": table.delete_where(cond)}
     if head in ("add", "copy", "move"):
         # graph management (SPARQL 1.1 Update §3.2.5-3.2.7):
         #   ADD g1 TO g2   — append g1's triples into g2 (g1 unchanged)

@@ -496,3 +496,18 @@ def test_copy_graph_same_is_noop(spark, tmp_path):
     assert res == {"op": "copy_graph", "n_rows": 0, "n_deleted": 0,
                    "snapshot_id": None}
     assert len(_rows(t)) == 3
+
+
+def test_clear_default_named_all_and_drop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    sparql_update(t, 'INSERT DATA { <x> <p> "y" . }')  # NULL-prov row
+    res = sparql_update(t, "CLEAR DEFAULT")
+    assert res == {"op": "clear_default", "n_deleted": 1}
+    res = sparql_update(t, "DROP GRAPH <g2>")
+    assert res == {"op": "drop_graph", "n_deleted": 1}
+    res = sparql_update(t, "CLEAR NAMED")
+    assert res == {"op": "clear_named", "n_deleted": 2}
+    t2 = _table(spark, tmp_path / "b")
+    res = sparql_update(t2, "CLEAR ALL")
+    assert res == {"op": "clear_all", "n_deleted": 3}
+    assert t2.load() is None or t2.load().count() == 0

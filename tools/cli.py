@@ -490,7 +490,7 @@ def main() -> int:
 
         table = SnapshotTable(spark, args.snapshot)
         head = args.query.lstrip().split(None, 1)[0].lower()
-        if head in ("insert", "delete", "clear",
+        if head in ("insert", "delete", "clear", "drop",
                     "add", "copy", "move"):  # SPARQL UPDATE forms
             print(json.dumps(sparql_update(table, args.query)))
             return 0
