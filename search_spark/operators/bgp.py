@@ -37,8 +37,17 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _pattern_scan(triples: DataFrame, pattern: Sequence[str]) -> DataFrame:
-    """One triple pattern → filtered scan projecting its variable columns."""
+def _pattern_scan(
+    triples: DataFrame,
+    pattern: Sequence[str],
+    graph_var: str | None = None,
+) -> DataFrame:
+    """One triple pattern → filtered scan projecting its variable columns.
+
+    With ``graph_var``, the input carries a graph-label column of that
+    name (see :func:`match_bgp`); every scan projects it, so it joins
+    like a variable every pattern shares — SPARQL's same-graph rule.
+    """
     if len(pattern) != 3:
         raise ValueError(f"triple pattern must have 3 terms, got {pattern!r}")
     scan = triples
@@ -55,6 +64,13 @@ def _pattern_scan(triples: DataFrame, pattern: Sequence[str]) -> DataFrame:
                 proj[var] = col
         else:
             scan = scan.filter(F.col(col) == F.lit(term))
+    if graph_var is not None:
+        if graph_var in proj:
+            # (?g, p, ?g)-style reuse of the graph variable inside the
+            # pattern: graph label must equal that term
+            scan = scan.filter(F.col(proj[graph_var]) == F.col(graph_var))
+        else:
+            proj[graph_var] = graph_var
     if not proj:
         raise ValueError(f"pattern {pattern!r} binds no variables")
     return scan.select(
@@ -130,6 +146,7 @@ def match_bgp(
     optional: Sequence[Sequence[str]] = (),
     not_exists: Sequence[Sequence[str]] = (),
     optimize: bool = False,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; one column per variable.
 
@@ -138,6 +155,15 @@ def match_bgp(
     of terms; terms starting with ``?`` are variables, anything else is a
     constant. Returns the DISTINCT bindings of all variables, columns in
     order of first appearance across the patterns.
+
+    ``graph_var`` implements SPARQL's ``GRAPH ?g { ... }``: the triple
+    DataFrame's ``prov`` column (the engine's graph label, NULL for the
+    default graph) is projected onto every pattern scan under that
+    variable name. Named-graph quads only (``prov IS NOT NULL``), and
+    because every scan then shares the variable, the joins enforce the
+    same-graph rule — all patterns of the block match within one graph
+    per binding of ``?g`` — with no per-graph loop and no extra shuffle
+    beyond the ordinary variable joins.
 
     ``optional`` patterns are SPARQL ``OPTIONAL { ... }`` blocks of one
     pattern each: left-joined on the variables they share with the
@@ -166,8 +192,19 @@ def match_bgp(
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
-    base = triples.select("subj", "pred", "obj")
-    caller_vars = [
+    if graph_var is not None:
+        if "prov" not in triples.columns:
+            raise ValueError(
+                "graph_var needs a 'prov' column on the triple DataFrame "
+                "(the engine's graph label)"
+            )
+        base = (
+            triples.filter(F.col("prov").isNotNull())
+            .select("subj", "pred", "obj", F.col("prov").alias(graph_var))
+        )
+    else:
+        base = triples.select("subj", "pred", "obj")
+    caller_vars = ([graph_var] if graph_var is not None else []) + [
         t[1:]
         for pattern in list(patterns) + list(optional)
         for t in pattern
@@ -179,18 +216,18 @@ def match_bgp(
         patterns = order_patterns(
             patterns, pred_counts, sum(pred_counts.values())
         )
-    out = _pattern_scan(base, patterns[0])
+    out = _pattern_scan(base, patterns[0], graph_var)
     bound = list(out.columns)
     for pattern in patterns[1:]:
-        scan = _pattern_scan(base, pattern)
+        scan = _pattern_scan(base, pattern, graph_var)
         out = out.join(scan, on=_shared_vars(scan, bound, pattern), how="inner")
         bound += [c for c in scan.columns if c not in bound]
     for pattern in optional:
-        scan = _pattern_scan(base, pattern)
+        scan = _pattern_scan(base, pattern, graph_var)
         out = out.join(scan, on=_shared_vars(scan, bound, pattern), how="left")
         bound += [c for c in scan.columns if c not in bound]
     for pattern in not_exists:
-        scan = _pattern_scan(base, pattern)
+        scan = _pattern_scan(base, pattern, graph_var)
         shared = _shared_vars(scan, bound, pattern)
         # other vars in the pattern are existential — anti on shared only
         out = out.join(scan.select(*shared), on=shared, how="left_anti")

@@ -1006,13 +1006,14 @@ def _parse_values(p: _Parser) -> tuple[list[str], list[tuple[str, ...]]]:
             while p.peek() != ")":
                 row.append(p.next())
             p.next()
-        if any(t.upper() == "UNDEF" for t in row):
-            raise SparqlError("VALUES UNDEF is not supported")
         if len(row) != len(vars_):
             raise SparqlError(
                 f"VALUES row has {len(row)} terms for {len(vars_)} variables"
             )
-        rows.append(tuple(_term(t) for t in row))
+        # UNDEF → None: that position is unconstrained for this row
+        rows.append(
+            tuple(None if t.upper() == "UNDEF" else _term(t) for t in row)
+        )
     p.next()
     if not rows:
         raise SparqlError("VALUES block has no rows")
@@ -1023,19 +1024,22 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a ``{ ... }`` group body (after the ``{``): returns a dict
     with keys ``patterns / optional / not_exists / filters / values``.
     Property paths are allowed in required patterns only. ``GRAPH <g>``
-    may wrap the whole group body (the engine's quad model: ``prov`` is
-    the graph label, as in :mod:`search_spark.io.ntriples`)."""
+    or ``GRAPH ?g`` may wrap the whole group body (the engine's quad
+    model: ``prov`` is the graph label, as in
+    :mod:`search_spark.io.ntriples`); a constant graph compiles to a
+    partition-prunable filter, a variable projects the label onto every
+    pattern scan (same-graph join semantics, named graphs only)."""
     if p.peek() is not None and p.peek().lower() == "graph":
         p.next()
         gtok = p.next()
-        if gtok.startswith("?"):
-            raise SparqlError(
-                "variable GRAPH terms are not supported (constant graph "
-                "IRIs only)"
-            )
         p.expect("{")
         inner = _parse_group(p, max_hops)
-        inner["graph"] = _term(gtok)
+        if gtok.startswith("?"):
+            if not gtok[1:]:
+                raise SparqlError("empty GRAPH variable name")
+            inner["graph_var"] = gtok[1:]
+        else:
+            inner["graph"] = _term(gtok)
         p.expect("}")
         return inner
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
@@ -1210,14 +1214,32 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             )
         # partition-prunable constant filter ahead of every pattern scan
         triples = triples.filter(F.col("prov") == g["graph"])
+    gvar = g.get("graph_var")
+    if gvar is not None:
+        if "prov" not in triples.columns:
+            raise SparqlError(
+                "GRAPH ?var needs a 'prov' column on the triple "
+                "DataFrame (the engine's graph label)"
+            )
+        # nested groups (OPTIONAL / [NOT] EXISTS / MINUS) stay scoped to
+        # the same named graph: their scans must carry ?gvar too
+        for kind in ("optional_groups", "exists_groups",
+                     "not_exists_groups", "minus"):
+            for og in g.get(kind, ()):
+                og.setdefault("graph_var", gvar)
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     path_patterns = [pt for pt in g["patterns"]
                      if not isinstance(pt[1], str)]
+    if gvar is not None and (path_patterns or g.get("subselects")):
+        raise SparqlError(
+            "property paths and subqueries inside GRAPH ?var are not "
+            "supported (constant graph IRIs only)"
+        )
     out = None
     if plain:
         out = match_bgp(
             triples, plain, optional=g["optional"],
-            not_exists=g["not_exists"],
+            not_exists=g["not_exists"], graph_var=gvar,
         )
     for subj, expr, obj in path_patterns:
         pdf = _compile_path_pattern(triples, subj, expr, obj)
@@ -1247,7 +1269,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             )
         out = out.join(sdf, on=shared, how="inner")
     for pt in g["exists"]:
-        edf = match_bgp(triples, [pt])
+        edf = match_bgp(triples, [pt], graph_var=gvar)
         shared = sorted(set(out.columns) & set(edf.columns))
         if not shared:
             raise SparqlError(
@@ -1276,13 +1298,32 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             raise SparqlError(f"VALUES variables never bound: {missing}")
         from pyspark.sql import types as T
 
-        vdf = triples.sparkSession.createDataFrame(
-            rows,
-            schema=T.StructType(
-                [T.StructField(v, T.StringType()) for v in vars_]
-            ),
-        )
-        out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
+        # UNDEF (None) positions are unconstrained: partition the data
+        # rows by which variables they define, broadcast-join each slice
+        # on exactly those columns, and union the slices — one output
+        # row per (binding, compatible VALUES row), as in the SPARQL
+        # join. No-UNDEF blocks stay the single inner join they were.
+        by_mask: dict[tuple[int, ...], list[tuple]] = {}
+        for row in rows:
+            mask = tuple(i for i, t in enumerate(row) if t is not None)
+            by_mask.setdefault(mask, []).append(row)
+        pieces = []
+        for mask, mrows in sorted(by_mask.items()):
+            if not mask:
+                # an all-UNDEF row is compatible with every binding
+                pieces.extend([out] * len(mrows))
+                continue
+            cols = [vars_[i] for i in mask]
+            vdf = triples.sparkSession.createDataFrame(
+                [tuple(r[i] for i in mask) for r in mrows],
+                schema=T.StructType(
+                    [T.StructField(c, T.StringType()) for c in cols]
+                ),
+            )
+            pieces.append(out.join(F.broadcast(vdf), on=cols, how="inner"))
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
     for expr_ast, var in g["binds"]:
         if var in out.columns:
             raise SparqlError(f"BIND target ?{var} is already bound")
@@ -1685,7 +1726,9 @@ def sparql_update(table, update: str) -> dict:
       result appends as one snapshot under the default graph (NULL
       ``prov``, ``urn:sparql:update`` bucketing url). Appends are
       quad-level (no dedup against existing rows), same as INSERT DATA.
-    * ``CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL`` — copy-on-write
+    * ``CREATE [SILENT] GRAPH <g>`` — validated no-op (quad stores have
+      no empty-graph existence; a graph exists iff it has quads).
+    * ``CLEAR/DROP [SILENT] GRAPH <g> | DEFAULT | NAMED | ALL`` — copy-on-write
       delete of the selected quads (graph label = ``prov``; DEFAULT is
       the NULL-``prov`` graph). DROP ≡ CLEAR here: with no empty-graph
       existence in a quad store, removing the quads removes the graph.
@@ -1752,10 +1795,25 @@ def sparql_update(table, update: str) -> dict:
             return {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
         return {"op": "insert_where", "n_rows": info.n_rows,
                 "snapshot_id": info.snapshot_id}
+    if head == "create":
+        # CREATE [SILENT] GRAPH <g> (§3.2.1): a quad store has no
+        # empty-graph existence — a graph exists iff it has quads — so
+        # creation is a no-op that only validates its argument.
+        if p.peek() is not None and p.peek().lower() == "silent":
+            p.next()
+        p.expect("GRAPH")
+        gtok = p.next()
+        if gtok.startswith("?"):
+            raise SparqlError("CREATE GRAPH takes a constant graph IRI")
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        return {"op": "create_graph", "graph": _term(gtok), "n_rows": 0}
     if head in ("clear", "drop"):
         # DROP is CLEAR in a quad store with no empty-graph existence
         # (§3.2.2): removing a graph's quads IS removing the graph
         tok = p.next()
+        if tok.lower() == "silent":
+            tok = p.next()
         kind = tok.lower()
         if kind == "graph":
             gtok = p.next()
@@ -1785,6 +1843,9 @@ def sparql_update(table, update: str) -> dict:
         #   MOVE g1 TO g2  — COPY, then the source graph is cleared
         # DEFAULT names the default graph (NULL prov). Same-graph forms
         # are no-ops per spec.
+        if p.peek() is not None and p.peek().lower() == "silent":
+            p.next()
+
         def graph_ref() -> str | None:
             if p.peek() is not None and p.peek().lower() == "graph":
                 p.next()

@@ -7930,3 +7930,47 @@ def _register_round3_batch3() -> None:
 
 
 _register_round3_batch3()
+
+
+def _q_sparql_graph_var(spark, sf_dir):
+    """SPARQL ``GRAPH ?g`` over the engine's quad model: the graph label
+    (``prov``) projects onto every pattern scan as one more shared join
+    variable (operators/bgp.py match_bgp graph_var), so the same-graph
+    rule costs exactly the variable hash-joins — no per-graph loop, no
+    extra shuffle, named graphs only. Here both patterns co-land in the
+    provenance graph of the relation's subject mention."""
+    from search_spark.operators.sparql import sparql_select
+
+    query = f"""
+    SELECT DISTINCT ?g ?m ?t ?o WHERE {{
+      GRAPH ?g {{ ?m <has_type> ?t . ?m <{DIFF}> ?o }}
+    }}
+    """
+    return sparql_select(_q_kg_doc_triples(spark, sf_dir), query)
+
+
+_SQL_SPARQL_GRAPH_VAR = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(tpos AS VARCHAR) AS prov
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(s_tpos AS VARCHAR) AS prov
+  FROM relations)
+SELECT DISTINCT t1.prov AS g, t1.subj AS m, t1.obj AS t, t2.obj AS o
+FROM triples t1
+JOIN triples t2 ON t2.prov = t1.prov AND t2.subj = t1.subj
+WHERE t1.pred = 'has_type' AND t2.pred = '{DIFF}'
+  AND t1.prov IS NOT NULL AND t2.prov IS NOT NULL
+"""
+
+
+def _register_round3_batch4() -> None:
+    QUERIES["sparql_graph_var"] = Q(
+        _q_sparql_graph_var, _SQL_SPARQL_GRAPH_VAR
+    )
+
+
+_register_round3_batch4()

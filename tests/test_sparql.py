@@ -1287,3 +1287,131 @@ def test_aggregate_expression_unbound_rejected(spark):
             _triples(spark),
             "SELECT (SUM(?zz + 1) AS ?s) WHERE { ?a <knows> ?b . }",
         )
+
+
+def _quads(spark):
+    """Named-graph quad fixture: prov is the graph label (NULL = default
+    graph), matching the engine's quad model (io/ntriples)."""
+    rows = [
+        ("alice", "knows", "bob", "g1"),
+        ("bob", "type", "Person", "g1"),
+        ("alice", "knows", "carol", "g2"),
+        ("carol", "type", "Person", "g1"),   # cross-graph vs g2's knows
+        ("bob", "type", "Robot", "g2"),
+        ("dan", "knows", "erin", None),      # default graph
+        ("erin", "type", "Person", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, prov string"
+    )
+
+
+def test_graph_var_same_graph_join(spark):
+    # both patterns must match within ONE named graph per ?g binding;
+    # alice→carol (g2) + carol:Person (g1) is cross-graph and must not
+    # bind, and the default-graph dan/erin rows never appear
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?g ?x ?t WHERE { GRAPH ?g { ?x <knows> ?y . "
+        "?y <type> ?t } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("g1", "alice", "Person")]
+
+
+def test_graph_var_single_pattern_binds_label(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT DISTINCT ?g ?y WHERE { GRAPH ?g { ?x <type> ?y } } "
+        "ORDER BY ?g ?y",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("g1", "Person"), ("g2", "Robot")
+    ]
+
+
+def test_graph_var_aggregate(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?g (COUNT(?x) AS ?n) WHERE { GRAPH ?g { ?x <type> ?t } } "
+        "GROUP BY ?g ORDER BY ?g",
+    )
+    assert [tuple(r) for r in out.collect()] == [("g1", 2), ("g2", 1)]
+
+
+def test_graph_var_union_with_constant_graph(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?g ?x WHERE { { GRAPH ?g { ?x <knows> ?y } } UNION "
+        '{ GRAPH <g1> { ?x <type> ?t . BIND("const" AS ?g) } } } '
+        "ORDER BY ?g ?x",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("const", "bob"), ("const", "carol"),
+        ("g1", "alice"), ("g2", "alice"),
+    ]
+
+
+def test_graph_var_not_exists_scoped_to_graph(spark):
+    # NOT EXISTS inside GRAPH ?g checks within the same graph only:
+    # bob has type in g1 AND g2, carol only in g1 → in g2 carol's
+    # absence keeps alice→carol
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?g ?y WHERE { GRAPH ?g { ?x <knows> ?y . "
+        "FILTER NOT EXISTS { ?y <type> ?t } } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("g2", "carol")]
+
+
+def test_graph_var_needs_prov_column(spark):
+    from search_spark.operators.sparql import SparqlError
+
+    tdf = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(SparqlError, match="prov"):
+        sparql_select(tdf, "SELECT ?g WHERE { GRAPH ?g { ?x <p> ?y } }")
+
+
+def test_graph_var_rejects_paths_and_subqueries(spark):
+    from search_spark.operators.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="GRAPH .var"):
+        sparql_select(
+            _quads(spark),
+            "SELECT ?g WHERE { GRAPH ?g { ?x <knows>+ ?y } }",
+        )
+
+
+def test_values_undef_tuple(spark):
+    # ("alice" UNDEF) leaves ?y unconstrained; (UNDEF "erin") leaves ?x
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?x ?y WHERE { ?x <knows> ?y . VALUES (?x ?y) { '
+        '("alice" UNDEF) (UNDEF "erin") } } ORDER BY ?x ?y',
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", "bob"), ("alice", "carol"), ("dan", "erin")
+    ]
+
+
+def test_values_all_undef_row_keeps_everything(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x WHERE { ?x <knows> ?y . VALUES (?x ?y) "
+        "{ (UNDEF UNDEF) } }",
+    )
+    assert sorted(r.x for r in out.collect()) == ["alice", "alice", "dan"]
+
+
+def test_values_undef_mixed_with_bound_rows(spark):
+    # defined row joins exactly; UNDEF row contributes its own matches —
+    # one output row per compatible (binding, VALUES-row) pair
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?x ?y WHERE { ?x <knows> ?y . VALUES (?x ?y) { '
+        '("alice" "bob") ("dan" UNDEF) } } ORDER BY ?x',
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", "bob"), ("dan", "erin")
+    ]

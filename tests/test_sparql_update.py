@@ -511,3 +511,42 @@ def test_clear_default_named_all_and_drop(spark, tmp_path):
     res = sparql_update(t2, "CLEAR ALL")
     assert res == {"op": "clear_all", "n_deleted": 3}
     assert t2.load() is None or t2.load().count() == 0
+
+
+def test_create_graph_is_validated_noop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = _rows(t)
+    res = sparql_update(t, "CREATE GRAPH <g9>")
+    assert res == {"op": "create_graph", "graph": "g9", "n_rows": 0}
+    res2 = sparql_update(t, "CREATE SILENT GRAPH <g9>")
+    assert res2["graph"] == "g9"
+    assert _rows(t) == before  # no snapshot written
+    with pytest.raises(SparqlError, match="constant graph"):
+        sparql_update(t, "CREATE GRAPH ?g")
+
+
+def test_silent_tolerated_on_clear_drop_and_management(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "CLEAR SILENT GRAPH <g2>")
+    assert res["n_deleted"] == 1
+    res2 = sparql_update(t, "ADD SILENT GRAPH <g1> TO GRAPH <g3>")
+    assert res2["n_rows"] == 2
+    res3 = sparql_update(t, "DROP SILENT GRAPH <g3>")
+    assert res3["n_deleted"] == 2
+    assert _rows(t) == [
+        ("alice", "knows", "bob", "g1"),
+        ("bob", "knows", "carol", "g1"),
+    ]
+
+
+def test_graph_var_select_over_snapshot(spark, tmp_path):
+    # the quad model end-to-end: GRAPH ?g over a loaded SnapshotTable
+    t = _table(spark, tmp_path)
+    out = sparql_select(
+        t.load(),
+        "SELECT DISTINCT ?g ?x WHERE { GRAPH ?g { ?x <knows> ?y } } "
+        "ORDER BY ?g ?x",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("g1", "alice"), ("g1", "bob")
+    ]
