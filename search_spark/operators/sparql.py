@@ -291,7 +291,7 @@ _PATH_OPS = ("/", "|", "+", "^", "*")
 def _parse_term_token(p: _Parser) -> str:
     tok = p.next()
     if (
-        tok in "{}()."
+        tok in "{}().;,"
         or tok == "!"
         or tok.lower() in ("optional", "filter")
     ):
@@ -407,22 +407,37 @@ def _parse_pattern(
     plain string so downstream plans are unchanged. Returns
     ``(subj, pred_or_PathExpr, obj)``."""
     subj = _parse_term_token(p)
+    pred = _parse_pred(p, paths, max_hops)
+    obj = _parse_term_token(p)
+    _check_path_ends(subj, pred, obj)
+    if p.peek() == ".":
+        p.next()
+    return (subj, pred, obj)
+
+
+def _parse_pred(p: _Parser, paths: bool, max_hops: int) -> object:
+    """The predicate position of one triple pattern: a property path
+    (when ``paths``), the ``a`` keyword, or a plain term."""
     if paths and not (p.peek() or "?").startswith("?"):
         pred: object = _parse_path_alt(p, max_hops)
         if isinstance(pred, Pred) and not pred.inverted:
             pred = pred.name
-    else:
-        pred = _parse_term_token(p)
-        if pred == "a":  # SPARQL's rdf:type keyword (predicate position)
-            pred = RDF_TYPE
-        if p.peek() in _PATH_OPS:
-            raise SparqlError(
-                "property paths are only supported in required patterns "
-                "with constant predicates"
-                if not paths
-                else "variables cannot appear inside a property path"
-            )
-    obj = _parse_term_token(p)
+        return pred
+    raw = p.peek()
+    pred = _parse_term_token(p)
+    if raw == "a":  # SPARQL's rdf:type keyword (predicate position);
+        pred = RDF_TYPE  # the *IRI* <a> is a plain term, not the keyword
+    if p.peek() in _PATH_OPS:
+        raise SparqlError(
+            "property paths are only supported in required patterns "
+            "with constant predicates"
+            if not paths
+            else "variables cannot appear inside a property path"
+        )
+    return pred
+
+
+def _check_path_ends(subj: str, pred: object, obj: str) -> None:
     if (
         not isinstance(pred, str)
         and not subj.startswith("?")
@@ -431,9 +446,38 @@ def _parse_pattern(
         raise SparqlError(
             "property-path pattern needs at least one variable end"
         )
+
+
+def _parse_pattern_list(
+    p: _Parser, paths: bool = False, max_hops: int = PATH_MAX_HOPS
+) -> list[tuple]:
+    """One subject's patterns with Turtle-style abbreviations
+    (SPARQL 1.1 grammar TriplesSameSubjectPath): object lists
+    (``?s <p> "a", "b"`` — shared subject+predicate) and
+    predicate-object lists (``?s <p> ?o ; <q> ?r`` — shared subject).
+    Expands to plain triples so downstream plans are unchanged; a
+    trailing ``;`` before ``.`` / ``}`` is tolerated as in Turtle."""
+    subj = _parse_term_token(p)
+    pats: list[tuple] = []
+    while True:
+        pred = _parse_pred(p, paths, max_hops)
+        while True:
+            obj = _parse_term_token(p)
+            _check_path_ends(subj, pred, obj)
+            pats.append((subj, pred, obj))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        if p.peek() == ";":
+            p.next()
+            if p.peek() in (".", "}", None):
+                break
+            continue
+        break
     if p.peek() == ".":
         p.next()
-    return (subj, pred, obj)
+    return pats
 
 
 def _parse_filter_expr(p: _Parser) -> list:
@@ -797,12 +841,23 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     aggs: list[tuple[str, bool, str, str, str]] = []
     select_exprs: list[tuple[tuple, str]] = []  # (value-expr AST, alias)
     star = False
+    from_graphs: list[str] = []
+    from_named: list[str] = []
     while True:
         tok = p.peek()
         if tok is None:
             raise SparqlError("missing WHERE")
         if tok.lower() == "where":
             p.next()
+            break
+        if tok.lower() == "from":
+            if subquery:
+                raise SparqlError(
+                    "subqueries do not take dataset clauses (SPARQL 1.1 "
+                    "§12: the subquery inherits the outer dataset)"
+                )
+            from_graphs, from_named = _parse_dataset_clauses(p)
+            p.expect("WHERE")
             break
         tok = p.next()
         if tok == "*":
@@ -873,6 +928,8 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
         raise SparqlError("SELECT binds no variables")
     p.expect("{")
     groups = _parse_where_body(p, path_max_hops)
+    if from_graphs or from_named:
+        _mark_default_graph(groups)
     order: list[tuple[str, bool]] = []  # (var, descending)
     post_values: list[tuple[list[str], list[tuple[str, ...]]]] = []
     group_by: list[str] = []
@@ -955,6 +1012,8 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     return {
         "distinct": distinct,
         "select": select_vars,  # empty means *
+        "from_graphs": from_graphs,
+        "from_named": from_named,
         "select_exprs": select_exprs,
         "aggs": aggs,
         "group_by": group_by,
@@ -1020,6 +1079,23 @@ def _parse_values(p: _Parser) -> tuple[list[str], list[tuple[str, ...]]]:
     return vars_, rows
 
 
+def _parse_graph_block(p: _Parser, max_hops: int) -> dict:
+    """``GRAPH <g> { ... }`` / ``GRAPH ?g { ... }``: parse the inner
+    group and tag it with the graph constant or variable. The inner
+    group's own closing ``}`` is consumed by the recursive parse."""
+    p.expect("GRAPH")
+    gtok = p.next()
+    p.expect("{")
+    inner = _parse_group(p, max_hops)
+    if gtok.startswith("?"):
+        if not gtok[1:]:
+            raise SparqlError("empty GRAPH variable name")
+        inner["graph_var"] = gtok[1:]
+    else:
+        inner["graph"] = _term(gtok)
+    return inner
+
+
 def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     """Parse a ``{ ... }`` group body (after the ``{``): returns a dict
     with keys ``patterns / optional / not_exists / filters / values``.
@@ -1028,24 +1104,23 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
     model: ``prov`` is the graph label, as in
     :mod:`search_spark.io.ntriples`); a constant graph compiles to a
     partition-prunable filter, a variable projects the label onto every
-    pattern scan (same-graph join semantics, named graphs only)."""
+    pattern scan (same-graph join semantics, named graphs only). A
+    ``GRAPH`` block may also sit *inside* a group beside plain patterns
+    (SPARQL algebra: Join(BGP, Graph(...))) — it compiles to its own
+    bindings DataFrame inner-joined on the shared variables."""
+    first_graph = None
     if p.peek() is not None and p.peek().lower() == "graph":
-        p.next()
-        gtok = p.next()
-        p.expect("{")
-        inner = _parse_group(p, max_hops)
-        if gtok.startswith("?"):
-            if not gtok[1:]:
-                raise SparqlError("empty GRAPH variable name")
-            inner["graph_var"] = gtok[1:]
-        else:
-            inner["graph"] = _term(gtok)
-        p.expect("}")
-        return inner
+        first_graph = _parse_graph_block(p, max_hops)
+        if p.peek() == "}":  # GRAPH wraps the whole group body
+            p.next()
+            return first_graph
     g: dict = {"patterns": [], "optional": [], "not_exists": [],
                "exists": [], "filters": [], "values": [], "binds": [],
                "minus": [], "optional_groups": [], "exists_groups": [],
-               "not_exists_groups": [], "subselects": []}
+               "not_exists_groups": [], "subselects": [],
+               "graph_groups": []}
+    if first_graph is not None:
+        g["graph_groups"].append(first_graph)
 
     def _sub_group(single_key: str, group_key: str) -> None:
         """A nested ``{ ... }`` body for OPTIONAL / FILTER [NOT] EXISTS:
@@ -1104,6 +1179,8 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
             p.next()
             p.expect("{")
             g["minus"].append(_parse_group(p, max_hops))
+        elif tok.lower() == "graph":
+            g["graph_groups"].append(_parse_graph_block(p, max_hops))
         elif tok == "{":
             # ``{ SELECT ... }`` — a SPARQL 1.1 subquery: evaluated first,
             # its projected bindings join the group on the shared vars
@@ -1119,9 +1196,9 @@ def _parse_group(p: _Parser, max_hops: int = PATH_MAX_HOPS) -> dict:
             )
             p.expect("}")
         else:
-            g["patterns"].append(_parse_pattern(p, paths=True,
-                                                max_hops=max_hops))
-    if not g["patterns"] and not g["subselects"]:
+            g["patterns"].extend(_parse_pattern_list(p, paths=True,
+                                                     max_hops=max_hops))
+    if not g["patterns"] and not g["subselects"] and not g["graph_groups"]:
         raise SparqlError("group has no required triple pattern")
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     if not plain and (g["optional"] or g["not_exists"]):
@@ -1200,6 +1277,119 @@ def _compile_path_pattern(
     )
 
 
+def _join_values(out: DataFrame, vars_: list[str], rows: list[tuple],
+                 spark) -> DataFrame:
+    """Join a VALUES block's inline rows onto the bindings.
+
+    UNDEF (``None``) positions are unconstrained: partition the data
+    rows by which variables they define, broadcast-join each slice on
+    exactly those columns, and union the slices — one output row per
+    (binding, compatible VALUES row), as in the SPARQL join. No-UNDEF
+    blocks stay a single broadcast inner join. Shared by in-group
+    ``VALUES`` and the trailing (post-WHERE) form — a NULL join key
+    would silently drop rows instead of leaving them unconstrained.
+    """
+    from pyspark.sql import types as T
+
+    missing = [v for v in vars_ if v not in out.columns]
+    if missing:
+        raise SparqlError(f"VALUES variables never bound: {missing}")
+    by_mask: dict[tuple[int, ...], list[tuple]] = {}
+    for row in rows:
+        mask = tuple(i for i, t in enumerate(row) if t is not None)
+        by_mask.setdefault(mask, []).append(row)
+    pieces = []
+    for mask, mrows in sorted(by_mask.items()):
+        if not mask:
+            # an all-UNDEF row is compatible with every binding
+            pieces.extend([out] * len(mrows))
+            continue
+        cols = [vars_[i] for i in mask]
+        vdf = spark.createDataFrame(
+            [tuple(r[i] for i in mask) for r in mrows],
+            schema=T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            ),
+        )
+        pieces.append(out.join(F.broadcast(vdf), on=cols, how="inner"))
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
+def _parse_dataset_clauses(p: _Parser) -> tuple[list[str], list[str]]:
+    """``FROM <g>`` / ``FROM NAMED <g>`` clauses (SPARQL 1.1 §13.2),
+    any number, any order. Returns ``(from_graphs, from_named)``."""
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+    while p.peek() is not None and p.peek().lower() == "from":
+        p.next()
+        named = p.peek() is not None and p.peek().lower() == "named"
+        if named:
+            p.next()
+        gtok = p.next()
+        if gtok is None or gtok.startswith("?"):
+            raise SparqlError(
+                f"FROM{' NAMED' if named else ''} takes a constant graph "
+                f"IRI, got {gtok!r}"
+            )
+        (from_named if named else from_graphs).append(_term(gtok))
+    return from_graphs, from_named
+
+
+def _apply_dataset(triples: DataFrame, from_graphs: list[str],
+                   from_named: list[str]) -> DataFrame:
+    """Construct the active dataset for ``FROM`` / ``FROM NAMED``
+    clauses over the engine's quad model (``prov`` = graph label).
+
+    The active default graph is the set union of the ``FROM`` graphs —
+    their quads re-labeled ``prov = NULL`` — and the active named-graph
+    set is exactly the ``FROM NAMED`` graphs (quads keep their label).
+    With only ``FROM``, ``GRAPH`` blocks match nothing; with only
+    ``FROM NAMED``, plain patterns match nothing — both per spec.
+    Plain-pattern scans are restricted to the default graph via
+    :func:`_mark_default_graph`. Each membership test is one
+    partition-prunable ``isin`` filter; no shuffle is added."""
+    if not from_graphs and not from_named:
+        return triples
+    if "prov" not in triples.columns:
+        raise SparqlError(
+            "FROM / FROM NAMED need a 'prov' column on the triple "
+            "DataFrame (the engine's graph label)"
+        )
+    parts = []
+    if from_graphs:
+        parts.append(
+            triples.filter(F.col("prov").isin(from_graphs))
+            .withColumn("prov", F.lit(None).cast("string"))
+        )
+    if from_named:
+        parts.append(triples.filter(F.col("prov").isin(from_named)))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _mark_default_graph(groups) -> None:
+    """Flag every group outside a ``GRAPH`` block to scan only the
+    active default graph (``prov IS NULL``) — required once dataset
+    clauses construct the dataset, where the no-clause convenience of
+    matching plain patterns against the union of all quads would leak
+    named-graph rows. Recurses into nested groups and subqueries;
+    ``GRAPH``-scoped groups keep their own (named-graph) filters."""
+    for g in groups:
+        if g.get("graph") is not None or g.get("graph_var") is not None:
+            continue
+        g["graph_default"] = True
+        for kind in ("optional_groups", "exists_groups",
+                     "not_exists_groups", "minus"):
+            _mark_default_graph(g.get(kind, ()))
+        for sq in g.get("subselects", ()):
+            _mark_default_graph(sq.get("groups", ()))
+
+
 def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
     """One group: BGP joins, then property-path joins, then VALUES
     broadcast joins, then BINDs, FILTERs and MINUS anti-joins. Path
@@ -1227,6 +1417,19 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                      "not_exists_groups", "minus"):
             for og in g.get(kind, ()):
                 og.setdefault("graph_var", gvar)
+    # under dataset clauses (FROM / FROM NAMED, or UPDATE's WITH/USING)
+    # a group outside GRAPH scans only the active default graph. Nested
+    # groups keep the full dataset: they were marked (or GRAPH-scoped)
+    # themselves by _mark_default_graph, so a nested GRAPH block still
+    # sees the named graphs.
+    nested_tbl = triples
+    if g.get("graph_default"):
+        if "prov" not in triples.columns:
+            raise SparqlError(
+                "dataset clauses need a 'prov' column on the triple "
+                "DataFrame (the engine's graph label)"
+            )
+        triples = triples.filter(F.col("prov").isNull())
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     path_patterns = [pt for pt in g["patterns"]
                      if not isinstance(pt[1], str)]
@@ -1257,7 +1460,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
         # bottom-up evaluation, as in the SPARQL algebra: the subquery
         # runs on the full (graph-restricted) triple table, then its
         # projected bindings hash-join the group on the shared variables
-        sdf = _compile_select(triples, sq)
+        sdf = _compile_select(nested_tbl, sq)
         if out is None:
             out = sdf
             continue
@@ -1268,6 +1471,21 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                 "(cartesian products are not supported)"
             )
         out = out.join(sdf, on=shared, how="inner")
+    for og in g.get("graph_groups", ()):
+        # a GRAPH block beside other patterns: Join(P, Graph(g, P'))
+        # per the SPARQL algebra — compile the block on the full
+        # (dataset-constructed) table, then hash-join on shared vars
+        gdf = _compile_group(nested_tbl, og)
+        if out is None:
+            out = gdf
+            continue
+        shared = sorted(set(out.columns) & set(gdf.columns))
+        if not shared:
+            raise SparqlError(
+                "GRAPH block shares no variable with the enclosing "
+                "group (cartesian products are not supported)"
+            )
+        out = out.join(gdf, on=shared, how="inner")
     for pt in g["exists"]:
         edf = match_bgp(triples, [pt], graph_var=gvar)
         shared = sorted(set(out.columns) & set(edf.columns))
@@ -1282,7 +1500,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
         ("not_exists_groups", "left_anti"),
     ):
         for og in g.get(kind, ()):
-            odf = _compile_group(triples, og)
+            odf = _compile_group(nested_tbl, og)
             shared = sorted(set(out.columns) & set(odf.columns))
             if not shared:
                 raise SparqlError(
@@ -1293,37 +1511,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
                 odf = odf.select(*shared).distinct()
             out = out.join(odf, on=shared, how=how)
     for vars_, rows in g["values"]:
-        missing = [v for v in vars_ if v not in out.columns]
-        if missing:
-            raise SparqlError(f"VALUES variables never bound: {missing}")
-        from pyspark.sql import types as T
-
-        # UNDEF (None) positions are unconstrained: partition the data
-        # rows by which variables they define, broadcast-join each slice
-        # on exactly those columns, and union the slices — one output
-        # row per (binding, compatible VALUES row), as in the SPARQL
-        # join. No-UNDEF blocks stay the single inner join they were.
-        by_mask: dict[tuple[int, ...], list[tuple]] = {}
-        for row in rows:
-            mask = tuple(i for i, t in enumerate(row) if t is not None)
-            by_mask.setdefault(mask, []).append(row)
-        pieces = []
-        for mask, mrows in sorted(by_mask.items()):
-            if not mask:
-                # an all-UNDEF row is compatible with every binding
-                pieces.extend([out] * len(mrows))
-                continue
-            cols = [vars_[i] for i in mask]
-            vdf = triples.sparkSession.createDataFrame(
-                [tuple(r[i] for i in mask) for r in mrows],
-                schema=T.StructType(
-                    [T.StructField(c, T.StringType()) for c in cols]
-                ),
-            )
-            pieces.append(out.join(F.broadcast(vdf), on=cols, how="inner"))
-        out = pieces[0]
-        for piece in pieces[1:]:
-            out = out.unionByName(piece)
+        out = _join_values(out, vars_, rows, triples.sparkSession)
     for expr_ast, var in g["binds"]:
         if var in out.columns:
             raise SparqlError(f"BIND target ?{var} is already bound")
@@ -1331,7 +1519,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
     for ast in g["filters"]:
         out = out.filter(_compile_filter(ast))
     for mg in g["minus"]:
-        mdf = _compile_group(triples, mg)
+        mdf = _compile_group(nested_tbl, mg)
         shared = sorted(set(out.columns) & set(mdf.columns))
         if not shared:
             # SPARQL MINUS with disjoint domains removes nothing
@@ -1378,10 +1566,16 @@ def sparql_query(triples: DataFrame, query: str,
     if head == "ask":
         p = _Parser(_tokenize(query))
         p.expect("ASK")
+        from_graphs, from_named = _parse_dataset_clauses(p)
+        if p.peek() is not None and p.peek().lower() == "where":
+            p.next()
         p.expect("{")
         groups = _parse_where_body(p, path_max_hops)
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        if from_graphs or from_named:
+            _mark_default_graph(groups)
+            triples = _apply_dataset(triples, from_graphs, from_named)
         return _compile_where(triples, groups).limit(1).count() > 0
     if head == "describe":
         from search_spark.operators.bgp import describe, describe_bound
@@ -1400,12 +1594,22 @@ def sparql_query(triples: DataFrame, query: str,
                 "DESCRIBE takes one constant resource, or one variable "
                 "plus a WHERE group"
             )
+        from_graphs, from_named = _parse_dataset_clauses(p)
         p.expect("WHERE")
         p.expect("{")
         groups = _parse_where_body(p, path_max_hops)
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
-        bindings = _compile_where(triples, groups)
+        if from_graphs or from_named:
+            _mark_default_graph(groups)
+            # the WHERE dataset is clause-built; the description itself
+            # still reads the full store (DESCRIBE output is
+            # implementation-defined, §16.4)
+            bindings = _compile_where(
+                _apply_dataset(triples, from_graphs, from_named), groups
+            )
+        else:
+            bindings = _compile_where(triples, groups)
         if var[1:] not in bindings.columns:
             raise SparqlError(f"DESCRIBE variable never bound: {var}")
         return describe_bound(triples, bindings.select(var[1:]))
@@ -1447,8 +1651,9 @@ def _sparql_construct(triples: DataFrame, query: str,
     p.expect("{")
     template: list[tuple[str, str, str]] = []
     while p.peek() != "}":
-        template.append(_parse_pattern(p))
+        template.extend(_parse_pattern_list(p))
     p.expect("}")
+    from_graphs, from_named = _parse_dataset_clauses(p)
     p.expect("WHERE")
     p.expect("{")
     groups = _parse_where_body(p, path_max_hops)
@@ -1456,6 +1661,9 @@ def _sparql_construct(triples: DataFrame, query: str,
         raise SparqlError(f"unexpected trailing token {p.peek()!r}")
     if not template:
         raise SparqlError("empty CONSTRUCT template")
+    if from_graphs or from_named:
+        _mark_default_graph(groups)
+        triples = _apply_dataset(triples, from_graphs, from_named)
     bindings = _compile_where(triples, groups)
     return instantiate_template(bindings, template)
 
@@ -1536,22 +1744,15 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
     """Compile a parsed SELECT dict (top-level query or subquery) to a
     DataFrame: WHERE bindings → aggregation → HAVING → projection →
     DISTINCT → ORDER/OFFSET/LIMIT."""
+    triples = _apply_dataset(
+        triples, q.get("from_graphs", ()), q.get("from_named", ())
+    )
     out = _compile_where(triples, q["groups"])
     for vars_, rows in q.get("post_values", ()):
-        # trailing VALUES: broadcast inner join against the inline rows,
-        # applied to the whole WHERE result before grouping/projection
-        missing = [v for v in vars_ if v not in out.columns]
-        if missing:
-            raise SparqlError(f"VALUES variables never bound: {missing}")
-        from pyspark.sql import types as T
-
-        vdf = triples.sparkSession.createDataFrame(
-            rows,
-            schema=T.StructType(
-                [T.StructField(v, T.StringType()) for v in vars_]
-            ),
-        )
-        out = out.join(F.broadcast(vdf), on=list(vars_), how="inner")
+        # trailing VALUES: broadcast inner join against the inline rows
+        # (UNDEF-aware), applied to the whole WHERE result before
+        # grouping/projection
+        out = _join_values(out, vars_, rows, triples.sparkSession)
     if q["aggs"]:
         for fn, _, arg, _, _ in q["aggs"]:
             if arg == "*":
@@ -1654,14 +1855,13 @@ def _parse_const_quads(p: _Parser) -> list[tuple[str, str, str, str | None]]:
         p.expect("{")
     quads = []
     while p.peek() not in (None, "}"):
-        s, pr, o = _parse_pattern(p)
-        for t in (s, pr, o):
-            if t.startswith("?"):
+        for s, pr, o in _parse_pattern_list(p):
+            if any(t.startswith("?") for t in (s, pr, o)):
                 raise SparqlError(
                     "INSERT/DELETE DATA takes constant triples only "
                     "(use DELETE WHERE for patterns)"
                 )
-        quads.append((s, pr, o, graph))
+            quads.append((s, pr, o, graph))
     p.expect("}")
     if graph is not None:
         p.expect("}")
@@ -1771,7 +1971,7 @@ def sparql_update(table, update: str) -> dict:
         p.expect("{")
         template = []
         while p.peek() not in (None, "}"):
-            template.append(_parse_pattern(p))
+            template.extend(_parse_pattern_list(p))
         if not template:
             raise SparqlError("INSERT template has no triples")
         p.expect("}")
@@ -1964,10 +2164,12 @@ def _parse_update_template(p: _Parser, what: str) -> list[tuple]:
     property paths not) up to the closing ``}``, which is consumed."""
     template = []
     while p.peek() not in (None, "}"):
-        pat = _parse_pattern(p)
-        if not isinstance(pat[1], str):
-            raise SparqlError(f"{what} templates do not take property paths")
-        template.append(pat)
+        for pat in _parse_pattern_list(p):
+            if not isinstance(pat[1], str):
+                raise SparqlError(
+                    f"{what} templates do not take property paths"
+                )
+            template.append(pat)
     p.expect("}")
     if not template:
         raise SparqlError(f"{what} template has no triples")

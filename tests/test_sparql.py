@@ -1415,3 +1415,182 @@ def test_values_undef_mixed_with_bound_rows(spark):
     assert [tuple(r) for r in out.collect()] == [
         ("alice", "bob"), ("dan", "erin")
     ]
+
+
+def test_from_builds_default_graph(spark):
+    # FROM <g1>: active default graph = g1's quads; plain patterns see
+    # only those (the no-clause union-of-all convenience is replaced)
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x ?y FROM <g1> WHERE { ?x <knows> ?y }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("alice", "bob")]
+
+
+def test_from_merges_multiple_graphs(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x ?t FROM <g1> FROM <g2> WHERE { ?x <knows> ?y . "
+        "?y <type> ?t } ORDER BY ?x ?t",
+    )
+    # the merged default graph joins across g1 and g2 quads
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", "Person"), ("alice", "Person"), ("alice", "Robot"),
+    ]
+
+
+def test_from_excludes_graph_blocks(spark):
+    # with only FROM, the active named-graph set is empty: GRAPH
+    # matches nothing even for a graph that exists in the store
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x FROM <g1> WHERE { GRAPH <g1> { ?x <knows> ?y } }",
+    )
+    assert out.count() == 0
+
+
+def test_from_named_only_empties_default_graph(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x FROM NAMED <g1> WHERE { ?x <knows> ?y }",
+    )
+    assert out.count() == 0
+
+
+def test_from_named_restricts_graph_var(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?g ?x FROM NAMED <g2> WHERE { GRAPH ?g { ?x <knows> ?y } }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("g2", "alice")]
+
+
+def test_from_and_from_named_combine(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT ?x ?t FROM <g2> FROM NAMED <g1> WHERE { "
+        "?x <knows> ?y . GRAPH <g1> { ?y <type> ?t } } ",
+    )
+    # plain pattern reads g2 (alice knows carol); GRAPH reads g1
+    assert [tuple(r) for r in out.collect()] == [("alice", "Person")]
+
+
+def test_ask_and_construct_take_dataset_clauses(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    assert sparql_query(_quads(spark), "ASK FROM <g2> { ?x <knows> ?y }")
+    assert not sparql_query(
+        _quads(spark), "ASK FROM NAMED <g2> { ?x <knows> ?y }"
+    )
+    out = sparql_query(
+        _quads(spark),
+        "CONSTRUCT { ?y <knownBy> ?x } FROM <g1> WHERE { ?x <knows> ?y }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("bob", "knownBy", "alice")]
+
+
+def test_describe_takes_dataset_clauses(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _quads(spark),
+        "DESCRIBE ?y FROM <g1> WHERE { ?x <knows> ?y }",
+    )
+    # WHERE binds ?y=bob from g1; the description itself reads the
+    # full store (implementation-defined per §16.4) and includes
+    # triples with the resource in subject OR object position
+    assert sorted(map(tuple, out.select("subj", "pred", "obj").collect())) == [
+        ("alice", "knows", "bob"),
+        ("bob", "type", "Person"), ("bob", "type", "Robot"),
+    ]
+
+
+def test_subquery_rejects_dataset_clause(spark):
+    from search_spark.operators.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="dataset"):
+        sparql_select(
+            _quads(spark),
+            "SELECT ?x WHERE { { SELECT ?x FROM <g1> WHERE "
+            "{ ?x <knows> ?y } } }",
+        )
+
+
+def test_from_requires_constant_iri(spark):
+    from search_spark.operators.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="constant graph"):
+        sparql_select(
+            _quads(spark), "SELECT ?x FROM ?g WHERE { ?x <knows> ?y }"
+        )
+
+
+def test_predicate_object_list(spark):
+    # Turtle-style ';' shares the subject across predicate-object pairs
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?x ?y WHERE { ?x <type> "Person" ; ^<knows> ?y }',
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("bob", "alice"), ("carol", "alice"), ("erin", "dan"),
+    ]
+
+
+def test_object_list(spark):
+    # ',' shares subject AND predicate: conjunctive, both must hold
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?x WHERE { ?x <knows> "bob", "carol" }',
+    )
+    assert [r.x for r in out.collect()] == ["alice"]
+
+
+def test_pattern_list_trailing_semicolon(spark):
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?x WHERE { ?x <type> "Person" ; . }',
+    )
+    assert sorted(r.x for r in out.collect()) == ["bob", "carol", "erin"]
+
+
+def test_construct_template_lists(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _triples(spark),
+        'CONSTRUCT { ?x <tag> "seen" ; <src> "kg", "web" } '
+        "WHERE { ?x <knows> ?y . FILTER(?y = \"carol\") }",
+    )
+    assert sorted(map(tuple, out.select("subj", "pred", "obj").collect())) == [
+        ("alice", "src", "kg"), ("alice", "src", "web"),
+        ("alice", "tag", "seen"),
+        ("bob", "src", "kg"), ("bob", "src", "web"),
+        ("bob", "tag", "seen"),
+    ]
+
+
+def test_insert_data_lists(spark, tmp_path):
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.operators.sparql import sparql_update
+
+    t = SnapshotTable(spark, str(tmp_path / "kg"))
+    res = sparql_update(
+        t,
+        'INSERT DATA { <a> <p> "1", "2" ; <q> "3" . <b> <p> "4" }',
+    )
+    assert res["n_rows"] == 4
+    rows = {(r.subj, r.pred, r.obj) for r in t.load().collect()}
+    assert rows == {("a", "p", "1"), ("a", "p", "2"),
+                    ("a", "q", "3"), ("b", "p", "4")}
+
+
+def test_iri_a_is_not_the_type_keyword(spark):
+    # bare `a` is rdf:type; the bracketed IRI <a> is a plain term
+    from search_spark.operators.sparql import RDF_TYPE
+
+    rows = [("s1", "a", "x"), ("s1", RDF_TYPE, "Person")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(tdf, "SELECT ?o WHERE { s1 <a> ?o }")
+    assert [r.o for r in out.collect()] == ["x"]
+    out2 = sparql_select(tdf, "SELECT ?o WHERE { s1 a ?o }")
+    assert [r.o for r in out2.collect()] == ["Person"]
