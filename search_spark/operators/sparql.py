@@ -1338,6 +1338,54 @@ def _parse_dataset_clauses(p: _Parser) -> tuple[list[str], list[str]]:
     return from_graphs, from_named
 
 
+def _parse_using_clauses(p: _Parser) -> tuple[list[str], list[str]]:
+    """``USING <g>`` / ``USING NAMED <g>`` clauses (SPARQL 1.1 Update
+    §3.1.3) — the update-side FROM / FROM NAMED. Returns
+    ``(using, using_named)``."""
+    using: list[str] = []
+    using_named: list[str] = []
+    while p.peek() is not None and p.peek().lower() == "using":
+        p.next()
+        named = p.peek() is not None and p.peek().lower() == "named"
+        if named:
+            p.next()
+        gtok = p.next()
+        if gtok is None or gtok.startswith("?"):
+            raise SparqlError(
+                f"USING{' NAMED' if named else ''} takes a constant "
+                f"graph IRI, got {gtok!r}"
+            )
+        (using_named if named else using).append(_term(gtok))
+    return using, using_named
+
+
+def _update_where_table(existing: DataFrame, groups: list[dict],
+                        with_graph: str | None, using: list[str],
+                        using_named: list[str]) -> DataFrame:
+    """The table an update's WHERE evaluates against. USING / USING
+    NAMED construct the dataset exactly like FROM / FROM NAMED and
+    override WITH; WITH alone makes its graph the active default graph
+    while the named-graph set stays the full store (§3.1.3: GRAPH
+    blocks still see every named graph). No clause: the store's
+    convenience view (plain patterns match all quads)."""
+    if using or using_named:
+        _mark_default_graph(groups)
+        return _apply_dataset(existing, using, using_named)
+    if with_graph is not None:
+        if "prov" not in existing.columns:
+            raise SparqlError(
+                "WITH needs a 'prov' column on the triple table "
+                "(the engine's graph label)"
+            )
+        _mark_default_graph(groups)
+        return (
+            existing.filter(F.col("prov") == with_graph)
+            .withColumn("prov", F.lit(None).cast("string"))
+            .unionByName(existing.filter(F.col("prov").isNotNull()))
+        )
+    return existing
+
+
 def _apply_dataset(triples: DataFrame, from_graphs: list[str],
                    from_named: list[str]) -> DataFrame:
     """Construct the active dataset for ``FROM`` / ``FROM NAMED``
@@ -1911,7 +1959,8 @@ def sparql_update(table, update: str) -> dict:
       single copy-on-write pass, never a join; multiple patterns take
       SPARQL's own expansion ``DELETE { P } WHERE { P }`` through the
       modify path below (join semantics).
-    * ``DELETE { template } [INSERT { template }] WHERE { group }`` —
+    * ``[WITH <g>] DELETE { template } [INSERT { template }]
+      [USING [NAMED] <g> ...] WHERE { group }`` —
       the full SPARQL 1.1 modify form: WHERE bindings evaluate once
       against the pre-update store (full SELECT-group surface), the
       DELETE template's instantiations are removed via anti-join
@@ -1943,8 +1992,26 @@ def sparql_update(table, update: str) -> dict:
     that actually contain matches (``delete_where`` skips clean ones)."""
     p = _Parser(_tokenize(update))
     head = p.next().lower()
+    with_graph = None
+    if head == "with":
+        # WITH <g> (§3.1.3): <g> is both the WHERE's default graph
+        # (unless USING overrides) and the graph the templates modify
+        gtok = p.next()
+        if gtok is None or gtok.startswith("?"):
+            raise SparqlError("WITH takes a constant graph IRI")
+        with_graph = _term(gtok)
+        head = p.next().lower()
+        if head not in ("delete", "insert"):
+            raise SparqlError(
+                "WITH must be followed by DELETE or INSERT"
+            )
     if head == "insert":
         if p.peek() is not None and p.peek().lower() == "data":
+            if with_graph is not None:
+                raise SparqlError(
+                    "WITH does not apply to INSERT DATA (use "
+                    "GRAPH inside the data block)"
+                )
             p.next()
             p.expect("{")
             quads = _parse_const_quads(p)
@@ -1975,6 +2042,7 @@ def sparql_update(table, update: str) -> dict:
         if not template:
             raise SparqlError("INSERT template has no triples")
         p.expect("}")
+        using, using_named = _parse_using_clauses(p)
         p.expect("WHERE")
         p.expect("{")
         groups = _parse_where_body(p, PATH_MAX_HOPS)
@@ -1983,13 +2051,19 @@ def sparql_update(table, update: str) -> dict:
         existing = table.load()
         if existing is None:
             raise SparqlError("INSERT ... WHERE needs a populated table")
-        bindings = _compile_where(existing, groups)
+        where_tbl = _update_where_table(
+            existing, groups, with_graph, using, using_named
+        )
+        bindings = _compile_where(where_tbl, groups)
         new_triples = _instantiate(bindings, template)
-        # default-graph convention, as INSERT DATA: NULL prov, the
-        # urn:sparql:update bucketing url
+        # destination: WITH's graph when given, else the default graph
+        # (NULL prov), with the graph (or urn:sparql:update) as the
+        # bucketing url — same conventions as INSERT DATA
         df = new_triples.withColumn(
-            "prov", F.lit(None).cast("string")
-        ).withColumn("url", F.lit("urn:sparql:update"))
+            "prov", F.lit(with_graph).cast("string")
+        ).withColumn(
+            "url", F.lit(with_graph or "urn:sparql:update")
+        )
         info = _append_aligned(table, df, "sparql_insert_where")
         if info is None:  # WHERE matched nothing: no-op, no snapshot
             return {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
@@ -2093,6 +2167,11 @@ def sparql_update(table, update: str) -> dict:
     if head != "delete":
         raise SparqlError(f"unsupported update form {head!r}")
     nxt = p.next().lower()
+    if with_graph is not None and nxt != "{":
+        raise SparqlError(
+            "WITH applies to the modify form only "
+            "(DELETE { tpl } [INSERT { tpl }] WHERE { group })"
+        )
     if nxt == "data":
         p.expect("{")
         quads = _parse_const_quads(p)
@@ -2117,12 +2196,14 @@ def sparql_update(table, update: str) -> dict:
             p.next()
             p.expect("{")
             ins_template = _parse_update_template(p, "INSERT")
+        using, using_named = _parse_using_clauses(p)
         p.expect("WHERE")
         p.expect("{")
         groups = _parse_where_body(p, PATH_MAX_HOPS)
         if p.peek() is not None:
             raise SparqlError(f"unexpected trailing token {p.peek()!r}")
-        return _apply_modify(table, del_template, ins_template, groups)
+        return _apply_modify(table, del_template, ins_template, groups,
+                             with_graph, using, using_named)
     if nxt != "where":
         raise SparqlError(f"unsupported update form DELETE {nxt!r}")
     p.expect("{")
@@ -2198,6 +2279,8 @@ def _instantiate(bindings: DataFrame, template: list[tuple]) -> DataFrame:
 
 def _apply_modify(table, del_template: list[tuple],
                   ins_template: list[tuple] | None, groups: list[dict],
+                  with_graph: str | None = None,
+                  using: list[str] = (), using_named: list[str] = (),
                   ) -> dict:
     """Execute ``DELETE { tpl } [INSERT { tpl }] WHERE { group }``:
     evaluate the WHERE bindings ONCE against the pre-update store,
@@ -2209,21 +2292,35 @@ def _apply_modify(table, del_template: list[tuple],
     very snapshot directories the delete swaps out. Deletes match on
     ``(subj, pred, obj)`` across all graphs (the store's default-graph
     view is the union of its quads); inserts land under the default
-    graph (NULL ``prov``), same as ``INSERT ... WHERE``. Scale: one
+    graph (NULL ``prov``), same as ``INSERT ... WHERE``. Under
+    ``WITH <g>`` both templates target graph ``g`` only (deletes match
+    ``prov`` too, inserts label ``prov = g``) and the WHERE's default
+    graph is ``g``; ``USING [NAMED]`` rebuilds the WHERE dataset like
+    ``FROM [NAMED]`` and overrides WITH's WHERE effect. Scale: one
     declarative bindings plan, one anti-join rewrite per snapshot, one
     bucketed append — no per-binding driver work."""
     existing = table.load()
     if existing is None:
         raise SparqlError("DELETE/INSERT ... WHERE needs a populated table")
-    bindings = _compile_where(existing, groups)
+    where_tbl = _update_where_table(
+        existing, groups, with_graph, list(using), list(using_named)
+    )
+    bindings = _compile_where(where_tbl, groups)
     doomed = _instantiate(bindings, del_template)
     ins_df = None
     if ins_template is not None:
         ins_df = _instantiate(bindings, ins_template).withColumn(
-            "prov", F.lit(None).cast("string")
-        ).withColumn("url", F.lit("urn:sparql:update"))
+            "prov", F.lit(with_graph).cast("string")
+        ).withColumn("url", F.lit(with_graph or "urn:sparql:update"))
         ins_df = ins_df.localCheckpoint(eager=True)
-    n_deleted = table.delete_matching(doomed)
+    if with_graph is not None:
+        # WITH restricts the modification to its graph: match prov too
+        doomed = doomed.withColumn("prov", F.lit(with_graph))
+        n_deleted = table.delete_matching(
+            doomed, on=("subj", "pred", "obj", "prov")
+        )
+    else:
+        n_deleted = table.delete_matching(doomed)
     out = {"op": "modify", "n_deleted": n_deleted}
     if ins_df is not None:
         info = _append_aligned(table, ins_df, "sparql_modify_insert")

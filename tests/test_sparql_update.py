@@ -550,3 +550,88 @@ def test_graph_var_select_over_snapshot(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [
         ("g1", "alice"), ("g1", "bob")
     ]
+
+
+def test_with_modify_confined_to_graph(spark, tmp_path):
+    # WITH <g1>: WHERE matches within g1 as default graph; the delete
+    # and insert both target g1 only (g2's rows untouched)
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        "WITH <g1> DELETE { ?s <knows> ?o } INSERT { ?o <knownBy> ?s } "
+        "WHERE { ?s <knows> ?o }",
+    )
+    assert res["n_deleted"] == 2 and res["n_rows"] == 2
+    assert _rows(t) == [
+        ("alice", "type", "Person", "g2"),
+        ("bob", "knownBy", "alice", "g1"),
+        ("carol", "knownBy", "bob", "g1"),
+    ]
+
+
+def test_with_delete_does_not_touch_other_graphs(spark, tmp_path):
+    # the same (s,p,o) exists in g1 and g2; WITH <g1> deletes only g1's
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame(
+        [("alice", "knows", "bob", "g2", "http://a")],
+        "subj string, pred string, obj string, prov string, url string",
+    ))
+    res = sparql_update(
+        t, 'WITH <g1> DELETE { ?s <knows> "bob" } WHERE { ?s <knows> "bob" }'
+    )
+    assert res["n_deleted"] == 1
+    assert ("alice", "knows", "bob", "g2") in _rows(t)
+    assert ("alice", "knows", "bob", "g1") not in _rows(t)
+
+
+def test_using_overrides_with_for_where(spark, tmp_path):
+    # USING <g2> builds the WHERE dataset; WITH <g1> still scopes the
+    # delete — ?s binds alice via g2's type row, delete hits g1
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        "WITH <g1> DELETE { ?s <knows> ?o } USING <g2> "
+        'WHERE { ?s <type> "Person" . ?s <knows> ?o }',
+    )
+    # g2 has no knows rows: the join over the USING dataset is empty
+    assert res["n_deleted"] == 0
+    res2 = sparql_update(
+        t,
+        "WITH <g1> DELETE { ?s <knows> ?o } USING <g1> "
+        "WHERE { ?s <knows> ?o }",
+    )
+    assert res2["n_deleted"] == 2
+
+
+def test_using_named_scopes_graph_blocks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t,
+        "DELETE { ?s <knows> ?o } USING NAMED <g1> "
+        "WHERE { GRAPH ?g { ?s <knows> ?o } }",
+    )
+    # deletes match (s,p,o) across graphs when no WITH is given
+    assert res["n_deleted"] == 2
+    assert _rows(t) == [("alice", "type", "Person", "g2")]
+
+
+def test_with_insert_where_lands_in_graph(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t, 'WITH <g2> INSERT { ?s <checked> "y" } WHERE { ?s <type> ?t }'
+    )
+    assert res["n_rows"] == 1
+    assert ("alice", "checked", "y", "g2") in _rows(t)
+
+
+@pytest.mark.parametrize("bad", [
+    'WITH <g1> INSERT DATA { <x> <y> "z" }',
+    'WITH <g1> DELETE DATA { <x> <y> "z" }',
+    'WITH <g1> DELETE WHERE { ?s <p> ?o }',
+    'WITH ?g DELETE { ?s <p> ?o } WHERE { ?s <p> ?o }',
+    'DELETE { ?s <p> ?o } USING ?g WHERE { ?s <p> ?o }',
+])
+def test_with_using_rejects(spark, tmp_path, bad):
+    t = _table(spark, tmp_path)
+    with pytest.raises(SparqlError):
+        sparql_update(t, bad)
