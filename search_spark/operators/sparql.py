@@ -257,10 +257,16 @@ def _term(tok: str) -> str:
     return tok
 
 
+#: reserved column-name prefix for blank-node variables; user variables
+#: starting with this are rejected so SELECT * can drop them safely
+_BN = "__bnode__"
+
+
 class _Parser:
     def __init__(self, toks: list[str]):
         self.toks = toks
         self.i = 0
+        self.bn = 0  # anonymous-blank-node counter ([] terms)
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -296,6 +302,21 @@ def _parse_term_token(p: _Parser) -> str:
         or tok.lower() in ("optional", "filter")
     ):
         raise SparqlError(f"malformed triple pattern near {tok!r}")
+    if tok == "[" and p.peek() == "]":
+        p.next()
+        tok = "[]"
+    if tok == "[]":  # anonymous blank node: a fresh scoped variable
+        p.bn += 1
+        return f"?{_BN}anon{p.bn}"
+    if tok.startswith("_:"):
+        # labeled blank node: a non-projectable variable scoped to the
+        # query (labels may not span groups per spec, so one name per
+        # label is exact for legal queries)
+        if not tok[2:]:
+            raise SparqlError("empty blank-node label")
+        return f"?{_BN}{tok[2:]}"
+    if tok.startswith("?") and tok[1:].startswith(_BN):
+        raise SparqlError(f"variable names starting with {_BN} are reserved")
     return _term(tok)
 
 
@@ -1695,7 +1716,7 @@ def _sparql_construct(triples: DataFrame, query: str,
                 "CONSTRUCT WHERE cannot template a property path"
             )
         bindings = _compile_where(triples, groups)
-        return instantiate_template(bindings, template)
+        return _instantiate(bindings, template)
     p.expect("{")
     template: list[tuple[str, str, str]] = []
     while p.peek() != "}":
@@ -1713,7 +1734,7 @@ def _sparql_construct(triples: DataFrame, query: str,
         _mark_default_graph(groups)
         triples = _apply_dataset(triples, from_graphs, from_named)
     bindings = _compile_where(triples, groups)
-    return instantiate_template(bindings, template)
+    return _instantiate(bindings, template)
 
 
 def sparql_select(triples: DataFrame, query: str,
@@ -1866,6 +1887,12 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
         if missing:
             raise SparqlError(f"SELECT variables never bound: {missing}")
         out = out.select(*q["select"])
+        if q["distinct"]:
+            out = out.distinct()
+    else:  # SELECT * — blank-node variables are not projectable
+        bn_cols = [c for c in out.columns if c.startswith(_BN)]
+        if bn_cols:
+            out = out.drop(*bn_cols)
         if q["distinct"]:
             out = out.distinct()
     if q["order"]:
@@ -2250,6 +2277,13 @@ def _parse_update_template(p: _Parser, what: str) -> list[tuple]:
                 raise SparqlError(
                     f"{what} templates do not take property paths"
                 )
+            if what.startswith("DELETE") and any(
+                t.startswith("?" + _BN) for t in pat
+            ):
+                # §3.1.3: blank nodes are disallowed in DELETE templates
+                raise SparqlError(
+                    f"{what} templates cannot contain blank nodes"
+                )
             template.append(pat)
     p.expect("}")
     if not template:
@@ -2266,9 +2300,35 @@ def _plain_group(patterns: list[tuple]) -> dict:
             "not_exists_groups": [], "subselects": []}
 
 
+def _bind_template_bnodes(bindings: DataFrame,
+                          template: list[tuple]) -> DataFrame:
+    """Blank nodes in a CONSTRUCT / INSERT template mint one fresh node
+    per solution (SPARQL 1.1 §16.2.1): bind each template-only
+    blank-node variable to a label derived from the solution row
+    (xxhash64 over every binding column), so the same solution reuses
+    one node across the template and distinct solutions get distinct
+    nodes — all JVM-side, no per-row Python."""
+    labels = sorted({
+        t[1:] for entry in template for t in entry
+        if t.startswith("?" + _BN) and t[1:] not in bindings.columns
+    })
+    if not labels:
+        return bindings
+    row_hash = F.xxhash64(*[F.col(c) for c in bindings.columns])
+    for lbl in labels:
+        bindings = bindings.withColumn(
+            lbl,
+            F.concat(F.lit(f"_:{lbl[len(_BN):]}"),
+                     F.abs(row_hash).cast("string")),
+        )
+    return bindings
+
+
 def _instantiate(bindings: DataFrame, template: list[tuple]) -> DataFrame:
     """instantiate_template with its ValueErrors (unbound template
-    variable, malformed entry) surfaced as SparqlError."""
+    variable, malformed entry) surfaced as SparqlError; template-only
+    blank nodes are minted per solution first."""
+    bindings = _bind_template_bnodes(bindings, template)
     try:
         return instantiate_template(bindings, template)
     except SparqlError:

@@ -1594,3 +1594,74 @@ def test_iri_a_is_not_the_type_keyword(spark):
     assert [r.o for r in out.collect()] == ["x"]
     out2 = sparql_select(tdf, "SELECT ?o WHERE { s1 a ?o }")
     assert [r.o for r in out2.collect()] == ["Person"]
+
+
+def test_blank_node_label_joins(spark):
+    # _:b is an unnamed variable: both occurrences bind the same value
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?x WHERE { ?x <knows> _:b . _:b <knows> ?y }",
+    )
+    assert sorted({r.x for r in out.collect()}) == ["alice"]
+
+
+def test_anonymous_blank_nodes_are_independent(spark):
+    # each [] is a fresh variable — two [] terms do not join
+    out = sparql_select(
+        _triples(spark), "SELECT DISTINCT ?x WHERE { ?x <knows> [] }"
+    )
+    assert sorted(r.x for r in out.collect()) == ["alice", "bob"]
+    out2 = sparql_select(
+        _triples(spark), "SELECT DISTINCT ?x WHERE { ?x <knows> [ ] }"
+    )
+    assert sorted(r.x for r in out2.collect()) == ["alice", "bob"]
+
+
+def test_select_star_hides_blank_node_vars(spark):
+    out = sparql_select(
+        _triples(spark), "SELECT * WHERE { ?x <knows> _:b }"
+    )
+    assert out.columns == ["x"]
+    # projecting the bnode away keeps multiset semantics: alice twice
+    assert sorted(r.x for r in out.collect()) == ["alice", "alice", "bob"]
+    dis = sparql_select(
+        _triples(spark), "SELECT DISTINCT * WHERE { ?x <knows> _:b }"
+    )
+    assert sorted(r.x for r in dis.collect()) == ["alice", "bob"]
+
+
+def test_construct_template_bnode_fresh_per_solution(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(
+        _triples(spark),
+        "CONSTRUCT { ?x <attends> _:e . _:e a <Event> } "
+        "WHERE { ?x <knows> \"carol\" }",
+    )
+    rows = sorted(map(tuple, out.select("subj", "pred", "obj").collect()))
+    events = {o for s, p, o in rows if p == "attends"}
+    event_subjects = {s for s, p, o in rows if o == "Event"}
+    # one fresh node per solution, reused across the template's triples
+    assert len(events) == 2 and events == event_subjects
+    assert all(e.startswith("_:e") for e in events)
+
+
+def test_delete_template_rejects_blank_nodes(spark, tmp_path):
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.operators.sparql import sparql_update
+
+    t = SnapshotTable(spark, str(tmp_path / "kg"))
+    t.append(spark.createDataFrame(
+        [("a", "p", "b", None, "u")],
+        "subj string, pred string, obj string, prov string, url string",
+    ))
+    with pytest.raises(SparqlError, match="blank nodes"):
+        sparql_update(t, "DELETE { ?s <p> _:x } WHERE { ?s <p> ?o }")
+
+
+def test_reserved_variable_prefix_rejected(spark):
+    with pytest.raises(SparqlError, match="reserved"):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?x WHERE { ?x <knows> ?__bnode__y }",
+        )
