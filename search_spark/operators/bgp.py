@@ -140,6 +140,29 @@ def order_patterns(
     return [patterns[i] for i in chosen]
 
 
+def _connect_order(patterns: Sequence[Sequence[str]]) -> list:
+    """Stable greedy reordering so every pattern joins on a variable it
+    shares with those before it whenever the BGP's variable graph is
+    connected — a valid SPARQL BGP need not be written join-connected
+    in order (blank-node property lists routinely aren't). Inner joins
+    commute, so this changes the plan, never the answer; a genuinely
+    disconnected BGP passes through and the join loop raises its usual
+    cartesian error."""
+    remaining = list(patterns)
+    ordered = [remaining.pop(0)]
+    bound = {t[1:] for t in ordered[0] if _is_var(t)}
+    while remaining:
+        for i, pat in enumerate(remaining):
+            if any(_is_var(t) and t[1:] in bound for t in pat):
+                ordered.append(remaining.pop(i))
+                bound |= {t[1:] for t in pat if _is_var(t)}
+                break
+        else:
+            ordered.extend(remaining)
+            break
+    return ordered
+
+
 def match_bgp(
     triples: DataFrame,
     patterns: Sequence[Sequence[str]],
@@ -177,10 +200,10 @@ def match_bgp(
     variables; the pattern's other variables are existential). Applied
     after all required and optional patterns, per SPARQL evaluation order.
 
-    Patterns must be connected in the given order: every pattern after the
-    first must share at least one variable with those before it (otherwise
-    the query is a cartesian product — raise instead of silently building
-    one).
+    Patterns must form a connected variable graph (in any written
+    order — a stable greedy pass join-connects them first, seeded on
+    the first pattern): a disconnected BGP is a cartesian product, and
+    raises instead of silently building one.
 
     ``optimize=True`` reorders the required patterns by estimated
     selectivity before joining (:func:`order_patterns`); the statistics
@@ -216,6 +239,7 @@ def match_bgp(
         patterns = order_patterns(
             patterns, pred_counts, sum(pred_counts.values())
         )
+    patterns = _connect_order(patterns)
     out = _pattern_scan(base, patterns[0], graph_var)
     bound = list(out.columns)
     for pattern in patterns[1:]:

@@ -137,12 +137,13 @@ _TOKEN = re.compile(
                                    #      in FILTER from lexing as an iri)
       | "(?:[^"\\]|\\.)*"          # quoted literal
       | \{ | \} | \( | \) | \. | ; # structure / GROUP_CONCAT separator
+      | \[ | \]                    # blank-node property lists
       | && | \|\| | != | <= | >= | = | < | >
       | \|                         # path alternation (after || above)
       | ! | ,                      # FILTER negation / argument separator
       | \?                         # zero-or-one path modifier (a bare
                                    #  `?` not followed by a name)
-      | [^\s{}()."?<>=!&|,;]+      # bare token
+      | [^\s{}()."?<>=!&|,;\[\]]+  # bare token
     """,
     re.VERBOSE,
 )
@@ -303,11 +304,17 @@ def _parse_term_token(p: _Parser) -> str:
     ):
         raise SparqlError(f"malformed triple pattern near {tok!r}")
     if tok == "[" and p.peek() == "]":
+        # anonymous blank node [] — a fresh scoped variable. A
+        # non-empty [ ... ] property list is handled by the callers
+        # that can collect its patterns (_parse_term_or_bnpl).
         p.next()
-        tok = "[]"
-    if tok == "[]":  # anonymous blank node: a fresh scoped variable
         p.bn += 1
         return f"?{_BN}anon{p.bn}"
+    if tok in ("[", "]"):
+        raise SparqlError(
+            "blank-node property lists are only supported in triple "
+            "patterns and templates"
+        )
     if tok.startswith("_:"):
         # labeled blank node: a non-projectable variable scoped to the
         # query (labels may not span groups per spec, so one name per
@@ -469,21 +476,69 @@ def _check_path_ends(subj: str, pred: object, obj: str) -> None:
         )
 
 
+def _parse_bnpl(p: _Parser, extra: list[tuple], paths: bool,
+                max_hops: int) -> str:
+    """``[`` consumed: a blank-node property list (SPARQL 1.1 grammar
+    BlankNodePropertyListPath). Mints a fresh anonymous blank-node
+    variable, appends its ``pred obj`` patterns (object lists and
+    ``;`` chains, nesting allowed) to ``extra``, and returns the
+    variable so the caller can use it as a term. ``[ ]`` is the plain
+    anonymous node."""
+    p.bn += 1
+    b = f"?{_BN}anon{p.bn}"
+    if p.peek() == "]":
+        p.next()
+        return b
+    while True:
+        pred = _parse_pred(p, paths, max_hops)
+        while True:
+            obj = _parse_term_or_bnpl(p, extra, paths, max_hops)
+            _check_path_ends(b, pred, obj)
+            extra.append((b, pred, obj))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        if p.peek() == ";":
+            p.next()
+            if p.peek() == "]":
+                break
+            continue
+        break
+    p.expect("]")
+    return b
+
+
+def _parse_term_or_bnpl(p: _Parser, extra: list[tuple], paths: bool,
+                        max_hops: int) -> str:
+    if p.peek() == "[":
+        p.next()
+        return _parse_bnpl(p, extra, paths, max_hops)
+    return _parse_term_token(p)
+
+
 def _parse_pattern_list(
     p: _Parser, paths: bool = False, max_hops: int = PATH_MAX_HOPS
 ) -> list[tuple]:
     """One subject's patterns with Turtle-style abbreviations
     (SPARQL 1.1 grammar TriplesSameSubjectPath): object lists
-    (``?s <p> "a", "b"`` — shared subject+predicate) and
-    predicate-object lists (``?s <p> ?o ; <q> ?r`` — shared subject).
-    Expands to plain triples so downstream plans are unchanged; a
-    trailing ``;`` before ``.`` / ``}`` is tolerated as in Turtle."""
-    subj = _parse_term_token(p)
+    (``?s <p> "a", "b"`` — shared subject+predicate),
+    predicate-object lists (``?s <p> ?o ; <q> ?r`` — shared subject),
+    and blank-node property lists (``[ <p> ?o ]`` as subject or
+    object). Expands to plain triples so downstream plans are
+    unchanged; a trailing ``;`` before ``.`` / ``}`` is tolerated as
+    in Turtle."""
     pats: list[tuple] = []
+    subj = _parse_term_or_bnpl(p, pats, paths, max_hops)
+    if pats and p.peek() in (".", "}", None):
+        # a bare subject-position property list: `[ <p> ?o ] .`
+        if p.peek() == ".":
+            p.next()
+        return pats
     while True:
         pred = _parse_pred(p, paths, max_hops)
         while True:
-            obj = _parse_term_token(p)
+            obj = _parse_term_or_bnpl(p, pats, paths, max_hops)
             _check_path_ends(subj, pred, obj)
             pats.append((subj, pred, obj))
             if p.peek() == ",":

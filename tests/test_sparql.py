@@ -1665,3 +1665,66 @@ def test_reserved_variable_prefix_rejected(spark):
             _triples(spark),
             "SELECT ?x WHERE { ?x <knows> ?__bnode__y }",
         )
+
+
+def test_blank_node_property_list_as_object(spark):
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?x WHERE { ?x <knows> [ <type> "Person" ] }',
+    )
+    assert sorted({r.x for r in out.collect()}) == ["alice", "dan"]
+
+
+def test_blank_node_property_list_as_subject(spark):
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?o WHERE { [ <knows> "bob" ] <type> ?o }',
+    )
+    assert sorted(r.o for r in out.collect()) == []
+    out2 = sparql_select(
+        _quads(spark),
+        'SELECT ?o WHERE { [ <knows> "erin" ] <knows> ?o }',
+    )
+    assert [r.o for r in out2.collect()] == ["erin"]
+
+
+def test_bare_subject_property_list_triple(spark):
+    out = sparql_select(
+        _quads(spark),
+        "SELECT DISTINCT ?t WHERE { [ <type> ?t ] . }",
+    )
+    assert sorted(r.t for r in out.collect()) == ["Person", "Robot"]
+
+
+def test_nested_property_lists_and_semicolons(spark):
+    out = sparql_select(
+        _triples(spark),
+        'SELECT ?x WHERE { ?x <knows> [ <knows> "carol" ] }',
+    )
+    # ?x knows someone who knows carol: alice→bob→carol
+    assert sorted({r.x for r in out.collect()}) == ["alice"]
+    out2 = sparql_select(
+        _quads(spark),
+        'SELECT ?x WHERE { ?x <knows> [ <type> "Person" ; <knows> [] ] }',
+    )
+    # nobody in the quad fixture is both known and a knower
+    assert out2.count() == 0
+
+
+def test_bgp_connects_in_any_written_order(spark):
+    # connected overall but not in written order — must not raise
+    out = sparql_select(
+        _quads(spark),
+        'SELECT ?a WHERE { ?b <type> "Person" . ?a <knows> ?b }',
+    )
+    assert sorted({r.a for r in out.collect()}) == ["alice", "dan"]
+
+
+def test_disconnected_bgp_still_raises(spark):
+    from search_spark.operators.sparql import SparqlError
+
+    with pytest.raises(Exception):
+        sparql_select(
+            _quads(spark),
+            "SELECT ?a ?c WHERE { ?a <knows> ?b . ?c <type> ?d }",
+        ).collect()
