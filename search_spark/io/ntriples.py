@@ -145,7 +145,15 @@ def to_nquad_lines(
         F.lit('"'),
     ]
     if prov_col is not None and prov_col in df.columns:
-        parts += [F.lit(" "), _iri("prov", F.col(prov_col), base)]
+        # a NULL graph label is the default graph: emit a plain triple
+        # line (an unconditional concat would NULL the whole line and
+        # silently drop the quad from the export)
+        parts.append(
+            F.when(
+                F.col(prov_col).isNotNull(),
+                F.concat(F.lit(" "), _iri("prov", F.col(prov_col), base)),
+            ).otherwise(F.lit(""))
+        )
     parts.append(F.lit(" ."))
     return df.select(F.concat(*parts).alias("line"))
 

@@ -2057,6 +2057,9 @@ def sparql_update(table, update: str) -> dict:
       result appends as one snapshot under the default graph (NULL
       ``prov``, ``urn:sparql:update`` bucketing url). Appends are
       quad-level (no dedup against existing rows), same as INSERT DATA.
+    * ``LOAD [SILENT] <file:...> [INTO GRAPH <g>]`` — parse a local
+      N-Triples/N-Quads document (:mod:`search_spark.io.ntriples`) and
+      append it as one snapshot; ``INTO GRAPH`` relabels every quad.
     * ``CREATE [SILENT] GRAPH <g>`` — validated no-op (quad stores have
       no empty-graph existence; a graph exists iff it has quads).
     * ``CLEAR/DROP [SILENT] GRAPH <g> | DEFAULT | NAMED | ALL`` — copy-on-write
@@ -2150,6 +2153,53 @@ def sparql_update(table, update: str) -> dict:
         if info is None:  # WHERE matched nothing: no-op, no snapshot
             return {"op": "insert_where", "n_rows": 0, "snapshot_id": None}
         return {"op": "insert_where", "n_rows": info.n_rows,
+                "snapshot_id": info.snapshot_id}
+    if head == "load":
+        # LOAD [SILENT] <file:...> [INTO GRAPH <g>] (§3.1.4): parse the
+        # document with the engine's N-Triples/N-Quads reader and append
+        # it as one snapshot. Local file IRIs only (no network in this
+        # engine); the source IRI becomes the bucketing url. INTO GRAPH
+        # overrides every quad's graph label; otherwise triples keep
+        # their own labels (NULL for plain triples).
+        silent = False
+        if p.peek() is not None and p.peek().lower() == "silent":
+            p.next()
+            silent = True
+        src_tok = p.next()
+        if src_tok is None or src_tok.startswith("?"):
+            raise SparqlError("LOAD takes a constant document IRI")
+        src = _term(src_tok)
+        into = None
+        if p.peek() is not None and p.peek().lower() == "into":
+            p.next()
+            p.expect("GRAPH")
+            gtok = p.next()
+            if gtok is None or gtok.startswith("?"):
+                raise SparqlError("INTO GRAPH takes a constant graph IRI")
+            into = _term(gtok)
+        if p.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {p.peek()!r}")
+        path = re.sub(r"^file://", "", src) if src.startswith("file:") \
+            else src
+        path = re.sub(r"^file:", "", path)
+        from search_spark.io.ntriples import read_ntriples
+        try:
+            df = read_ntriples(table.spark, path)
+            if into is not None:
+                df = df.withColumn("prov", F.lit(into))
+            df = df.withColumn("url", F.lit(src))
+            # the source file may sit on slow/remote storage: checkpoint
+            # the parse so the bucketed append reads it exactly once
+            df = df.localCheckpoint(eager=True)
+        except Exception as e:
+            if silent:
+                return {"op": "load", "n_rows": 0, "snapshot_id": None,
+                        "error": str(e).splitlines()[0][:200]}
+            raise SparqlError(f"LOAD failed for {src!r}: {e}") from e
+        info = _append_aligned(table, df, "sparql_load")
+        if info is None:
+            return {"op": "load", "n_rows": 0, "snapshot_id": None}
+        return {"op": "load", "n_rows": info.n_rows,
                 "snapshot_id": info.snapshot_id}
     if head == "create":
         # CREATE [SILENT] GRAPH <g> (§3.2.1): a quad store has no

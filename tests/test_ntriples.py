@@ -68,3 +68,27 @@ def test_plan_is_narrow_map(spark):
     )
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_null_prov_exports_plain_triple_line(spark, tmp_path):
+    # a NULL graph label is the default graph — the line must not be
+    # NULLed away by the concat (silent quad loss on export)
+    from search_spark.io.ntriples import (
+        read_ntriples, to_nquad_lines, write_ntriples,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "p", "1", "gA"), ("y", "p", "2", None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    lines = sorted(r.line for r in to_nquad_lines(df).collect())
+    assert lines == [
+        '<kg:entity/x> <kg:pred/p> "1" <kg:prov/gA> .',
+        '<kg:entity/y> <kg:pred/p> "2" .',
+    ]
+    out = str(tmp_path / "mixed.nt")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    assert sorted(
+        (r.subj, r.pred, r.obj, r.prov) for r in back.collect()
+    ) == [("x", "p", "1", "gA"), ("y", "p", "2", None)]

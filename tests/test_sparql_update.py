@@ -635,3 +635,45 @@ def test_with_using_rejects(spark, tmp_path, bad):
     t = _table(spark, tmp_path)
     with pytest.raises(SparqlError):
         sparql_update(t, bad)
+
+
+def test_load_ntriples_file(spark, tmp_path):
+    from search_spark.io.ntriples import write_ntriples
+
+    src = spark.createDataFrame(
+        [("x", "p", "1", "gA"), ("y", "p", "2", None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    write_ntriples(src, str(tmp_path / "doc.nt"))
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, f"LOAD <file://{tmp_path}/doc.nt>")
+    assert res["op"] == "load" and res["n_rows"] == 2
+    rows = _rows(t)
+    # quads keep their own labels; default-graph triples stay NULL
+    assert ("x", "p", "1", "gA") in rows and ("y", "p", "2", None) in rows
+
+
+def test_load_into_graph_overrides_labels(spark, tmp_path):
+    from search_spark.io.ntriples import write_ntriples
+
+    src = spark.createDataFrame(
+        [("x", "p", "1", "gA"), ("y", "p", "2", None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    write_ntriples(src, str(tmp_path / "doc.nt"))
+    t = _table(spark, tmp_path)
+    res = sparql_update(
+        t, f"LOAD <file://{tmp_path}/doc.nt> INTO GRAPH <g9>"
+    )
+    assert res["n_rows"] == 2
+    assert {r for r in _rows(t) if r[0] in ("x", "y")} == {
+        ("x", "p", "1", "g9"), ("y", "p", "2", "g9"),
+    }
+
+
+def test_load_silent_swallows_missing_file(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, "LOAD SILENT <file:///no/such/file.nt>")
+    assert res["op"] == "load" and res["n_rows"] == 0
+    with pytest.raises(SparqlError, match="LOAD failed"):
+        sparql_update(t, "LOAD <file:///no/such/file.nt>")
