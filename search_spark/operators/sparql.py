@@ -158,12 +158,12 @@ _AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
 
 #: boolean FILTER builtins → how the single/double string args compile
 _BOOL_FNS = {"contains", "strstarts", "strends", "regex", "bound",
-             "isnumeric"}
+             "isnumeric", "sameterm"}
 
 #: value-expression builtins usable inside BIND(... AS ?v)
 _EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
              "substr", "coalesce", "if",
-             "abs", "ceil", "floor", "round",
+             "abs", "ceil", "floor", "round", "encode_for_uri",
              "strbefore", "strafter", "md5", "sha1", "sha256"}
 
 _ARITH_OPS = ("+", "-", "*", "/")
@@ -714,6 +714,8 @@ def _compile_filter(ast: list) -> Column:
                     "contains": lc.contains(rc),
                     "strstarts": lc.startswith(rc),
                     "strends": lc.endswith(rc),
+                    # plain-string term model: null-safe term equality
+                    "sameterm": lc.eqNullSafe(rc),
                 }[fn]
             return ~c if neg else c
         _, left, terms, neg = a  # "in"
@@ -870,6 +872,14 @@ def _compile_bind_expr(e: tuple) -> Column:
         return F.when(
             pos > 0, cols[0].substr(pos + F.length(cols[1]), F.lit(1 << 30))
         ).otherwise(F.lit(""))
+    if fn == "encode_for_uri":
+        # SPARQL ENCODE_FOR_URI percent-encodes all but RFC 3986
+        # unreserved chars; url_encode is form-encoding, so fix the
+        # three divergences (space, '~', '*') in one codegen chain
+        enc = F.url_encode(cols[0].cast("string"))
+        enc = F.regexp_replace(enc, r"\+", "%20")
+        enc = F.regexp_replace(enc, "%7E", "~")
+        return F.regexp_replace(enc, r"\*", "%2A")
     if fn in ("md5", "sha1"):
         return (F.md5 if fn == "md5" else F.sha1)(cols[0].cast("string"))
     if fn == "sha256":

@@ -1728,3 +1728,113 @@ def test_disconnected_bgp_still_raises(spark):
             _quads(spark),
             "SELECT ?a ?c WHERE { ?a <knows> ?b . ?c <type> ?d }",
         ).collect()
+
+
+def test_encode_for_uri(spark):
+    rows = [("a", "v", "ab c/d~e*f")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?e WHERE { ?s <v> ?o . BIND(ENCODE_FOR_URI(?o) AS ?e) }",
+    )
+    # RFC 3986: space -> %20 (not +), '~' unreserved, '*' encoded
+    assert [r.e for r in out.collect()] == ["ab%20c%2Fd~e%2Af"]
+
+
+def test_sameterm_filter(spark):
+    rows = [("a", "p", "x"), ("b", "p", "y"), ("x", "q", "x")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <p> ?o . ?o <q> ?w . "
+        "FILTER(sameTerm(?o, ?w)) }",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    out2 = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <p> ?o . FILTER(!sameTerm(?o, \"x\")) }",
+    )
+    assert [r.s for r in out2.collect()] == ["b"]
+
+
+def test_turtle_abbreviation_random_differential(spark):
+    """Randomized invariant: a Turtle-abbreviated group (predicate-object
+    lists, object lists, blank-node property lists) binds exactly like
+    its hand-expanded plain-triple form with explicit variables."""
+    import random
+
+    rng = random.Random(20260820)
+    subjects = [f"s{i}" for i in range(5)]
+    preds = [f"p{i}" for i in range(3)]
+    objects = subjects + [f"o{i}" for i in range(4)]
+
+    for trial in range(15):
+        rows = [
+            (rng.choice(subjects), rng.choice(preds), rng.choice(objects))
+            for _ in range(rng.randint(8, 25))
+        ]
+        tdf = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        # one subject variable, 1-3 predicate-object entries where each
+        # object is a var, a constant, or a one-level property list
+        fresh = iter(range(100))
+        proj = ["?x"]
+        abbrev_parts = []
+        plain = []
+
+        def mk_object():
+            kind = rng.random()
+            if kind < 0.4:
+                v = f"?v{next(fresh)}"
+                proj.append(v)
+                return v, v
+            if kind < 0.7:
+                c = rng.choice(objects)
+                return f'"{c}"', f'"{c}"'
+            # blank-node property list with 1-2 pairs
+            b = f"?b{next(fresh)}"
+            inner_abbrev, inner_plain = [], []
+            for _ in range(rng.randint(1, 2)):
+                ip = rng.choice(preds)
+                io_abbrev, io_plain = (
+                    (f"?v{next(fresh)}",) * 2
+                    if rng.random() < 0.5
+                    else (f'"{rng.choice(objects)}"',) * 2
+                )
+                if io_abbrev.startswith("?"):
+                    proj.append(io_abbrev)
+                inner_abbrev.append(f"<{ip}> {io_abbrev}")
+                inner_plain.append((b, ip, io_plain))
+            return "[ " + " ; ".join(inner_abbrev) + " ]", (b, inner_plain)
+
+        for _ in range(rng.randint(1, 3)):
+            pred = rng.choice(preds)
+            n_obj = rng.randint(1, 2)
+            objs = [mk_object() for _ in range(n_obj)]
+            abbrev_parts.append(
+                f"<{pred}> " + ", ".join(a for a, _ in objs)
+            )
+            for _, pl in objs:
+                if isinstance(pl, tuple):
+                    b, inner = pl
+                    plain.append(("?x", pred, b))
+                    plain.extend(inner)
+                else:
+                    plain.append(("?x", pred, pl))
+
+        abbrev_q = (
+            "SELECT DISTINCT " + " ".join(dict.fromkeys(proj))
+            + " WHERE { ?x " + " ; ".join(abbrev_parts) + " }"
+        )
+        def term(t):
+            return t if t.startswith(("?", '"')) else f"<{t}>"
+        plain_q = (
+            "SELECT DISTINCT " + " ".join(dict.fromkeys(proj))
+            + " WHERE { "
+            + " . ".join(f"{term(s)} <{p}> {term(o)}" for s, p, o in plain)
+            + " }"
+        )
+        got = sorted(map(tuple, sparql_select(tdf, abbrev_q).collect()))
+        want = sorted(map(tuple, sparql_select(tdf, plain_q).collect()))
+        assert got == want, (trial, abbrev_q, plain_q)
