@@ -1363,6 +1363,73 @@ def _compile_path_pattern(
     )
 
 
+#: separator for composite (graph, node) ids in GRAPH ?var paths; a
+#: C0 control char no realistic term contains (splits on the FIRST
+#: occurrence, so a node containing it still round-trips)
+_GSEP = "\x1f"
+
+
+def _compile_path_pattern_graph(
+    triples: DataFrame, subj: str, expr: PathExpr, obj: str, gvar: str
+) -> DataFrame:
+    """Property-path pattern inside ``GRAPH ?gvar``: evaluate over
+    composite ``graph<US>node`` ids so every hop stays within one named
+    graph by construction (edges never connect different graphs), then
+    split the label back out as the ``?gvar`` binding column. Constant
+    ends seed once per named graph, so zero-length closure yields the
+    per-graph §18.4 pairs. Same frontier plans as the plain case —
+    the composite id only widens the join keys, it adds no shuffle."""
+    svar, ovar = subj.startswith("?"), obj.startswith("?")
+    if not svar and not ovar:
+        raise SparqlError(
+            "property-path pattern needs at least one variable end"
+        )
+    edges = triples.filter(F.col("prov").isNotNull()).select(
+        F.concat_ws(_GSEP, "prov", "subj").alias("subj"),
+        "pred",
+        F.concat_ws(_GSEP, "prov", "obj").alias("obj"),
+    )
+
+    def graph_of(c):
+        return F.substring_index(c, _GSEP, 1)
+
+    def node_of(c):
+        return F.col(c).substr(
+            F.instr(F.col(c), _GSEP) + 1, F.lit(1 << 30)
+        )
+
+    def seed_for(const: str) -> DataFrame:
+        return (
+            triples.filter(F.col("prov").isNotNull())
+            .select(F.col("prov")).distinct()
+            .select(F.concat_ws(_GSEP, "prov", F.lit(const)).alias("src"))
+        )
+
+    if not svar:
+        pairs = eval_path(edges, expr, seed_for(subj))
+        return pairs.select(
+            graph_of("dst").alias(gvar), node_of("dst").alias(obj[1:])
+        ).distinct()
+    if not ovar:
+        pairs = eval_path(edges, normalize(expr, flip=True), seed_for(obj))
+        return pairs.select(
+            graph_of("dst").alias(gvar), node_of("dst").alias(subj[1:])
+        ).distinct()
+    pairs = eval_path(edges, expr)
+    if subj == obj:
+        return (
+            pairs.filter(F.col("src") == F.col("dst"))
+            .select(graph_of("src").alias(gvar),
+                    node_of("src").alias(subj[1:]))
+            .distinct()
+        )
+    return pairs.select(
+        graph_of("src").alias(gvar),
+        node_of("src").alias(subj[1:]),
+        node_of("dst").alias(obj[1:]),
+    )
+
+
 def _join_values(out: DataFrame, vars_: list[str], rows: list[tuple],
                  spark) -> DataFrame:
     """Join a VALUES block's inline rows onto the bindings.
@@ -1567,10 +1634,10 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
     plain = [pt for pt in g["patterns"] if isinstance(pt[1], str)]
     path_patterns = [pt for pt in g["patterns"]
                      if not isinstance(pt[1], str)]
-    if gvar is not None and (path_patterns or g.get("subselects")):
+    if gvar is not None and g.get("subselects"):
         raise SparqlError(
-            "property paths and subqueries inside GRAPH ?var are not "
-            "supported (constant graph IRIs only)"
+            "subqueries inside GRAPH ?var are not supported "
+            "(constant graph IRIs only)"
         )
     out = None
     if plain:
@@ -1579,7 +1646,11 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             not_exists=g["not_exists"], graph_var=gvar,
         )
     for subj, expr, obj in path_patterns:
-        pdf = _compile_path_pattern(triples, subj, expr, obj)
+        if gvar is not None:
+            pdf = _compile_path_pattern_graph(triples, subj, expr, obj,
+                                              gvar)
+        else:
+            pdf = _compile_path_pattern(triples, subj, expr, obj)
         if out is None:
             out = pdf
             continue

@@ -1373,13 +1373,14 @@ def test_graph_var_needs_prov_column(spark):
         sparql_select(tdf, "SELECT ?g WHERE { GRAPH ?g { ?x <p> ?y } }")
 
 
-def test_graph_var_rejects_paths_and_subqueries(spark):
+def test_graph_var_rejects_subqueries(spark):
     from search_spark.operators.sparql import SparqlError
 
     with pytest.raises(SparqlError, match="GRAPH .var"):
         sparql_select(
             _quads(spark),
-            "SELECT ?g WHERE { GRAPH ?g { ?x <knows>+ ?y } }",
+            "SELECT ?g WHERE { GRAPH ?g { { SELECT ?x WHERE "
+            "{ ?x <knows> ?y } } } }",
         )
 
 
@@ -1838,3 +1839,66 @@ def test_turtle_abbreviation_random_differential(spark):
         got = sorted(map(tuple, sparql_select(tdf, abbrev_q).collect()))
         want = sorted(map(tuple, sparql_select(tdf, plain_q).collect()))
         assert got == want, (trial, abbrev_q, plain_q)
+
+
+def _path_quads(spark):
+    rows = [
+        ("a", "knows", "b", "g1"), ("b", "knows", "c", "g1"),
+        ("a", "knows", "c", "g2"), ("c", "knows", "d", "g2"),
+        ("x", "knows", "y", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, prov string"
+    )
+
+
+def test_graph_var_property_path(spark):
+    # hops stay within ONE named graph per ?g binding: no a->d via
+    # mixing g1 and g2 edges, and default-graph rows never appear
+    out = sparql_select(
+        _path_quads(spark),
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <knows>+ ?y } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+        ("g2", "a", "c"), ("g2", "a", "d"), ("g2", "c", "d"),
+    ]
+
+
+def test_graph_var_path_constant_ends(spark):
+    out = sparql_select(
+        _path_quads(spark),
+        "SELECT ?g ?y WHERE { GRAPH ?g { a <knows>+ ?y } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("g1", "b"), ("g1", "c"), ("g2", "c"), ("g2", "d"),
+    ]
+    out2 = sparql_select(
+        _path_quads(spark),
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x <knows>+ d } }",
+    )
+    assert sorted(map(tuple, out2.collect())) == [
+        ("g2", "a"), ("g2", "c"),
+    ]
+
+
+def test_graph_var_path_zero_length_is_per_graph(spark):
+    out = sparql_select(
+        _path_quads(spark),
+        "SELECT ?g ?y WHERE { GRAPH ?g { a <knows>* ?y } }",
+    )
+    # §18.4 per graph: the seed itself in every named graph, plus the
+    # per-graph reachable set
+    assert sorted(map(tuple, out.collect())) == [
+        ("g1", "a"), ("g1", "b"), ("g1", "c"),
+        ("g2", "a"), ("g2", "c"), ("g2", "d"),
+    ]
+
+
+def test_graph_var_path_joins_plain_patterns_same_graph(spark):
+    out = sparql_select(
+        _path_quads(spark),
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x <knows>+ d . "
+        "?x <knows> c } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("g2", "a")]
