@@ -489,9 +489,13 @@ def main() -> int:
         from search_spark.operators.sparql import sparql_query, sparql_update
 
         table = SnapshotTable(spark, args.snapshot)
-        head = args.query.lstrip().split(None, 1)[0].lower()
-        if head in ("insert", "delete", "clear", "drop",
-                    "add", "copy", "move"):  # SPARQL UPDATE forms
+        toks = args.query.split()
+        i = 0  # route on the first token after any PREFIX declarations
+        while i + 2 < len(toks) and toks[i].lower() == "prefix":
+            i += 3
+        head = toks[i].lower() if i < len(toks) else ""
+        if head in ("insert", "delete", "clear", "drop", "add", "copy",
+                    "move", "create", "load", "with"):  # UPDATE forms
             print(json.dumps(sparql_update(table, args.query)))
             return 0
         full = table.load(as_of=args.as_of)
