@@ -1019,6 +1019,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
     order: list[tuple[str, bool]] = []  # (var, descending)
     post_values: list[tuple[list[str], list[tuple[str, ...]]]] = []
     group_by: list[str] = []
+    group_exprs: list[tuple] = []  # (value-expr AST, alias) keys
     having: list[list] = []
     limit: int | None = None
     offset: int | None = None
@@ -1061,8 +1062,28 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
                 order.append((key, desc))
         elif tok == "group":
             p.expect("BY")
-            while p.peek() is not None and p.peek().startswith("?"):
-                group_by.append(p.next()[1:])
+            while True:
+                nxt = p.peek()
+                if nxt is not None and nxt.startswith("?"):
+                    group_by.append(p.next()[1:])
+                    continue
+                if nxt == "(":
+                    # GROUP BY ( expr AS ?alias ): the key is a computed
+                    # column, bound pre-grouping (bare unaliased
+                    # expression keys are not supported — name them)
+                    p.next()
+                    e = _parse_value_expr(p)
+                    p.expect("AS")
+                    alias = p.next()
+                    if not alias.startswith("?") or not alias[1:]:
+                        raise SparqlError(
+                            "GROUP BY expression needs (expr AS ?alias)"
+                        )
+                    p.expect(")")
+                    group_exprs.append((e, alias[1:]))
+                    group_by.append(alias[1:])
+                    continue
+                break
             if not group_by:
                 raise SparqlError("GROUP BY names no variables")
         elif tok == "limit":
@@ -1103,6 +1124,7 @@ def _parse_select_body(p: _Parser, path_max_hops: int = PATH_MAX_HOPS,
         "select_exprs": select_exprs,
         "aggs": aggs,
         "group_by": group_by,
+        "group_exprs": group_exprs,
         "having": having,
         "groups": groups,
         # single-group convenience views (authoritative form is "groups")
@@ -1959,6 +1981,14 @@ def _compile_select(triples: DataFrame, q: dict) -> DataFrame:
         # grouping/projection
         out = _join_values(out, vars_, rows, triples.sparkSession)
     if q["aggs"]:
+        for ast, alias in q.get("group_exprs", ()):
+            # computed grouping keys bind first so aggregate arguments
+            # and the GROUP BY list may reference them
+            if alias in out.columns:
+                raise SparqlError(
+                    f"GROUP BY alias ?{alias} is already bound"
+                )
+            out = out.withColumn(alias, _compile_bind_expr(ast))
         for fn, _, arg, _, _ in q["aggs"]:
             if arg == "*":
                 continue

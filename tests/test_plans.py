@@ -264,3 +264,44 @@ def test_delete_matching_rewrite_is_anti_join(spark, tmp_path):
     assert t.delete_matching(keys) == n_match
     assert t.load().filter("obj = 'o3'").count() == 0
     assert t.load().count() == 200 - n_match
+
+
+def test_sparql_dataset_clause_filters_before_join(spark):
+    # FROM <g> must compile to a prov filter at/under the scan of every
+    # pattern — the active-dataset restriction is a pushable predicate,
+    # never a post-join filter (partition-prunable on a prov-partitioned
+    # store)
+    from search_spark.operators.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b", "g1"), ("b", "p", "c", "g2")],
+        "subj string, pred string, obj string, prov string",
+    )
+    df = sparql_query(
+        t, "SELECT ?x ?y FROM <g1> WHERE { ?x <p> ?z . ?z <p> ?y }"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # both pattern scans carry the graph-membership predicate: the
+    # filters sit below the join (formatted explain lists Filter nodes
+    # before the join in each subtree)
+    import re
+
+    joins = re.findall(r"\(\d+\) (?:Broadcast|Sort|Shuffled)\w*Join", plan)
+    filters = re.findall(r"\(\d+\) Filter", plan)
+    assert joins and len(filters) >= 2
+
+
+def test_sparql_bnpl_expansion_has_no_cartesian(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b", None), ("b", "q", "c", None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    df = sparql_query(
+        t, 'SELECT ?x WHERE { ?x <p> [ <q> "c" ] }'
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1902,3 +1902,37 @@ def test_graph_var_path_joins_plain_patterns_same_graph(spark):
         "?x <knows> c } }",
     )
     assert sorted(map(tuple, out.collect())) == [("g2", "a")]
+
+
+def test_group_by_expression_key(spark):
+    rows = [("Apple", "cat", "fruit"), ("apple", "cat", "fruit"),
+            ("Beet", "cat", "veg")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?k (COUNT(*) AS ?n) WHERE { ?s <cat> ?c } "
+        "GROUP BY (LCASE(?s) AS ?k) ORDER BY ?k",
+    )
+    assert [tuple(r) for r in out.collect()] == [("apple", 2), ("beet", 1)]
+
+
+def test_group_by_expression_mixed_with_var(spark):
+    rows = [("a", "p", "x"), ("A", "p", "x"), ("a", "p", "y")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?o ?k (COUNT(*) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?o (UCASE(?s) AS ?k) ORDER BY ?o ?k",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("x", "A", 2), ("y", "A", 1),
+    ]
+
+
+def test_group_by_expression_requires_alias(spark):
+    with pytest.raises(SparqlError, match="AS"):
+        sparql_select(
+            _triples(spark),
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <knows> ?o } "
+            "GROUP BY (UCASE(?s))",
+        )
