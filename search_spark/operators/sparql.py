@@ -1810,6 +1810,19 @@ def sparql_query(triples: DataFrame, query: str,
         toks = _tokenize(query)
         if len(toks) == 2 and not toks[1].startswith("?"):
             return describe(triples, _term(toks[1]))
+        if len(toks) > 2 and all(
+            not t.startswith("?")
+            and t not in "{}()"
+            and t.lower() not in ("where", "from", "named")
+            for t in toks[1:]
+        ):
+            # DESCRIBE <r1> <r2> ... — the union description, via one
+            # semi-join against the inline resource set (no per-resource
+            # loop)
+            rdf = triples.sparkSession.createDataFrame(
+                [(_term(t),) for t in toks[1:]], "r string"
+            )
+            return describe_bound(triples, rdf)
         # DESCRIBE ?v WHERE { ... } — the variable's WHERE-restricted
         # bindings become the resource set (position-wise semi-joins,
         # no OR-join, no collect)
@@ -1936,6 +1949,42 @@ def to_sparql_results_tsv(rows: list, columns: list[str]) -> str:
         d = r.asDict() if hasattr(r, "asDict") else dict(zip(columns, r))
         lines.append("\t".join(esc(d.get(c)) for c in columns))
     return "\n".join(lines) + "\n"
+
+
+def to_sparql_results_xml(rows: list, columns: list[str],
+                          boolean: bool | None = None) -> str:
+    """Serialize as the W3C SPARQL Query Results XML Format: either a
+    SELECT result set (``rows`` + ``columns``) or an ASK ``boolean``.
+    Same plain-literal model as the JSON serializer; unbound values
+    omit the binding element."""
+    from xml.sax.saxutils import escape
+
+    out = ['<?xml version="1.0"?>',
+           '<sparql xmlns="http://www.w3.org/2005/sparql-results#">']
+    if boolean is not None:
+        out.append("  <head/>")
+        out.append(f"  <boolean>{'true' if boolean else 'false'}</boolean>")
+        out.append("</sparql>")
+        return "\n".join(out) + "\n"
+    out.append("  <head>")
+    for c in columns:
+        out.append(f'    <variable name="{escape(c)}"/>')
+    out.append("  </head>")
+    out.append("  <results>")
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(zip(columns, r))
+        out.append("    <result>")
+        for k, v in d.items():
+            if v is None:
+                continue
+            out.append(
+                f'      <binding name="{escape(k)}">'
+                f"<literal>{escape(str(v))}</literal></binding>"
+            )
+        out.append("    </result>")
+    out.append("  </results>")
+    out.append("</sparql>")
+    return "\n".join(out) + "\n"
 
 
 def _expr_vars(e: tuple) -> set[str]:

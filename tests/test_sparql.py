@@ -1936,3 +1936,38 @@ def test_group_by_expression_requires_alias(spark):
             "SELECT (COUNT(*) AS ?n) WHERE { ?s <knows> ?o } "
             "GROUP BY (UCASE(?s))",
         )
+
+
+def test_describe_multiple_resources(spark):
+    from search_spark.operators.sparql import sparql_query
+
+    out = sparql_query(_triples(spark), "DESCRIBE <alice> <carol>")
+    rows = sorted(map(tuple, out.select("subj", "pred", "obj").collect()))
+    # union description: triples touching either resource, deduped
+    assert ("alice", "knows", "bob") in rows
+    assert ("bob", "knows", "carol") in rows
+    assert all(
+        "alice" in (s, o) or "carol" in (s, o) for s, _, o in rows
+    )
+
+
+def test_sparql_results_xml_format():
+    # pure serializer: W3C XML results — escaping, unbound omission,
+    # ASK boolean form (no SparkSession needed)
+    import xml.etree.ElementTree as ET
+
+    from search_spark.operators.sparql import to_sparql_results_xml
+
+    doc = to_sparql_results_xml([("a", None), ("<b>&", "c")], ["x", "y"])
+    root = ET.fromstring(doc)
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    assert [v.get("name") for v in root.findall(".//s:variable", ns)] == [
+        "x", "y"
+    ]
+    results = root.findall(".//s:result", ns)
+    assert len(results) == 2
+    assert len(results[0].findall("s:binding", ns)) == 1  # NULL omitted
+    lit = results[1].findall("s:binding", ns)[0].find("s:literal", ns)
+    assert lit.text == "<b>&"
+    ask = ET.fromstring(to_sparql_results_xml([], [], boolean=False))
+    assert ask.find("s:boolean", ns).text == "false"

@@ -203,7 +203,7 @@ def main() -> int:
     p_sparql.add_argument("--explain", action="store_true",
                           help="print the formatted physical plan instead "
                                "of executing (SELECT/CONSTRUCT/DESCRIBE)")
-    p_sparql.add_argument("--format", choices=("csv", "json", "tsv"),
+    p_sparql.add_argument("--format", choices=("csv", "json", "tsv", "xml"),
                           default="csv",
                           help="result serialization: csv (default), "
                                "json (W3C SPARQL 1.1 Results JSON) or "
@@ -513,6 +513,13 @@ def main() -> int:
         if isinstance(result, bool):  # ASK
             if args.format == "json":
                 print(json.dumps({"head": {}, "boolean": result}))
+            elif args.format == "xml":
+                from search_spark.operators.sparql import (
+                    to_sparql_results_xml,
+                )
+
+                print(to_sparql_results_xml([], [], boolean=result),
+                      end="")
             else:
                 print("true" if result else "false")
             return 0
@@ -527,6 +534,12 @@ def main() -> int:
             from search_spark.operators.sparql import to_sparql_results_tsv
 
             print(to_sparql_results_tsv(
+                result.collect(), result.columns
+            ), end="")
+        elif args.format == "xml":
+            from search_spark.operators.sparql import to_sparql_results_xml
+
+            print(to_sparql_results_xml(
                 result.collect(), result.columns
             ), end="")
         else:
