@@ -587,6 +587,23 @@ def _parse_filter_expr(p: _Parser) -> list:
             p.next()
             neg = not neg
         tok = p.peek()
+        if tok is not None and tok.lower() == "not":
+            # NOT here can only open NOT EXISTS — anything else falls
+            # through to the term parse (restore on mismatch)
+            save = p.i
+            p.next()
+            if p.peek() is not None and p.peek().lower() == "exists":
+                neg = not neg
+                tok = p.peek()
+            else:
+                p.i = save
+        if tok is not None and tok.lower() == "exists":
+            # [NOT] EXISTS { group } as a boolean atom inside a filter
+            # expression (compiled to a left-join marker column so it
+            # composes with && / || / !)
+            p.next()
+            p.expect("{")
+            return ("exists", _parse_group(p, PATH_MAX_HOPS), neg)
         if tok is not None and tok.lower() in _BOOL_FNS:
             fn = p.next().lower()
             p.expect("(")
@@ -666,8 +683,50 @@ def _numericish(e: tuple) -> bool:
     )
 
 
+def _attach_exists_markers(
+    out: DataFrame, ast: list, triples: DataFrame, gvar: str | None
+) -> tuple[DataFrame, list, list[str]]:
+    """Rewrite ``("exists", group, neg)`` atoms of one filter AST into
+    marker-column references: each EXISTS group compiles to its
+    bindings, whose distinct shared-variable projection left-joins the
+    current bindings with a TRUE flag — the flag's null-ness IS the
+    EXISTS truth value, so it composes with ``&&`` / ``||`` / ``!``
+    (the standalone ``FILTER EXISTS`` form keeps its semi/anti-join
+    fast path). Returns ``(out, rewritten_ast, marker_columns)``."""
+    markers: list[str] = []
+    new_ast = list(ast)
+    for idx in range(0, len(new_ast), 2):
+        a = new_ast[idx]
+        if not (isinstance(a, tuple) and a and a[0] == "exists"):
+            continue
+        group, neg = a[1], a[2]
+        if gvar is not None:
+            group.setdefault("graph_var", gvar)
+        edf = _compile_group(triples, group)
+        shared = sorted(set(out.columns) & set(edf.columns))
+        if not shared:
+            raise SparqlError(
+                "EXISTS group shares no variable with the enclosing "
+                "bindings"
+            )
+        m = f"__exists__{idx}_{len(markers)}"
+        flag = edf.select(*shared).distinct().withColumn(m, F.lit(True))
+        out = out.join(flag, on=shared, how="left")
+        markers.append(m)
+        new_ast[idx] = ("exists_marker", m, neg)
+    return out, new_ast, markers
+
+
 def _compile_filter(ast: list) -> Column:
     def atom_col(a: tuple) -> Column:
+        if a[0] == "exists_marker":
+            c = F.col(a[1]).isNotNull()
+            return ~c if a[2] else c
+        if a[0] == "exists":
+            raise SparqlError(
+                "EXISTS is not supported in this clause (FILTER inside "
+                "a group only)"
+            )
         if a[0] == "cmp":
             _, left, op, right = a
             lc, rc = _compile_bind_expr(left), _compile_bind_expr(right)
@@ -1744,7 +1803,12 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
             raise SparqlError(f"BIND target ?{var} is already bound")
         out = out.withColumn(var, _compile_bind_expr(expr_ast))
     for ast in g["filters"]:
+        out, ast, markers = _attach_exists_markers(
+            out, ast, nested_tbl, gvar
+        )
         out = out.filter(_compile_filter(ast))
+        if markers:
+            out = out.drop(*markers)
     for mg in g["minus"]:
         mdf = _compile_group(nested_tbl, mg)
         shared = sorted(set(out.columns) & set(mdf.columns))

@@ -1971,3 +1971,33 @@ def test_sparql_results_xml_format():
     assert lit.text == "<b>&"
     ask = ET.fromstring(to_sparql_results_xml([], [], boolean=False))
     assert ask.find("s:boolean", ns).text == "false"
+
+
+def test_exists_inside_filter_expression(spark):
+    # [NOT] EXISTS composes with && / || / ! via left-join markers; the
+    # standalone FILTER EXISTS fast path is untouched
+    out = sparql_select(
+        _triples(spark),
+        "SELECT ?a WHERE { ?a <knows> ?b . "
+        'FILTER(EXISTS { ?b <knows> ?c } || ?b = "carol") }',
+    )
+    assert sorted({r.a for r in out.collect()}) == ["alice", "bob"]
+    out2 = sparql_select(
+        _triples(spark),
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . "
+        "FILTER(NOT EXISTS { ?b <knows> ?c } && !EXISTS "
+        "{ ?b <likes> ?d }) }",
+    )
+    # kept only when ?b neither knows nor likes anyone
+    assert all(r.b == "carol" for r in out2.collect())
+    # marker columns must not leak into the result schema
+    assert out2.columns == ["a", "b"]
+
+
+def test_exists_atom_rejected_in_having(spark):
+    with pytest.raises(SparqlError, match="EXISTS"):
+        sparql_select(
+            _triples(spark),
+            "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b } "
+            "GROUP BY ?a HAVING(EXISTS { ?a <knows> ?x })",
+        )
