@@ -561,10 +561,9 @@ def _parse_filter_expr(p: _Parser) -> list:
 
     Returns a flat AST (no SparkSession needed at parse time):
     ``[atom, conj, atom, conj, ...]`` where ``conj`` is ``"&&"`` /
-    ``"||"`` (evaluated left-to-right, like SPARQL's left-associative
-    grammar at one precedence level — mixed &&/|| should parenthesize,
-    which this subset doesn't support, so it documents left-to-right).
-    An atom is one of::
+    ``"||"``; the compiler applies SPARQL 1.1 §17.2 precedence
+    (``&&`` over ``||``), and ``( ... )`` boolean groups nest as
+    ``("bgroup", sub_ast, neg)`` atoms. An atom is one of::
 
         ("cmp", vexpr, op, vexpr)         ?v < "x", STRLEN(?v) > 3,
                                           ?a + 1 >= ?b  etc. — each side
@@ -604,6 +603,17 @@ def _parse_filter_expr(p: _Parser) -> list:
             p.next()
             p.expect("{")
             return ("exists", _parse_group(p, PATH_MAX_HOPS), neg)
+        if tok == "(":
+            # try a parenthesized BOOLEAN group first — "(", though,
+            # also opens arithmetic like (?a + 1) > ?b, so backtrack to
+            # the comparison parse when the boolean reading fails
+            save = p.i
+            p.next()
+            try:
+                sub = _parse_filter_expr(p)
+                return ("bgroup", sub, neg)
+            except SparqlError:
+                p.i = save
         if tok is not None and tok.lower() in _BOOL_FNS:
             fn = p.next().lower()
             p.expect("(")
@@ -694,31 +704,47 @@ def _attach_exists_markers(
     (the standalone ``FILTER EXISTS`` form keeps its semi/anti-join
     fast path). Returns ``(out, rewritten_ast, marker_columns)``."""
     markers: list[str] = []
-    new_ast = list(ast)
-    for idx in range(0, len(new_ast), 2):
-        a = new_ast[idx]
-        if not (isinstance(a, tuple) and a and a[0] == "exists"):
-            continue
-        group, neg = a[1], a[2]
-        if gvar is not None:
-            group.setdefault("graph_var", gvar)
-        edf = _compile_group(triples, group)
-        shared = sorted(set(out.columns) & set(edf.columns))
-        if not shared:
-            raise SparqlError(
-                "EXISTS group shares no variable with the enclosing "
-                "bindings"
+
+    def rewrite(sub: list) -> list:
+        nonlocal out
+        new_ast = list(sub)
+        for idx in range(0, len(new_ast), 2):
+            a = new_ast[idx]
+            if not isinstance(a, tuple) or not a:
+                continue
+            if a[0] == "bgroup":
+                new_ast[idx] = ("bgroup", rewrite(a[1]), a[2])
+                continue
+            if a[0] != "exists":
+                continue
+            group, neg = a[1], a[2]
+            if gvar is not None:
+                group.setdefault("graph_var", gvar)
+            edf = _compile_group(triples, group)
+            shared = sorted(set(out.columns) & set(edf.columns))
+            if not shared:
+                raise SparqlError(
+                    "EXISTS group shares no variable with the enclosing "
+                    "bindings"
+                )
+            m = f"__exists__{len(markers)}"
+            flag = edf.select(*shared).distinct().withColumn(
+                m, F.lit(True)
             )
-        m = f"__exists__{idx}_{len(markers)}"
-        flag = edf.select(*shared).distinct().withColumn(m, F.lit(True))
-        out = out.join(flag, on=shared, how="left")
-        markers.append(m)
-        new_ast[idx] = ("exists_marker", m, neg)
-    return out, new_ast, markers
+            out = out.join(flag, on=shared, how="left")
+            markers.append(m)
+            new_ast[idx] = ("exists_marker", m, neg)
+        return new_ast
+
+    rewritten = rewrite(ast)  # rebinds `out` — evaluate before returning
+    return out, rewritten, markers
 
 
 def _compile_filter(ast: list) -> Column:
     def atom_col(a: tuple) -> Column:
+        if a[0] == "bgroup":
+            c = _compile_filter(a[1])
+            return ~c if a[2] else c
         if a[0] == "exists_marker":
             c = F.col(a[1]).isNotNull()
             return ~c if a[2] else c
@@ -781,10 +807,21 @@ def _compile_filter(ast: list) -> Column:
         c = _col_of(left).isin(*terms)
         return ~c if neg else c
 
-    expr = atom_col(ast[0])
+    # && binds tighter than || (SPARQL 1.1 §17.2): fold each run of
+    # &&-joined atoms first, then OR the runs
+    or_runs: list[Column] = []
+    run = atom_col(ast[0])
     for i in range(1, len(ast), 2):
         rhs = atom_col(ast[i + 1])
-        expr = (expr & rhs) if ast[i] == "&&" else (expr | rhs)
+        if ast[i] == "&&":
+            run = run & rhs
+        else:
+            or_runs.append(run)
+            run = rhs
+    or_runs.append(run)
+    expr = or_runs[0]
+    for r in or_runs[1:]:
+        expr = expr | r
     return expr
 
 

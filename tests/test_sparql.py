@@ -2001,3 +2001,54 @@ def test_exists_atom_rejected_in_having(spark):
             "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <knows> ?b } "
             "GROUP BY ?a HAVING(EXISTS { ?a <knows> ?x })",
         )
+
+
+def test_filter_and_binds_tighter_than_or(spark):
+    rows = [(s, "v", str(i + 1)) for i, s in enumerate("abcd")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <v> ?o . "
+        'FILTER(?o = "1" || ?o = "2" && ?o = "3") }',
+    )
+    # A || (B && C) — not (A || B) && C, which would be empty
+    assert [r.s for r in out.collect()] == ["a"]
+
+
+def test_filter_boolean_groups(spark):
+    rows = [(s, "v", str(i + 1)) for i, s in enumerate("abcd")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <v> ?o . "
+        'FILTER((?o = "1" || ?o = "2") && ?o != "2") }',
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    out2 = sparql_select(
+        tdf,
+        'SELECT ?s WHERE { ?s <v> ?o . FILTER(!(?o = "1" || ?o = "2")) }',
+    )
+    assert sorted(r.s for r in out2.collect()) == ["c", "d"]
+    # parenthesized ARITHMETIC comparisons still parse (backtracked)
+    out3 = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <v> ?o . FILTER((?o + 1) > 3) }",
+    )
+    assert sorted(r.s for r in out3.collect()) == ["c", "d"]
+
+
+def test_exists_nested_in_boolean_group(spark):
+    rows = [("a", "v", "1"), ("a", "tag", "x"), ("b", "v", "2")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <v> ?o . "
+        'FILTER((EXISTS { ?s <tag> ?t } || ?o = "2") && ?o != "9") }',
+    )
+    assert sorted(r.s for r in out.collect()) == ["a", "b"]
+    out2 = sparql_select(
+        tdf,
+        "SELECT ?s WHERE { ?s <v> ?o . "
+        'FILTER(!(EXISTS { ?s <tag> ?t } || ?o = "9")) }',
+    )
+    assert [r.s for r in out2.collect()] == ["b"]
