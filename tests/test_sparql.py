@@ -2052,3 +2052,75 @@ def test_exists_nested_in_boolean_group(spark):
         'FILTER(!(EXISTS { ?s <tag> ?t } || ?o = "9")) }',
     )
     assert [r.s for r in out2.collect()] == ["b"]
+
+
+def test_filter_boolean_random_differential(spark):
+    """Randomized FILTER battery: random &&/||/!/parenthesized boolean
+    expressions over comparisons, evaluated by the compiler vs a pure
+    Python mirror with SPARQL 1.1 §17.2 precedence."""
+    import random
+
+    rng = random.Random(1129)
+    rows = [(f"s{i}", "v", str(rng.randint(1, 5))) for i in range(30)]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    data = {s: o for s, _, o in rows}
+
+    def gen(depth):
+        kind = rng.random()
+        if depth >= 2 or kind < 0.55:
+            op = rng.choice(["=", "!=", "<", ">", "<=", ">="])
+            lit = str(rng.randint(1, 5))
+            neg = rng.random() < 0.2
+            text = f"?o {op} \"{lit}\""
+            fn = {
+                "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+            }[op]
+            pred = lambda o, fn=fn, lit=lit: fn(o, lit)
+            if neg:
+                # '!' applies to boolean functions only in this grammar;
+                # negate via a parenthesized group
+                return f"!({text})", (lambda o, p=pred: not p(o))
+            return text, pred
+        sub_t, sub_p = gen(depth + 1)
+        sub2_t, sub2_p = gen(depth + 1)
+        conj = rng.choice(["&&", "||"])
+        neg = rng.random() < 0.3
+        text = f"({sub_t} {conj} {sub2_t})"
+        if conj == "&&":
+            pred = lambda o, a=sub_p, b=sub2_p: a(o) and b(o)
+        else:
+            pred = lambda o, a=sub_p, b=sub2_p: a(o) or b(o)
+        if neg:
+            return f"!{text}", (lambda o, p=pred: not p(o))
+        return text, pred
+
+    for trial in range(12):
+        # top level: flat conjunction chain exercising precedence
+        n = rng.randint(1, 3)
+        parts = [gen(1) for _ in range(n)]
+        conjs = [rng.choice(["&&", "||"]) for _ in range(n - 1)]
+        text = parts[0][0]
+        for c, (t, _) in zip(conjs, parts[1:]):
+            text += f" {c} {t}"
+
+        def top(o):
+            # mirror precedence: && runs fold first, then ||
+            runs, cur = [], parts[0][1](o)
+            for c, (_, p) in zip(conjs, parts[1:]):
+                if c == "&&":
+                    cur = cur and p(o)
+                else:
+                    runs.append(cur)
+                    cur = p(o)
+            runs.append(cur)
+            return any(runs)
+
+        got = sorted(
+            r.s for r in sparql_select(
+                tdf, f"SELECT ?s WHERE {{ ?s <v> ?o . FILTER({text}) }}"
+            ).collect()
+        )
+        want = sorted(s for s, o in data.items() if top(o))
+        assert got == want, (trial, text)
