@@ -262,6 +262,14 @@ def _term(tok: str) -> str:
 #: starting with this are rejected so SELECT * can drop them safely
 _BN = "__bnode__"
 
+#: per-call flag: route BGPs through match_bgp's selectivity-ordered
+#: join planning (contextvar so nested subquery compiles inherit it)
+import contextvars as _contextvars
+
+_OPTIMIZE: _contextvars.ContextVar[bool] = _contextvars.ContextVar(
+    "sparql_optimize", default=False
+)
+
 
 class _Parser:
     def __init__(self, toks: list[str]):
@@ -1762,6 +1770,7 @@ def _compile_group(triples: DataFrame, g: dict) -> DataFrame:
         out = match_bgp(
             triples, plain, optional=g["optional"],
             not_exists=g["not_exists"], graph_var=gvar,
+            optimize=_OPTIMIZE.get(),
         )
     for subj, expr, obj in path_patterns:
         if gvar is not None:
@@ -1874,7 +1883,8 @@ def _compile_where(triples: DataFrame, groups: list[dict]) -> DataFrame:
 
 
 def sparql_query(triples: DataFrame, query: str,
-                 path_max_hops: int = PATH_MAX_HOPS):
+                 path_max_hops: int = PATH_MAX_HOPS,
+                 optimize: bool = False):
     """Dispatch on the SPARQL query form.
 
     * ``SELECT`` → bindings DataFrame (see :func:`sparql_select`),
@@ -1888,7 +1898,8 @@ def sparql_query(triples: DataFrame, query: str,
     """
     head = _tokenize(query)[0].lower()
     if head == "select":
-        return sparql_select(triples, query, path_max_hops)
+        return sparql_select(triples, query, path_max_hops,
+                             optimize=optimize)
     if head == "construct":
         return _sparql_construct(triples, query, path_max_hops)
     if head == "ask":
@@ -2010,10 +2021,21 @@ def _sparql_construct(triples: DataFrame, query: str,
 
 
 def sparql_select(triples: DataFrame, query: str,
-                  path_max_hops: int = PATH_MAX_HOPS) -> DataFrame:
+                  path_max_hops: int = PATH_MAX_HOPS,
+                  optimize: bool = False) -> DataFrame:
     """Compile and run a SPARQL SELECT against a ``(subj, pred, obj)``
-    DataFrame. Returns one column per selected variable."""
-    return _compile_select(triples, parse_select(query, path_max_hops))
+    DataFrame. Returns one column per selected variable.
+
+    ``optimize=True`` feeds every BGP through :func:`match_bgp`'s
+    selectivity-based greedy join ordering (one predicate-count
+    statistics aggregate per query — worth it for multi-pattern
+    queries over large stores, pure overhead for point lookups, hence
+    opt-in). Results are order-independent; only the plan changes."""
+    tok = _OPTIMIZE.set(optimize)
+    try:
+        return _compile_select(triples, parse_select(query, path_max_hops))
+    finally:
+        _OPTIMIZE.reset(tok)
 
 
 def to_sparql_results_json(rows: list, columns: list[str]) -> dict:

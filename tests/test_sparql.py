@@ -2124,3 +2124,15 @@ def test_filter_boolean_random_differential(spark):
         )
         want = sorted(s for s, o in data.items() if top(o))
         assert got == want, (trial, text)
+
+
+def test_optimize_flag_preserves_results(spark):
+    # selectivity-ordered joins change the plan, never the answer
+    rows = [("a", "common", f"x{i}") for i in range(20)] + [
+        ("a", "rare", "y"), ("b", "common", "x0")
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    q = "SELECT ?s ?o WHERE { ?s <common> ?o . ?s <rare> ?r }"
+    base = sorted(map(tuple, sparql_select(tdf, q).collect()))
+    opt = sorted(map(tuple, sparql_select(tdf, q, optimize=True).collect()))
+    assert base == opt and len(base) == 20

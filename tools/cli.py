@@ -203,6 +203,9 @@ def main() -> int:
     p_sparql.add_argument("--explain", action="store_true",
                           help="print the formatted physical plan instead "
                                "of executing (SELECT/CONSTRUCT/DESCRIBE)")
+    p_sparql.add_argument("--optimize", action="store_true",
+                          help="selectivity-ordered BGP joins (one "
+                               "predicate-count stats pass per query)")
     p_sparql.add_argument("--format", choices=("csv", "json", "tsv", "xml"),
                           default="csv",
                           help="result serialization: csv (default), "
@@ -507,9 +510,10 @@ def main() -> int:
                 print("ASK executes eagerly (LocalLimit short-circuit); "
                       "nothing to explain", file=sys.stderr)
                 return 1
-            sparql_query(full, args.query).explain("formatted")
+            sparql_query(full, args.query,
+                         optimize=args.optimize).explain("formatted")
             return 0
-        result = sparql_query(full, args.query)
+        result = sparql_query(full, args.query, optimize=args.optimize)
         if isinstance(result, bool):  # ASK
             if args.format == "json":
                 print(json.dumps({"head": {}, "boolean": result}))
