@@ -56,11 +56,35 @@ def transe_energy(
     return F.aggregate(d, F.lit(0), lambda acc, x: acc + x)
 
 
-def score_triples(triples: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """Add ``energy`` (int) to ``(subj, pred, obj)`` rows."""
+def distmult_score(h: Column, r: Column, t: Column) -> Column:
+    """DistMult bilinear score Σᵢ hᵢ·rᵢ·tᵢ (Yang et al., ICLR 2015 —
+    public) over int arrays — higher is better, unlike TransE's energy.
+    Same codegen shape: two ``zip_with`` + one ``aggregate``, no Python."""
+    hr = F.zip_with(h, r, lambda a, b: a * b)
+    d = F.zip_with(hr, t, lambda a, b: a * b)
+    return F.aggregate(d, F.lit(0), lambda acc, x: acc + x)
+
+
+#: model hook: name → (score function, True when higher scores are better).
+#: Two built-in implementations (translation vs bilinear); learned models
+#: plug in by registering a Column-level score function here — the ranking
+#: and metrics machinery below is model-agnostic.
+MODELS = {
+    "transe": (transe_energy, False),
+    "distmult": (distmult_score, True),
+}
+
+
+def score_triples(
+    triples: DataFrame, dim: int = EMB_DIM, model: str = "transe"
+) -> DataFrame:
+    """Add ``energy`` (int) to ``(subj, pred, obj)`` rows using the named
+    scoring model from :data:`MODELS` (column keeps the name ``energy``
+    for schema stability across models)."""
+    score_fn, _ = MODELS[model]
     return triples.withColumn(
         "energy",
-        transe_energy(
+        score_fn(
             embed(F.col("subj"), dim),
             embed(F.col("pred"), dim),
             embed(F.col("obj"), dim),
@@ -69,28 +93,38 @@ def score_triples(triples: DataFrame, dim: int = EMB_DIM) -> DataFrame:
 
 
 def rank_tails(
-    triples: DataFrame, candidates: DataFrame, dim: int = EMB_DIM
+    triples: DataFrame,
+    candidates: DataFrame,
+    dim: int = EMB_DIM,
+    model: str = "transe",
 ) -> DataFrame:
-    """Rank each triple's true tail among candidate tails by energy.
+    """Rank each triple's true tail among candidate tails by model score.
 
     ``candidates`` needs one ``entity`` column (the tail vocabulary or a
     sampled subset). Rank = 1 + #candidates scoring strictly better +
     #candidates tied but lexicographically smaller (fully deterministic);
     the true tail itself is excluded from the corruption set (standard
-    filtered ranking). Returns
-    ``(subj, pred, obj, energy, rank, n_candidates)``.
+    filtered ranking). ``model`` names an entry in :data:`MODELS` —
+    "better" means lower energy for TransE, higher score for DistMult.
+    Returns ``(subj, pred, obj, energy, rank, n_candidates)``.
     """
-    scored = score_triples(triples, dim)
+    score_fn, higher_is_better = MODELS[model]
+    scored = score_triples(triples, dim, model)
     cand = candidates.select(F.col("entity").alias("cand")).distinct()
     # entity vocabulary ≪ triples; gate the hint on the materialized count
     cand = maybe_broadcast(cand, cand.count())
     x = scored.join(cand, F.col("cand") != F.col("obj"))
-    c_energy = transe_energy(
+    c_energy = score_fn(
         embed(F.col("subj"), dim),
         embed(F.col("pred"), dim),
         embed(F.col("cand"), dim),
     )
-    beats = (c_energy < F.col("energy")) | (
+    strictly_better = (
+        c_energy > F.col("energy")
+        if higher_is_better
+        else c_energy < F.col("energy")
+    )
+    beats = strictly_better | (
         (c_energy == F.col("energy")) & (F.col("cand") < F.col("obj"))
     )
     return (

@@ -7485,6 +7485,49 @@ FROM x GROUP BY subj, pred, obj, energy
 """
 
 
+def _q_kg_distmult_rank(spark, sf_dir):
+    """DistMult link-prediction ranking — the second implementation of the
+    kge model hook (operators/kge.py MODELS): bilinear Σ h·r·t score
+    (higher-is-better) through the same broadcast-corruption + hash-agg
+    ranking machinery as TransE, proving the hook is model-agnostic."""
+    from search_spark.operators.kge import rank_tails
+
+    pos = _doc_relations(spark, sf_dir).select(
+        "subj", "pred", "obj"
+    ).distinct()
+    cand = pos.select(F.col("obj").alias("entity")).distinct()
+    return rank_tails(pos, cand, model="distmult")
+
+
+def _distmult_score_sql(x: str, y: str, z: str) -> str:
+    dx = _TRANSE_DIGIT.format(x=x)
+    dy = _TRANSE_DIGIT.format(x=y)
+    dz = _TRANSE_DIGIT.format(x=z)
+    return (
+        "list_aggregate(list_transform(range(1, 17), i -> "
+        f"{dx} * {dy} * {dz}), 'sum')"
+    )
+
+
+_SQL_KG_DISTMULT_RANK = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pos AS (SELECT DISTINCT subj, pred, obj FROM relations),
+cand AS (SELECT DISTINCT obj AS cand FROM relations),
+scored AS (SELECT subj, pred, obj,
+                  {_distmult_score_sql('subj', 'pred', 'obj')} AS energy
+           FROM pos),
+x AS (SELECT s.subj, s.pred, s.obj, s.energy, c.cand,
+             {_distmult_score_sql('s.subj', 's.pred', 'c.cand')} AS c_energy
+      FROM scored s JOIN cand c ON c.cand <> s.obj)
+SELECT subj, pred, obj, CAST(energy AS INT) AS energy,
+       CAST(1 + sum(CASE WHEN c_energy > energy
+                         OR (c_energy = energy AND cand < obj)
+                    THEN 1 ELSE 0 END) AS INT) AS rank,
+       CAST(count(*) AS INT) AS n_candidates
+FROM x GROUP BY subj, pred, obj, energy
+"""
+
+
 def _q_kg_kge_eval(spark, sf_dir):
     """Link-prediction evaluation metrics (MRR, Hits@1/3/10, mean rank)
     over the TransE filtered ranking — ranking_metrics is one tiny
@@ -7538,6 +7581,9 @@ def _register_crawl_coref_kge() -> None:
         _q_coref_pronouns, oracles.coref_oracle_sql()
     )
     QUERIES["kg_transe_rank"] = Q(_q_kg_transe_rank, _SQL_KG_TRANSE_RANK)
+    QUERIES["kg_distmult_rank"] = Q(
+        _q_kg_distmult_rank, _SQL_KG_DISTMULT_RANK
+    )
     QUERIES["kg_kge_eval"] = Q(_q_kg_kge_eval, _SQL_KG_KGE_EVAL)
 
 

@@ -260,6 +260,68 @@ def test_rank_tails_true_tail_rank_one_when_best(spark):
     assert row.rank == expected
 
 
+def test_distmult_score_matches_python(spark):
+    from search_spark.operators.kge import distmult_score, embed
+
+    df = spark.range(1).select(
+        distmult_score(
+            embed(F.lit("h")), embed(F.lit("r")), embed(F.lit("t"))
+        ).alias("s"),
+    )
+    import hashlib
+
+    def digits(s):
+        return [int(c, 16) for c in hashlib.md5(s).hexdigest()[:16]]
+
+    expected = sum(
+        a * b * c for a, b, c in zip(digits(b"h"), digits(b"r"), digits(b"t"))
+    )
+    assert df.collect()[0].s == expected
+
+
+def test_rank_tails_model_hook_distmult_higher_is_better(spark):
+    """The same ranking machinery serves both MODELS entries; DistMult
+    ranks by descending score (strictly-greater beats), TransE by
+    ascending energy — verified against a Python recompute."""
+    from search_spark.operators.kge import MODELS, embed, rank_tails
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o1"), ("s2", "q", "o3")],
+        schema="subj string, pred string, obj string",
+    )
+    cands = spark.createDataFrame(
+        [("o1",), ("o2",), ("o3",), ("o4",)], schema="entity string"
+    )
+    import hashlib
+
+    def digits(s):
+        return [int(c, 16) for c in hashlib.md5(s.encode()).hexdigest()[:16]]
+
+    def dm(h, r, t):
+        return sum(
+            a * b * c for a, b, c in zip(digits(h), digits(r), digits(t))
+        )
+
+    rows = {
+        (r.subj, r.pred, r.obj): r
+        for r in rank_tails(triples, cands, model="distmult").collect()
+    }
+    for (s, p, o), row in rows.items():
+        true_score = dm(s, p, o)
+        assert row.energy == true_score
+        expected = 1 + sum(
+            1
+            for c in ("o1", "o2", "o3", "o4")
+            if c != o
+            and (
+                dm(s, p, c) > true_score
+                or (dm(s, p, c) == true_score and c < o)
+            )
+        )
+        assert row.rank == expected, (s, p, o)
+    assert set(MODELS) == {"transe", "distmult"}
+
+
 def test_rank_tails_candidate_join_is_broadcast(spark):
     from search_spark.queries import QUERIES
 
