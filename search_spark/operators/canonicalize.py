@@ -247,3 +247,63 @@ def canonical_mapping(
     )
     comps = connected_components(form_edges.unionByName(concept_edges))
     return comps.select(F.col("id").alias("form"), F.col("component").alias("canonical_id"))
+
+
+def sameas_rewrite(
+    triples: DataFrame,
+    sameas: DataFrame,
+    max_iterations: int = 25,
+    local_threshold: int = LOCAL_CC_THRESHOLD,
+) -> DataFrame:
+    """Consolidate a KG through an owl:sameAs equivalence set.
+
+    The last step of entity resolution: after identity inference produces
+    pairwise ``sameAs`` links (``(a, b)`` columns — e.g. the output of
+    :func:`search_spark.operators.blocking.ifp_candidates`), close them
+    into equivalence classes and rewrite every triple's subject and object
+    to the class representative (lexicographic minimum), merging the
+    records. The reference keeps one row per entity after canonicalization
+    (SURVEY §2: canonicalization stage); this operator is that merge
+    expressed for arbitrary (subj, pred, obj) graphs.
+
+    Returns ``(subj, pred, obj, n_sources)`` — distinct rewritten facts;
+    ``n_sources`` counts the distinct *original* subjects asserting the
+    fact, the provenance weight fusion uses downstream.
+
+    Scale shape: components run on the sameAs node set (≪ triples); the
+    node→rep mapping joins onto the triple stream twice with a
+    count-gated broadcast hint — at web scale an oversized mapping falls
+    back to AQE's choice instead of a forced driver OOM.
+    """
+    from search_spark.joins import maybe_broadcast
+
+    edges = sameas.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comps = connected_components(edges, max_iterations, local_threshold)
+    mapping = comps.select(F.col("id").alias("node"), "component")
+    mapping = maybe_broadcast(mapping, mapping.count())
+    t = triples.select(
+        F.col("subj").alias("orig_subj"), "pred", F.col("obj").alias("orig_obj")
+    )
+    t = t.join(
+        mapping.select(
+            F.col("node").alias("orig_subj"), F.col("component").alias("srep")
+        ),
+        on="orig_subj",
+        how="left",
+    ).join(
+        mapping.select(
+            F.col("node").alias("orig_obj"), F.col("component").alias("orep")
+        ),
+        on="orig_obj",
+        how="left",
+    )
+    return (
+        t.select(
+            F.coalesce("srep", "orig_subj").alias("subj"),
+            "pred",
+            F.coalesce("orep", "orig_obj").alias("obj"),
+            "orig_subj",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count_distinct("orig_subj").cast("int").alias("n_sources"))
+    )

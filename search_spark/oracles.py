@@ -1803,6 +1803,40 @@ WHERE a.subj < b.subj
 """
 
 
+def sameas_rewrite_oracle_sql() -> str:
+    """Spec-level re-derivation of the IFP merge: recursive-CTE transitive
+    closure over the sameAs pairs, least-member representative, then the
+    triple rewrite + distinct-original-subject count."""
+    vals = values_sql(ifp_fixture_rows(), ["subj", "pred", "obj"])
+    preds = ", ".join(f"'{p}'" for p in IFP_PREDS)
+    return f"""
+WITH RECURSIVE t0 AS ({vals}),
+t AS (SELECT DISTINCT subj, pred, obj FROM t0
+      WHERE pred IN ({preds}) AND obj <> ''),
+sizes AS (SELECT pred, obj, count(*) AS n FROM t GROUP BY pred, obj),
+kept AS (SELECT t.* FROM t JOIN sizes USING (pred, obj)
+         WHERE sizes.n <= {IFP_MAX_GROUP}),
+pairs AS (SELECT DISTINCT a.subj AS a, b.subj AS b
+          FROM kept a JOIN kept b ON a.pred = b.pred AND a.obj = b.obj
+          WHERE a.subj < b.subj),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS rep FROM reach
+         WHERE a <> b GROUP BY a),
+rw AS (SELECT COALESCE(cs.rep, t0.subj) AS subj, t0.pred,
+              COALESCE(co.rep, t0.obj) AS obj, t0.subj AS osubj
+       FROM t0
+       LEFT JOIN comp cs ON t0.subj = cs.node
+       LEFT JOIN comp co ON t0.obj = co.node)
+SELECT subj, pred, obj,
+       CAST(count(DISTINCT osubj) AS INT) AS n_sources
+FROM rw GROUP BY subj, pred, obj
+"""
+
+
 # -- RAKE keywords ------------------------------------------------------------
 
 def rake_oracle_sql(stopwords: tuple[str, ...], top_k: int = 3,

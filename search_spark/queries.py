@@ -7911,6 +7911,26 @@ def _q_kg_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_kg_sameas_rewrite(spark, sf_dir):
+    """Entity-resolution merge (operators/canonicalize.py sameas_rewrite):
+    IFP sameAs pairs → connected components → every triple's subj/obj
+    rewritten to the class representative with a distinct-source
+    provenance count — the consolidation step between identity inference
+    and fusion."""
+    from search_spark import oracles
+    from search_spark.operators.blocking import ifp_candidates
+    from search_spark.operators.canonicalize import sameas_rewrite
+
+    triples = spark.createDataFrame(
+        oracles.ifp_fixture_rows(),
+        schema="subj string, pred string, obj string",
+    )
+    pairs = ifp_candidates(
+        triples, list(oracles.IFP_PREDS), max_group=oracles.IFP_MAX_GROUP
+    ).select("a", "b").distinct()
+    return sameas_rewrite(triples, pairs)
+
+
 def _q_keyword_rake(spark, sf_dir):
     """RAKE keyword extraction (operators/keywords.py): stopword-delimited
     phrase runs, corpus-wide integer word degrees, per-doc top-3 — the
@@ -7967,6 +7987,9 @@ def _register_round3_batch3() -> None:
         oracles.webtable_column_types_oracle_sql(),
     )
     QUERIES["kg_ifp_sameas"] = Q(_q_kg_ifp_sameas, oracles.ifp_oracle_sql())
+    QUERIES["kg_sameas_rewrite"] = Q(
+        _q_kg_sameas_rewrite, oracles.sameas_rewrite_oracle_sql()
+    )
     QUERIES["keyword_rake"] = Q(
         _q_keyword_rake, oracles.rake_oracle_sql(STOPWORDS, 3, 2)
     )

@@ -104,3 +104,47 @@ def test_rake_plan_has_no_python(spark):
     plan = plan_of(QUERIES["keyword_rake"].spark(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sameas_rewrite_merges_components_and_counts_sources(spark):
+    from search_spark.operators.canonicalize import sameas_rewrite
+
+    triples = spark.createDataFrame(
+        [
+            ("r1", "name", "Ada"),
+            ("r2", "name", "Ada"),
+            ("r2", "city", "Paris"),
+            ("r3", "name", "Bob"),
+            ("r4", "city", "r3"),  # object-side rewrite: r3 merges into r3's class
+        ],
+        schema="subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame(
+        [("r1", "r2"), ("r3", "r5")], schema="a string, b string"
+    )
+    rows = {
+        (r.subj, r.pred, r.obj): r.n_sources
+        for r in sameas_rewrite(triples, sameas).collect()
+    }
+    # r1/r2 merge to r1; the duplicated name fact carries n_sources=2
+    assert rows[("r1", "name", "Ada")] == 2
+    assert rows[("r1", "city", "Paris")] == 1
+    # r3 merges to r3 (min of {r3, r5}); object side rewritten too
+    assert rows[("r3", "name", "Bob")] == 1
+    assert rows[("r4", "city", "r3")] == 1
+    assert len(rows) == 4
+
+
+def test_sameas_rewrite_no_pairs_is_identity_with_counts(spark):
+    from search_spark.operators.canonicalize import sameas_rewrite
+
+    triples = spark.createDataFrame(
+        [("x", "p", "1"), ("x", "p", "1"), ("y", "p", "1")],
+        schema="subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame([], schema="a string, b string")
+    rows = {
+        (r.subj, r.pred, r.obj): r.n_sources
+        for r in sameas_rewrite(triples, sameas).collect()
+    }
+    assert rows == {("x", "p", "1"): 1, ("y", "p", "1"): 1}
