@@ -199,3 +199,60 @@ def read_ntriples(
             _iri_value(F.col("g_iri"), "prov", base),
         ).alias("prov"),
     )
+
+
+def to_turtle_blocks(df: DataFrame, base: str = DEFAULT_BASE) -> DataFrame:
+    """``(subj, pred, obj)`` → ``(subj, block)``: one Turtle block per
+    subject, predicates abbreviated with ``;`` and object lists with
+    ``,`` (Turtle §2.2/§2.3 predicate/object lists) — the human-readable
+    sibling of :func:`to_nquad_lines` for the same engine-IRI model.
+
+    Terms stay absolute ``<base…>`` IRIs (no prefixed names: Turtle's
+    PN_LOCAL grammar forbids raw ``/`` and friends, which open-web
+    surface forms contain; absolute IRIs need no escape model beyond the
+    shared invertible percent-encoding). Object lists and predicate
+    lines sort by their rendered text, so the serialization is
+    deterministic and a SQL oracle re-derives it with ordered
+    ``string_agg``.
+
+    Scale shape: distinct + two hash aggregations keyed on (subj, pred)
+    then subj — partial-aggregated, no window, no Python; block text
+    length is bounded by a subject's own fact count.
+    """
+    lit = F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
+    t = df.select("subj", "pred", lit.alias("lit")).distinct()
+    obj_lists = t.groupBy("subj", "pred").agg(
+        F.array_join(F.array_sort(F.collect_list("lit")), ", ").alias("objs")
+    )
+    line = F.concat(
+        _iri("pred", F.col("pred"), base), F.lit(" "), F.col("objs")
+    )
+    blocks = (
+        obj_lists.select("subj", line.alias("line"))
+        .groupBy("subj")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("line")), " ;\n    "
+            ).alias("body")
+        )
+    )
+    return blocks.select(
+        "subj",
+        F.concat(
+            _iri("entity", F.col("subj"), base),
+            F.lit(" "),
+            F.col("body"),
+            F.lit(" ."),
+        ).alias("block"),
+    )
+
+
+def write_turtle(
+    df: DataFrame, path: str, base: str = DEFAULT_BASE
+) -> None:
+    """Write the subject blocks as ``.ttl`` text parts (each part is
+    valid Turtle on its own; blocks sort by subject within partitions
+    for stable diffs — no global sort is forced at scale)."""
+    to_turtle_blocks(df, base=base).sortWithinPartitions("subj").select(
+        "block"
+    ).write.mode("errorifexists").text(path)

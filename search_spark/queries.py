@@ -4142,6 +4142,44 @@ FROM triples
 """
 
 
+def _q_turtle_export(spark, sf_dir):
+    """Turtle serialization of the doc triples (io/ntriples.py
+    to_turtle_blocks): per-subject blocks with `;` predicate and `,`
+    object-list abbreviations, deterministically ordered — two hash
+    aggregations over the distinct triple set, no window, no Python."""
+    from search_spark.io.ntriples import to_turtle_blocks
+
+    return to_turtle_blocks(
+        _q_kg_doc_triples(spark, sf_dir).select("subj", "pred", "obj")
+    )
+
+
+def _sql_turtle_export() -> str:
+    from search_spark.io.ntriples import iri_escape_sql, literal_escape_sql
+
+    return f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+triples AS (
+  SELECT mention AS subj, 'has_type' AS pred, entity_type AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, pred, obj FROM relations),
+lits AS (SELECT DISTINCT subj, pred,
+                '"' || {literal_escape_sql('obj')} || '"' AS lit
+         FROM triples),
+ol AS (SELECT subj, pred,
+              string_agg(lit, ', ' ORDER BY lit) AS objs
+       FROM lits GROUP BY subj, pred),
+pl AS (SELECT subj,
+              {iri_escape_sql('pred', 'pred')} || ' ' || objs AS line
+       FROM ol)
+SELECT subj,
+       {iri_escape_sql('subj', 'entity')} || ' '
+       || string_agg(line, e' ;\n    ' ORDER BY line) || ' .' AS block
+FROM pl GROUP BY subj
+"""
+
+
 def _q_kg_stats(spark, sf_dir):
     """Triple-store statistics (the RDF equivalent of table stats, what
     the BGP optimizer's selectivity estimates read): per-predicate triple
@@ -6828,6 +6866,7 @@ QUERIES: dict[str, Q] = {
     ),
     "sparql_subquery": Q(_q_sparql_subquery, _SQL_SPARQL_SUBQUERY),
     "ntriples_export": Q(_q_ntriples_export, _sql_ntriples_export()),
+    "turtle_export": Q(_q_turtle_export, _sql_turtle_export()),
     "kg_bgp_optional": Q(_q_kg_bgp_optional, _SQL_KG_BGP_OPTIONAL),
     "kg_forward_chain": Q(_q_kg_forward_chain, _forward_chain_oracle_sql()),
     "kg_describe": Q(_q_kg_describe, _SQL_KG_DESCRIBE),

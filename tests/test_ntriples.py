@@ -92,3 +92,43 @@ def test_null_prov_exports_plain_triple_line(spark, tmp_path):
     assert sorted(
         (r.subj, r.pred, r.obj, r.prov) for r in back.collect()
     ) == [("x", "p", "1", "gA"), ("y", "p", "2", None)]
+
+
+def test_turtle_blocks_grouping_and_object_lists(spark):
+    from search_spark.io.ntriples import to_turtle_blocks
+
+    df = spark.createDataFrame(
+        [
+            ("Insulin", "TREATS", "Diabetes"),
+            ("Insulin", "TREATS", "T2D"),
+            ("Insulin", "TREATS", "Diabetes"),  # duplicate collapses
+            ("Insulin", "FOUND_IN", "pancreas"),
+            ("Zinc", "BINDS", 'say "hi"'),
+        ],
+        schema="subj string, pred string, obj string",
+    )
+    blocks = {r.subj: r.block for r in to_turtle_blocks(df).collect()}
+    assert blocks["Insulin"] == (
+        '<kg:entity/Insulin> <kg:pred/FOUND_IN> "pancreas" ;\n'
+        '    <kg:pred/TREATS> "Diabetes", "T2D" .'
+    )
+    # literal escaping shared with the N-Triples writer
+    assert blocks["Zinc"] == '<kg:entity/Zinc> <kg:pred/BINDS> "say \\"hi\\"" .'
+
+
+def test_write_turtle_parts_are_valid_blocks(spark, tmp_path):
+    from search_spark.io.ntriples import to_turtle_blocks, write_turtle
+
+    df = spark.createDataFrame(
+        [("a b", "p", "x"), ("c", "p", "y")],
+        schema="subj string, pred string, obj string",
+    )
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out)
+    text = "\n".join(
+        r.value for r in spark.read.text(out).collect()
+    )
+    expected = {r.block for r in to_turtle_blocks(df).collect()}
+    for block in expected:
+        assert block in text
+    assert "<kg:entity/a%20b>" in text  # IRI encoding applied
