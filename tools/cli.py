@@ -147,6 +147,11 @@ def main() -> int:
                           help="snapshot table root")
     p_export.add_argument("--output", required=True)
     p_export.add_argument("--as-of", type=int, default=None, dest="as_of")
+    p_export.add_argument("--format", choices=["nquads", "turtle"],
+                          default="nquads",
+                          help="nquads (lossless, provenance as graph "
+                               "term) or turtle (subject blocks; "
+                               "provenance dropped)")
 
     p_graph = sub.add_parser(
         "graph",
@@ -392,11 +397,20 @@ def main() -> int:
         if df is None:
             print("no committed snapshots", file=sys.stderr)
             return 1
-        write_ntriples(
-            df.select("subj", "pred", "obj", "prov"), args.output
-        )
-        print(f"wrote {spark.read.text(args.output).count()} quads "
-              f"to {args.output}")
+        if args.format == "turtle":
+            from search_spark.io.ntriples import write_turtle
+
+            write_turtle(df.select("subj", "pred", "obj"), args.output)
+            print(
+                f"wrote {spark.read.text(args.output).count()} turtle "
+                f"lines to {args.output}"
+            )
+        else:
+            write_ntriples(
+                df.select("subj", "pred", "obj", "prov"), args.output
+            )
+            print(f"wrote {spark.read.text(args.output).count()} quads "
+                  f"to {args.output}")
     elif args.cmd == "expire":
         import json as _json
 
