@@ -229,3 +229,69 @@ def test_mark_boilerplate_random_vs_python(spark):
         for r in mark_boilerplate(df).collect()
     }
     assert got == expected
+
+
+def test_sameas_rewrite_random_vs_python(spark):
+    """Random sameAs graphs + random triples vs an independent union-find
+    mirror: component representative = lexicographic min, subject AND
+    object rewritten, n_sources = distinct original subjects per fact."""
+    from collections import defaultdict
+
+    from search_spark.operators.canonicalize import sameas_rewrite
+
+    rng = _mk_rng()
+    for trial in range(4):
+        nodes = [f"n{i:02d}" for i in range(rng.randint(4, 14))]
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(0, 12))
+            }
+        )
+        preds = ["p", "q", "r"]
+        # objects mix literals and node ids (object-side rewrite matters)
+        objs = ["lit1", "lit2"] + nodes[:3]
+        triples = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(objs))
+            for _ in range(rng.randint(1, 40))
+        ]
+
+        # python mirror: union-find with min-representative
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+
+        def rep(x):
+            return find(x) if x in parent else x
+
+        expected_sources = defaultdict(set)
+        for s, p, o in triples:
+            expected_sources[(rep(s), p, rep(o))].add(s)
+        expected = {k: len(v) for k, v in expected_sources.items()}
+
+        t_df = spark.createDataFrame(
+            triples, schema="subj string, pred string, obj string"
+        )
+        p_df = spark.createDataFrame(
+            pairs or [("zz_lonely", "zz_lonely2")],
+            schema="a string, b string",
+        )
+        if not pairs:
+            expected = {
+                k: v for k, v in expected.items()
+            }  # lone dummy pair touches no triple node
+        got = {
+            (r.subj, r.pred, r.obj): r.n_sources
+            for r in sameas_rewrite(t_df, p_df).collect()
+        }
+        assert got == expected, f"trial {trial}"
