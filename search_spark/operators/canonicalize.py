@@ -249,6 +249,50 @@ def canonical_mapping(
     return comps.select(F.col("id").alias("form"), F.col("component").alias("canonical_id"))
 
 
+def sameas_components(
+    sameas: DataFrame,
+    max_iterations: int = 25,
+    local_threshold: int = LOCAL_CC_THRESHOLD,
+) -> DataFrame:
+    """Close pairwise ``(a, b)`` sameAs links into equivalence classes:
+    ``(node, component)`` with the lexicographic minimum as
+    representative (components run on the sameAs node set ≪ triples)."""
+    edges = sameas.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comps = connected_components(edges, max_iterations, local_threshold)
+    return comps.select(F.col("id").alias("node"), "component")
+
+
+def sameas_apply(df: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite ``subj``/``obj`` through a ``(node, component)`` mapping,
+    preserving every other column and the row count — the
+    schema-preserving form the snapshot pipeline uses (provenance rows
+    survive the merge; aggregation is the caller's choice). The mapping
+    join is count-gated for broadcast: an open-web-sized equivalence set
+    falls back to AQE's strategy instead of a forced driver OOM."""
+    from search_spark.joins import maybe_broadcast
+
+    mapping = maybe_broadcast(components, components.count())
+    others = [c for c in df.columns if c not in ("subj", "obj")]
+    out = df.join(
+        mapping.select(
+            F.col("node").alias("subj"), F.col("component").alias("_srep")
+        ),
+        on="subj",
+        how="left",
+    ).join(
+        mapping.select(
+            F.col("node").alias("obj"), F.col("component").alias("_orep")
+        ),
+        on="obj",
+        how="left",
+    )
+    return out.select(
+        F.coalesce("_srep", "subj").alias("subj"),
+        F.coalesce("_orep", "obj").alias("obj"),
+        *others,
+    ).select(df.columns)
+
+
 def sameas_rewrite(
     triples: DataFrame,
     sameas: DataFrame,
@@ -275,35 +319,12 @@ def sameas_rewrite(
     count-gated broadcast hint — at web scale an oversized mapping falls
     back to AQE's choice instead of a forced driver OOM.
     """
-    from search_spark.joins import maybe_broadcast
-
-    edges = sameas.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    comps = connected_components(edges, max_iterations, local_threshold)
-    mapping = comps.select(F.col("id").alias("node"), "component")
-    mapping = maybe_broadcast(mapping, mapping.count())
+    comps = sameas_components(sameas, max_iterations, local_threshold)
     t = triples.select(
-        F.col("subj").alias("orig_subj"), "pred", F.col("obj").alias("orig_obj")
-    )
-    t = t.join(
-        mapping.select(
-            F.col("node").alias("orig_subj"), F.col("component").alias("srep")
-        ),
-        on="orig_subj",
-        how="left",
-    ).join(
-        mapping.select(
-            F.col("node").alias("orig_obj"), F.col("component").alias("orep")
-        ),
-        on="orig_obj",
-        how="left",
+        "subj", "pred", "obj", F.col("subj").alias("orig_subj")
     )
     return (
-        t.select(
-            F.coalesce("srep", "orig_subj").alias("subj"),
-            "pred",
-            F.coalesce("orep", "orig_obj").alias("obj"),
-            "orig_subj",
-        )
+        sameas_apply(t, comps)
         .groupBy("subj", "pred", "obj")
         .agg(F.count_distinct("orig_subj").cast("int").alias("n_sources"))
     )

@@ -74,6 +74,18 @@ class PipelineConfig:
     # Off by default: the text path's contracts/oracles see an identical
     # stream; on, the KG fuses running text with the structured sources.
     structured_sources: bool = False
+    # inverse-functional predicates for an optional post-build sameAs
+    # merge: subjects sharing a value under any of these predicates are
+    # closed into equivalence classes (operators/blocking.ifp_candidates →
+    # canonicalize.sameas_components) and every triple's subj/obj is
+    # rewritten to the class representative, schema- and row-preserving
+    # (canonicalize.sameas_apply). None (default) = no merge — the text
+    # path's oracles/contracts see an identical stream.
+    merge_sameas_preds: list[str] | None = None
+    # blocking purge bound for the sameAs merge (hot shared values fan out
+    # |group|^2 pairs; keys larger than this are dropped, same default as
+    # ifp_candidates)
+    sameas_max_group: int = 50
 
 
 def build_triples(
@@ -234,6 +246,23 @@ def build_triples(
             .unionByName(_tag(meta_triples(web_pages), "meta"))
         )
         out = out.unionByName(structured, allowMissingColumns=True)
+    if cfg.merge_sameas_preds:
+        from search_spark.operators.blocking import ifp_candidates
+        from search_spark.operators.canonicalize import (
+            sameas_apply,
+            sameas_components,
+        )
+
+        pairs = (
+            ifp_candidates(
+                out.select("subj", "pred", "obj"),
+                cfg.merge_sameas_preds,
+                max_group=cfg.sameas_max_group,
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        out = sameas_apply(out, sameas_components(pairs))
     return out
 
 

@@ -148,3 +148,40 @@ def test_sameas_rewrite_no_pairs_is_identity_with_counts(spark):
         for r in sameas_rewrite(triples, sameas).collect()
     }
     assert rows == {("x", "p", "1"): 1, ("y", "p", "1"): 1}
+
+
+def test_pipeline_merge_sameas_flag_wiring(spark):
+    """merge_sameas_preds applies the schema- and row-preserving merge:
+    columns and row count unchanged, and the surviving subjects are
+    exactly the component representatives of the unmerged output."""
+    from search_spark import datagen
+    from search_spark.operators.blocking import ifp_candidates
+    from search_spark.operators.canonicalize import sameas_components
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 40, seed=7)
+    plain = build_triples(spark, pages, PipelineConfig()).localCheckpoint()
+    merged = build_triples(
+        spark,
+        pages,
+        PipelineConfig(merge_sameas_preds=["START_WITH_DIFFERENT_LETTER"]),
+    )
+    assert merged.columns == plain.columns
+    assert merged.count() == plain.count()
+
+    comps = {
+        r.node: r.component
+        for r in sameas_components(
+            ifp_candidates(
+                plain.select("subj", "pred", "obj"),
+                ["START_WITH_DIFFERENT_LETTER"],
+                max_group=50,
+            ).select("a", "b")
+        ).collect()
+    }
+    expected_subjs = {
+        comps.get(r.subj, r.subj) for r in plain.select("subj").collect()
+    }
+    got_subjs = {r.subj for r in merged.select("subj").distinct().collect()}
+    assert got_subjs == expected_subjs
+    assert comps, "fixture must actually produce at least one sameAs pair"
