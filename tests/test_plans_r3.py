@@ -179,3 +179,15 @@ def test_final_r3_batch_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         n_bnlj = _n_ops(plan, "BroadcastNestedLoopJoin")
         assert n_bnlj <= bnlj_budget.get(name, 0), name
+
+
+def test_kg_sameas_rewrite_broadcast_mapping_no_cartesian(spark):
+    """The sameAs merge joins the (node, component) mapping onto the
+    triple stream twice — both joins must be broadcast hash joins under
+    the count gate (fixture vocabulary ≪ threshold) and nothing in the
+    plan may degenerate to a cartesian product."""
+    from search_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_sameas_rewrite"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
