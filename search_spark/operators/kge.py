@@ -65,23 +65,57 @@ def distmult_score(h: Column, r: Column, t: Column) -> Column:
     return F.aggregate(d, F.lit(0), lambda acc, x: acc + x)
 
 
-#: model hook: name → (score function, True when higher scores are better).
-#: Two built-in implementations (translation vs bilinear); learned models
-#: plug in by registering a Column-level score function here — the ranking
-#: and metrics machinery below is model-agnostic.
+def complex_score(h: Column, r: Column, t: Column) -> Column:
+    """ComplEx score Re(Σᵢ hᵢ·rᵢ·conj(tᵢ)) (Trouillon et al., ICML 2016 —
+    public) — higher is better. Each input is a ``2·dim`` array holding
+    the real half then the imaginary half (md5 digits 1–16 / 17–32), so
+    the (h, r, t)-array hook contract is unchanged; the four bilinear
+    terms reduce to Re(h∘r)·Re(t) + Im(h∘r)·Im(t), six ``zip_with`` and
+    one ``aggregate`` — still pure codegen."""
+    half = EMB_DIM
+    re_h, im_h = F.slice(h, 1, half), F.slice(h, half + 1, half)
+    re_r, im_r = F.slice(r, 1, half), F.slice(r, half + 1, half)
+    re_t, im_t = F.slice(t, 1, half), F.slice(t, half + 1, half)
+    hr_re = F.zip_with(
+        F.zip_with(re_h, re_r, lambda a, b: a * b),
+        F.zip_with(im_h, im_r, lambda a, b: a * b),
+        lambda a, b: a - b,
+    )
+    hr_im = F.zip_with(
+        F.zip_with(re_h, im_r, lambda a, b: a * b),
+        F.zip_with(im_h, re_r, lambda a, b: a * b),
+        lambda a, b: a + b,
+    )
+    g = F.zip_with(
+        F.zip_with(hr_re, re_t, lambda a, b: a * b),
+        F.zip_with(hr_im, im_t, lambda a, b: a * b),
+        lambda a, b: a + b,
+    )
+    return F.aggregate(g, F.lit(0), lambda acc, x: acc + x)
+
+
+#: model hook: name → (score function, True when higher scores are better,
+#: embedding width). Three built-in implementations — translation
+#: (TransE), bilinear (DistMult), complex bilinear (ComplEx, packed
+#: re‖im) — the canonical trio; learned models plug in by registering a
+#: Column-level score function here. The ranking and metrics machinery
+#: below is model-agnostic.
 MODELS = {
-    "transe": (transe_energy, False),
-    "distmult": (distmult_score, True),
+    "transe": (transe_energy, False, EMB_DIM),
+    "distmult": (distmult_score, True, EMB_DIM),
+    "complex": (complex_score, True, 2 * EMB_DIM),
 }
 
 
 def score_triples(
-    triples: DataFrame, dim: int = EMB_DIM, model: str = "transe"
+    triples: DataFrame, dim: int | None = None, model: str = "transe"
 ) -> DataFrame:
     """Add ``energy`` (int) to ``(subj, pred, obj)`` rows using the named
     scoring model from :data:`MODELS` (column keeps the name ``energy``
-    for schema stability across models)."""
-    score_fn, _ = MODELS[model]
+    for schema stability across models). ``dim`` defaults to the model's
+    registered embedding width."""
+    score_fn, _, model_dim = MODELS[model]
+    dim = model_dim if dim is None else dim
     return triples.withColumn(
         "energy",
         score_fn(
@@ -95,7 +129,7 @@ def score_triples(
 def rank_tails(
     triples: DataFrame,
     candidates: DataFrame,
-    dim: int = EMB_DIM,
+    dim: int | None = None,
     model: str = "transe",
 ) -> DataFrame:
     """Rank each triple's true tail among candidate tails by model score.
@@ -108,7 +142,8 @@ def rank_tails(
     "better" means lower energy for TransE, higher score for DistMult.
     Returns ``(subj, pred, obj, energy, rank, n_candidates)``.
     """
-    score_fn, higher_is_better = MODELS[model]
+    score_fn, higher_is_better, model_dim = MODELS[model]
+    dim = model_dim if dim is None else dim
     scored = score_triples(triples, dim, model)
     cand = candidates.select(F.col("entity").alias("cand")).distinct()
     # entity vocabulary ≪ triples; gate the hint on the materialized count

@@ -7567,6 +7567,57 @@ FROM x GROUP BY subj, pred, obj, energy
 """
 
 
+def _q_kg_complex_rank(spark, sf_dir):
+    """ComplEx link-prediction ranking — third implementation of the kge
+    model hook (packed re‖im md5-digit embeddings, Re(h∘r·conj(t))
+    score, higher-is-better) through the unchanged broadcast-corruption
+    ranking machinery."""
+    from search_spark.operators.kge import rank_tails
+
+    pos = _doc_relations(spark, sf_dir).select(
+        "subj", "pred", "obj"
+    ).distinct()
+    cand = pos.select(F.col("obj").alias("entity")).distinct()
+    return rank_tails(pos, cand, model="complex")
+
+
+def _complex_digit(x: str, pos: str) -> str:
+    return (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5({x}), CAST({pos} AS INT), 1)) - 1)"
+    )
+
+
+def _complex_score_sql(x: str, y: str, z: str) -> str:
+    rh, ih = _complex_digit(x, "i"), _complex_digit(x, "i + 16")
+    rr, ir = _complex_digit(y, "i"), _complex_digit(y, "i + 16")
+    rt, it = _complex_digit(z, "i"), _complex_digit(z, "i + 16")
+    return (
+        "list_aggregate(list_transform(range(1, 17), i -> "
+        f"({rh} * {rr} - {ih} * {ir}) * {rt} + "
+        f"({rh} * {ir} + {ih} * {rr}) * {it}), 'sum')"
+    )
+
+
+_SQL_KG_COMPLEX_RANK = f"""
+{_MENTIONS_SQL}, {_RELATIONS_SQL_BODY},
+pos AS (SELECT DISTINCT subj, pred, obj FROM relations),
+cand AS (SELECT DISTINCT obj AS cand FROM relations),
+scored AS (SELECT subj, pred, obj,
+                  {_complex_score_sql('subj', 'pred', 'obj')} AS energy
+           FROM pos),
+x AS (SELECT s.subj, s.pred, s.obj, s.energy, c.cand,
+             {_complex_score_sql('s.subj', 's.pred', 'c.cand')} AS c_energy
+      FROM scored s JOIN cand c ON c.cand <> s.obj)
+SELECT subj, pred, obj, CAST(energy AS INT) AS energy,
+       CAST(1 + sum(CASE WHEN c_energy > energy
+                         OR (c_energy = energy AND cand < obj)
+                    THEN 1 ELSE 0 END) AS INT) AS rank,
+       CAST(count(*) AS INT) AS n_candidates
+FROM x GROUP BY subj, pred, obj, energy
+"""
+
+
 def _q_kg_kge_eval(spark, sf_dir):
     """Link-prediction evaluation metrics (MRR, Hits@1/3/10, mean rank)
     over the TransE filtered ranking — ranking_metrics is one tiny
@@ -7622,6 +7673,9 @@ def _register_crawl_coref_kge() -> None:
     QUERIES["kg_transe_rank"] = Q(_q_kg_transe_rank, _SQL_KG_TRANSE_RANK)
     QUERIES["kg_distmult_rank"] = Q(
         _q_kg_distmult_rank, _SQL_KG_DISTMULT_RANK
+    )
+    QUERIES["kg_complex_rank"] = Q(
+        _q_kg_complex_rank, _SQL_KG_COMPLEX_RANK
     )
     QUERIES["kg_kge_eval"] = Q(_q_kg_kge_eval, _SQL_KG_KGE_EVAL)
 

@@ -319,7 +319,32 @@ def test_rank_tails_model_hook_distmult_higher_is_better(spark):
             )
         )
         assert row.rank == expected, (s, p, o)
-    assert set(MODELS) == {"transe", "distmult"}
+    assert set(MODELS) == {"transe", "distmult", "complex"}
+
+
+def test_complex_score_matches_python(spark):
+    """ComplEx over packed re‖im md5-digit embeddings vs a direct
+    complex-arithmetic recompute: Re(Σ h·r·conj(t))."""
+    from search_spark.operators.kge import complex_score, embed
+
+    df = spark.range(1).select(
+        complex_score(
+            embed(F.lit("h"), 32),
+            embed(F.lit("r"), 32),
+            embed(F.lit("t"), 32),
+        ).alias("s"),
+    )
+    import hashlib
+
+    def cdig(s):
+        d = [int(c, 16) for c in hashlib.md5(s).hexdigest()]
+        return [complex(re, im) for re, im in zip(d[:16], d[16:32])]
+
+    expected = sum(
+        (a * b * c.conjugate()).real
+        for a, b, c in zip(cdig(b"h"), cdig(b"r"), cdig(b"t"))
+    )
+    assert df.collect()[0].s == int(expected)
 
 
 def test_rank_tails_candidate_join_is_broadcast(spark):
