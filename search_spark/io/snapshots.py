@@ -34,6 +34,20 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: partition/layout columns excluded from the lineage-recorded schema
+_LAYOUT_COLS = ("bucket", "snapshot")
+
+
+def _data_schema(df: DataFrame) -> list[list[str]]:
+    """Normalized ``[[name, type], ...]`` for lineage: the data columns
+    only, so schemas recorded pre-bucketing (append) and from a
+    partitioned read-back (squash) compare equal."""
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in df.schema.fields
+        if f.name not in _LAYOUT_COLS
+    ]
+
 N_BUCKETS_DEFAULT = 64
 
 
@@ -85,10 +99,32 @@ class SnapshotTable:
         ]
         if not paths:
             return None
-        return (
-            self.spark.read.option("basePath", f"{self.root}/data")
-            .parquet(*paths)
-        )
+        reader = self.spark.read.option("basePath", f"{self.root}/data")
+        if self._needs_schema_merge(snaps):
+            # Iceberg schema-evolution analogue, metadata-gated: lineage
+            # records each snapshot's schema at commit time, so the
+            # common single-schema table never pays the all-footers
+            # mergeSchema scan — only a table whose snapshots actually
+            # disagree (or predate schema recording) does.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    def _needs_schema_merge(self, snaps: list[int]) -> bool:
+        """True when the selected snapshots' lineage-recorded schemas
+        differ, or any of ≥2 snapshots predates schema recording."""
+        if len(snaps) < 2:
+            return False
+        schemas = []
+        for k in snaps:
+            try:
+                with open(f"{self.root}/_lineage/snapshot={k}.json") as f:
+                    schemas.append(json.load(f).get("schema"))
+            except FileNotFoundError:
+                schemas.append(None)
+        if any(s is None for s in schemas):
+            return True
+        uniq = {json.dumps(s) for s in schemas}
+        return len(uniq) > 1
 
     def processed_urls(self) -> DataFrame | None:
         """Distinct processed urls across committed snapshots (anti-join resume).
@@ -200,6 +236,9 @@ class SnapshotTable:
         lineage = {
             **asdict(info),
             "partitions": [r.asDict() for r in per_bucket],
+            # commit-time schema (Iceberg metadata analogue) — lets load()
+            # gate mergeSchema on actual snapshot disagreement
+            "schema": _data_schema(df),
         }
         tmp = f"{self.root}/_lineage/.snapshot={snapshot_id}.json.tmp"
         with open(tmp, "w") as f:
@@ -352,11 +391,12 @@ class SnapshotTable:
         per_bucket: list = []
         n_rows = n_urls = 0
         if data_paths:
-            df = (
-                self.spark.read.option("basePath", f"{self.root}/data")
-                .parquet(*data_paths)
-                .drop("snapshot")
+            reader = self.spark.read.option(
+                "basePath", f"{self.root}/data"
             )
+            if self._needs_schema_merge(old):
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*data_paths).drop("snapshot")
             tmp = f"{self.root}/data/.snapshot={base_id}.squash"
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
@@ -418,6 +458,8 @@ class SnapshotTable:
             "squashed_ids": list(old),
             "squashes": [{"at": time.time(), "keep_last": keep_last}],
         }
+        if per_bucket:
+            lineage["schema"] = _data_schema(written)
         if not per_bucket:
             lineage["tombstone"] = True
         tmp_json = f"{self.root}/_lineage/.snapshot={base_id}.json.tmp"

@@ -241,3 +241,36 @@ def test_cli_expire_subcommand(table):
     assert stats["squashed"] == 2 and stats["base_id"] == 2
     assert table.snapshots() == [2, 3]
     assert table.load().count() == 70
+
+
+def test_schema_evolution_merge_on_load(spark, tmp_path):
+    """Lineage records each snapshot's data schema; load() turns on
+    mergeSchema only when the selected snapshots actually disagree — the
+    Iceberg schema-evolution analogue. A column added in a later
+    snapshot surfaces with NULLs for earlier rows instead of being
+    silently dropped by single-footer inference."""
+    t = SnapshotTable(spark, str(tmp_path / "kg"), n_buckets=2)
+    t.append(spark.createDataFrame(BATCH_1, COLS))
+    wide = spark.createDataFrame(
+        [(*row, 0.9) for row in BATCH_2], COLS + ["confidence"]
+    )
+    t.append(wide)
+
+    out = t.load()
+    assert "confidence" in out.columns
+    by_subj = {r.subj: r for r in out.collect()}
+    assert by_subj["e0"].confidence is None      # batch-1 row backfilled NULL
+    assert by_subj["e40"].confidence == 0.9
+
+    # single-schema selections stay on the no-merge fast path
+    assert t._needs_schema_merge([1]) is False
+    assert t._needs_schema_merge([1, 2]) is True
+    assert "confidence" not in t.load(as_of=1).columns
+
+
+def test_schema_merge_not_triggered_when_schemas_agree(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "kg"), n_buckets=2)
+    t.append(spark.createDataFrame(BATCH_1, COLS))
+    t.append(spark.createDataFrame(BATCH_2, COLS))
+    assert t._needs_schema_merge([1, 2]) is False
+    assert sorted(t.load().columns) == sorted(COLS + ["bucket", "snapshot"])
