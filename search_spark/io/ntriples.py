@@ -256,3 +256,53 @@ def write_turtle(
     to_turtle_blocks(df, base=base).sortWithinPartitions("subj").select(
         "block"
     ).write.mode("errorifexists").text(path)
+
+
+# one Turtle block: subject IRI, body, terminating " ."
+_TTL_BLOCK = r"^(<[^>]*>) ([\s\S]*) \.$"
+
+
+def read_turtle(
+    spark: SparkSession, path: str, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Parse :func:`write_turtle` output back to ``(subj, pred, obj)`` —
+    the lossless inverse for the engine's own deterministic Turtle
+    dialect (absolute ``<base…>`` IRIs, literal objects).
+
+    Record framing: blocks are read whole with ``lineSep=" .\\n"`` (one
+    record per subject block), then predicate lines split on
+    ``" ;\\n    "`` and object lists on ``'", "'``. Both separators are
+    unambiguous against N-Triples escaping: a raw newline never occurs
+    inside a literal (escaped to ``\\n``) and every interior quote is
+    ``\\"``, so the unescaped ``", "`` token only appears between list
+    items. Plan shape: text scan → ``split``/``explode`` — pure JVM, the
+    read parallelism is the file count like the N-Quads reader.
+    """
+    blocks = spark.read.option("lineSep", " .\n").text(path)
+    blocks = blocks.filter(F.trim("value") != "")
+    subj_iri = F.regexp_extract("value", r"^(<[^>]*>) ", 1)
+    body = F.expr(
+        "substring(value, length(regexp_extract(value, '^(<[^>]*>) ', 1)) + 2)"
+    )
+    lines = blocks.select(
+        subj_iri.alias("s_iri"),
+        F.explode(F.split(body, r" ;\n    ")).alias("line"),
+    )
+    pred_iri = F.regexp_extract("line", r"^(<[^>]*>) ", 1)
+    objs = F.expr(
+        "substring(line, length(regexp_extract(line, '^(<[^>]*>) ', 1)) + 2)"
+    )
+    # strip the outer quotes once, then split on the unescapable token
+    inner = F.regexp_replace(
+        F.regexp_replace(objs, r'^"', ""), r'"$', ""
+    )
+    out = lines.select(
+        "s_iri",
+        pred_iri.alias("p_iri"),
+        F.explode(F.split(inner, r'", "')).alias("o_lit"),
+    )
+    return out.select(
+        _iri_value(F.col("s_iri"), "entity", base).alias("subj"),
+        _iri_value(F.col("p_iri"), "pred", base).alias("pred"),
+        _unescape_literal(F.col("o_lit")).alias("obj"),
+    )

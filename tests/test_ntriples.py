@@ -132,3 +132,59 @@ def test_write_turtle_parts_are_valid_blocks(spark, tmp_path):
     for block in expected:
         assert block in text
     assert "<kg:entity/a%20b>" in text  # IRI encoding applied
+
+
+def test_turtle_roundtrip_lossless(spark, tmp_path):
+    """write_turtle → read_turtle is lossless on the distinct triple set,
+    including literals with quotes, commas, ', ' sequences, newlines,
+    tabs and trailing backslashes — the cases that stress the block
+    framing and the '\", \"' object-list separator."""
+    from search_spark.io.ntriples import read_turtle, write_turtle
+
+    rows = [
+        ("Insulin", "TREATS", "Diabetes"),
+        ("Insulin", "TREATS", "T2D"),
+        ("Insulin", "FOUND_IN", "pancreas"),
+        ("a b", "p/q", "multi\nline"),
+        ("x", "p", 'say "hi", "there"'),
+        ("x", "p", "ends with backslash\\"),
+        ("x", "q", "tab\there, and, commas"),
+        ("y", "p", 'quote" then, space'),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="subj string, pred string, obj string"
+    )
+    out = str(tmp_path / "ttl_rt")
+    write_turtle(df, out)
+    back = {
+        (r.subj, r.pred, r.obj) for r in read_turtle(spark, out).collect()
+    }
+    assert back == set(rows)
+
+
+def test_turtle_roundtrip_random_nasty_strings(spark, tmp_path):
+    import random
+
+    from search_spark.io.ntriples import read_turtle, write_turtle
+
+    rng = random.Random(20260821)
+    alphabet = list('abc .,;"\\\n\t\r<>%{}|^`') + ['", "', " ;\n    ", " .\n"]
+
+    def nasty(maxlen=12):
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, maxlen))
+        )
+
+    rows = {
+        (nasty(6) or "s", nasty(4) or "p", nasty())
+        for _ in range(120)
+    }
+    df = spark.createDataFrame(
+        sorted(rows), schema="subj string, pred string, obj string"
+    )
+    out = str(tmp_path / "ttl_fuzz")
+    write_turtle(df, out)
+    back = {
+        (r.subj, r.pred, r.obj) for r in read_turtle(spark, out).collect()
+    }
+    assert back == rows
