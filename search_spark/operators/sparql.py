@@ -2465,9 +2465,16 @@ def sparql_update(table, update: str) -> dict:
         path = re.sub(r"^file://", "", src) if src.startswith("file:") \
             else src
         path = re.sub(r"^file:", "", path)
-        from search_spark.io.ntriples import read_ntriples
+        from search_spark.io.ntriples import read_ntriples, read_turtle
         try:
-            df = read_ntriples(table.spark, path)
+            # .ttl routes to the Turtle block reader (prov-less by
+            # construction); everything else parses as N-Triples/N-Quads
+            if path.rstrip("/").lower().endswith(".ttl"):
+                df = read_turtle(table.spark, path).withColumn(
+                    "prov", F.lit(None).cast("string")
+                )
+            else:
+                df = read_ntriples(table.spark, path)
             if into is not None:
                 df = df.withColumn("prov", F.lit(into))
             df = df.withColumn("url", F.lit(src))

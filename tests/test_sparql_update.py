@@ -677,3 +677,33 @@ def test_load_silent_swallows_missing_file(spark, tmp_path):
     assert res["op"] == "load" and res["n_rows"] == 0
     with pytest.raises(SparqlError, match="LOAD failed"):
         sparql_update(t, "LOAD <file:///no/such/file.nt>")
+
+
+def test_load_turtle_file(spark, tmp_path):
+    from search_spark.io.ntriples import write_turtle
+
+    src = spark.createDataFrame(
+        [("x", "p", "1"), ("x", "p", "2"), ("y", "q", "3")],
+        "subj string, pred string, obj string",
+    )
+    write_turtle(src, str(tmp_path / "doc.ttl"))
+    t = _table(spark, tmp_path)
+    res = sparql_update(t, f"LOAD <file://{tmp_path}/doc.ttl>")
+    assert res["op"] == "load" and res["n_rows"] == 3
+    rows = _rows(t)
+    # Turtle carries no graph term: everything lands in the default graph
+    assert ("x", "p", "1", None) in rows
+    assert ("x", "p", "2", None) in rows
+    assert ("y", "q", "3", None) in rows
+
+
+def test_load_turtle_into_graph(spark, tmp_path):
+    from search_spark.io.ntriples import write_turtle
+
+    src = spark.createDataFrame(
+        [("x", "p", "1")], "subj string, pred string, obj string"
+    )
+    write_turtle(src, str(tmp_path / "doc2.ttl"))
+    t = _table(spark, tmp_path)
+    sparql_update(t, f"LOAD <file://{tmp_path}/doc2.ttl> INTO GRAPH <g9>")
+    assert ("x", "p", "1", "g9") in _rows(t)
