@@ -707,3 +707,34 @@ def test_load_turtle_into_graph(spark, tmp_path):
     t = _table(spark, tmp_path)
     sparql_update(t, f"LOAD <file://{tmp_path}/doc2.ttl> INTO GRAPH <g9>")
     assert ("x", "p", "1", "g9") in _rows(t)
+
+
+def test_cli_sparql_construct_ttl_output(spark, tmp_path):
+    """--format ttl serializes a CONSTRUCT-shaped result as Turtle
+    subject blocks; --format nt as N-Triples lines."""
+    import os
+    import subprocess
+    import sys
+
+    t = _table(spark, tmp_path)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root, "--format", "ttl",
+         "--query", "CONSTRUCT WHERE { ?s <knows> ?o . }"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "<kg:pred/knows>" in out.stdout and " ." in out.stdout
+
+    nt = subprocess.run(
+        [sys.executable, "tools/cli.py", "sparql",
+         "--snapshot", t.root, "--format", "nt",
+         "--query", "CONSTRUCT WHERE { ?s <knows> ?o . }"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert nt.returncode == 0, nt.stderr[-2000:]
+    lines = [ln for ln in nt.stdout.splitlines() if ln.startswith("<")]
+    assert lines and all(ln.endswith(" .") for ln in lines)

@@ -211,11 +211,15 @@ def main() -> int:
     p_sparql.add_argument("--optimize", action="store_true",
                           help="selectivity-ordered BGP joins (one "
                                "predicate-count stats pass per query)")
-    p_sparql.add_argument("--format", choices=("csv", "json", "tsv", "xml"),
+    p_sparql.add_argument("--format",
+                          choices=("csv", "json", "tsv", "xml", "nt",
+                                   "ttl"),
                           default="csv",
                           help="result serialization: csv (default), "
-                               "json (W3C SPARQL 1.1 Results JSON) or "
-                               "tsv (W3C SPARQL 1.1 Results TSV)")
+                               "json/tsv/xml (W3C SPARQL 1.1 Results "
+                               "formats), or nt/ttl (graph "
+                               "serializations for CONSTRUCT/DESCRIBE-"
+                               "shaped results)")
 
     p_val = sub.add_parser(
         "validate",
@@ -542,6 +546,27 @@ def main() -> int:
                 print("true" if result else "false")
             return 0
         result = result.limit(args.limit)
+        if args.format in ("nt", "ttl"):
+            if not {"subj", "pred", "obj"}.issubset(result.columns):
+                print("--format nt/ttl needs a CONSTRUCT/DESCRIBE-shaped "
+                      "result with subj/pred/obj columns", file=sys.stderr)
+                return 1
+            from search_spark.io.ntriples import (
+                to_nquad_lines,
+                to_turtle_blocks,
+            )
+
+            triples = result.select("subj", "pred", "obj")
+            if args.format == "nt":
+                lines = to_nquad_lines(triples, prov_col=None)
+                for r in lines.collect():
+                    print(r.line)
+            else:
+                for r in to_turtle_blocks(triples).orderBy(
+                    "subj"
+                ).collect():
+                    print(r.block)
+            return 0
         if args.format == "json":
             from search_spark.operators.sparql import to_sparql_results_json
 
