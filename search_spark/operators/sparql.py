@@ -2341,8 +2341,9 @@ def sparql_update(table, update: str) -> dict:
       ``prov``, ``urn:sparql:update`` bucketing url). Appends are
       quad-level (no dedup against existing rows), same as INSERT DATA.
     * ``LOAD [SILENT] <file:...> [INTO GRAPH <g>]`` — parse a local
-      N-Triples/N-Quads document (:mod:`search_spark.io.ntriples`) and
-      append it as one snapshot; ``INTO GRAPH`` relabels every quad.
+      N-Triples/N-Quads document — or, for a ``.ttl`` suffix, the
+      engine's Turtle block dialect (:mod:`search_spark.io.ntriples`) —
+      and append it as one snapshot; ``INTO GRAPH`` relabels every quad.
     * ``CREATE [SILENT] GRAPH <g>`` — validated no-op (quad stores have
       no empty-graph existence; a graph exists iff it has quads).
     * ``CLEAR/DROP [SILENT] GRAPH <g> | DEFAULT | NAMED | ALL`` — copy-on-write
