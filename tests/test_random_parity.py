@@ -311,3 +311,73 @@ def test_transe_rank_random_vs_python_reference(spark):
         for r in rank_tails(tdf, cdf).collect()
     }
     assert got == expected
+
+
+def test_kge_model_trio_rank_random_vs_python_reference(spark):
+    """All three MODELS entries through the same randomized ranking
+    parity: TransE (asc energy), DistMult (desc bilinear), ComplEx
+    (desc Re(h∘r·conj(t)) over packed re‖im digits)."""
+    from search_spark.operators.kge import rank_tails
+
+    rng = _mk_rng()
+    ents = [f"v{i}" for i in range(10)]
+    preds = ["q0", "q1", "q2"]
+    triples = list(
+        {
+            (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+            for _ in range(25)
+        }
+    )
+
+    def digits(name, n=32):
+        return [int(c, 16) for c in
+                hashlib.md5(name.encode()).hexdigest()[:n]]
+
+    def score(model, s, p, o):
+        if model == "transe":
+            return sum(
+                abs(a + b - c)
+                for a, b, c in zip(digits(s, 16), digits(p, 16),
+                                   digits(o, 16))
+            )
+        if model == "distmult":
+            return sum(
+                a * b * c
+                for a, b, c in zip(digits(s, 16), digits(p, 16),
+                                   digits(o, 16))
+            )
+        def cx(n):
+            d = digits(n)
+            return [complex(re, im) for re, im in zip(d[:16], d[16:])]
+        return int(sum(
+            (a * b * c.conjugate()).real
+            for a, b, c in zip(cx(s), cx(p), cx(o))
+        ))
+
+    cands = sorted({o for _, _, o in triples})
+    tdf = spark.createDataFrame(
+        triples, schema="subj string, pred string, obj string"
+    )
+    cdf = spark.createDataFrame([(c,) for c in cands],
+                                schema="entity string")
+    for model, hib in (("transe", False), ("distmult", True),
+                       ("complex", True)):
+        expected = {}
+        for s, p, o in triples:
+            e_true = score(model, s, p, o)
+            rank = 1 + sum(
+                1
+                for c in cands
+                if c != o
+                and (
+                    (score(model, s, p, c) > e_true if hib
+                     else score(model, s, p, c) < e_true)
+                    or (score(model, s, p, c) == e_true and c < o)
+                )
+            )
+            expected[(s, p, o)] = (e_true, rank, len(cands) - 1)
+        got = {
+            (r.subj, r.pred, r.obj): (r.energy, r.rank, r.n_candidates)
+            for r in rank_tails(tdf, cdf, model=model).collect()
+        }
+        assert got == expected, model
