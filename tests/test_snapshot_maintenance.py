@@ -274,3 +274,39 @@ def test_schema_merge_not_triggered_when_schemas_agree(spark, tmp_path):
     t.append(spark.createDataFrame(BATCH_2, COLS))
     assert t._needs_schema_merge([1, 2]) is False
     assert sorted(t.load().columns) == sorted(COLS + ["bucket", "snapshot"])
+
+
+def test_cli_merge_subcommand(spark, tmp_path):
+    """cli.py merge closes IFP sameAs links and materializes the
+    consolidated KG into a new snapshot table."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = SnapshotTable(spark, str(tmp_path / "src"), n_buckets=2)
+    rows = [
+        ("r1", "email", "a@x", "g", "http://1"),
+        ("r2", "email", "a@x", "g", "http://2"),
+        ("r2", "city", "Paris", "g", "http://2"),
+        ("r3", "email", "b@x", "g", "http://3"),
+    ]
+    t.append(spark.createDataFrame(rows, COLS))
+    out_root = str(tmp_path / "merged")
+    res = subprocess.run(
+        [sys.executable, "tools/cli.py", "merge",
+         "--snapshot", t.root, "--output", out_root,
+         "--preds", "email"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["n_rows"] == 4 and info["n_sameas_pairs"] == 1
+
+    merged = SnapshotTable(spark, out_root).load()
+    subjs = {r.subj for r in merged.select("subj").collect()}
+    assert subjs == {"r1", "r3"}  # r2 rewrote into r1's class
+    assert {
+        r.subj for r in merged.filter(merged.pred == "city").collect()
+    } == {"r1"}

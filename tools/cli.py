@@ -153,6 +153,25 @@ def main() -> int:
                                "term) or turtle (subject blocks; "
                                "provenance dropped)")
 
+    p_merge = sub.add_parser(
+        "merge",
+        help="entity-resolution merge: close sameAs links from "
+             "inverse-functional predicates and materialize the "
+             "consolidated KG (subj/obj rewritten to class "
+             "representatives) into a new snapshot table",
+    )
+    p_merge.add_argument("--snapshot", required=True,
+                         help="input snapshot table root")
+    p_merge.add_argument("--output", required=True,
+                         help="output snapshot table root (created)")
+    p_merge.add_argument("--preds", required=True,
+                         help="comma-separated inverse-functional "
+                              "predicates, e.g. email,phone")
+    p_merge.add_argument("--max-group", type=int, default=50,
+                         dest="max_group",
+                         help="blocking purge bound for hot shared values")
+    p_merge.add_argument("--as-of", type=int, default=None, dest="as_of")
+
     p_graph = sub.add_parser(
         "graph",
         help="graph analytics over a snapshot KG's (subj, obj) edges",
@@ -393,6 +412,43 @@ def main() -> int:
         print(
             out.orderBy(args.group).toPandas().to_csv(index=False), end=""
         )
+    elif args.cmd == "merge":
+        import json
+
+        from search_spark.io.snapshots import SnapshotTable
+        from search_spark.operators.blocking import ifp_candidates
+        from search_spark.operators.canonicalize import (
+            sameas_apply,
+            sameas_components,
+        )
+
+        src = SnapshotTable(spark, args.snapshot)
+        df = src.load(as_of=args.as_of)
+        if df is None:
+            print("no committed snapshots", file=sys.stderr)
+            return 1
+        df = df.drop("bucket", "snapshot")
+        preds = [x for x in args.preds.split(",") if x]
+        pairs = (
+            ifp_candidates(
+                df.select("subj", "pred", "obj"),
+                preds,
+                max_group=args.max_group,
+            )
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_pairs = pairs.count()
+        merged = sameas_apply(df, sameas_components(pairs))
+        out = SnapshotTable(spark, args.output)
+        info = out.append(merged, extra_metrics={
+            "merge_preds": preds, "n_sameas_pairs": n_pairs,
+        })
+        print(json.dumps({
+            "n_rows": info.n_rows, "n_sameas_pairs": n_pairs,
+            "output": args.output, "snapshot_id": info.snapshot_id,
+        }))
     elif args.cmd == "export":
         from search_spark.io.ntriples import write_ntriples
         from search_spark.io.snapshots import SnapshotTable
