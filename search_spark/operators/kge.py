@@ -144,16 +144,27 @@ def rank_tails(
     """
     score_fn, higher_is_better, model_dim = MODELS[model]
     dim = model_dim if dim is None else dim
-    scored = score_triples(triples, dim, model)
-    cand = candidates.select(F.col("entity").alias("cand")).distinct()
+    # Embeddings materialize as array columns BEFORE the corruption join:
+    # the join emits |triples| × |candidates| rows, and recomputing the
+    # md5→digit chains there would put ~3·dim hash+conv calls in the hot
+    # loop per pair — precomputed, the per-pair work is only the zip_with
+    # arithmetic (the candidate arrays ride inside the broadcast table).
+    scored = (
+        triples.withColumn("_h", embed(F.col("subj"), dim))
+        .withColumn("_r", embed(F.col("pred"), dim))
+    )
+    scored = scored.withColumn(
+        "energy", score_fn(F.col("_h"), F.col("_r"), embed(F.col("obj"), dim))
+    )
+    cand = (
+        candidates.select(F.col("entity").alias("cand"))
+        .distinct()
+        .withColumn("_c", embed(F.col("cand"), dim))
+    )
     # entity vocabulary ≪ triples; gate the hint on the materialized count
     cand = maybe_broadcast(cand, cand.count())
     x = scored.join(cand, F.col("cand") != F.col("obj"))
-    c_energy = score_fn(
-        embed(F.col("subj"), dim),
-        embed(F.col("pred"), dim),
-        embed(F.col("cand"), dim),
-    )
+    c_energy = score_fn(F.col("_h"), F.col("_r"), F.col("_c"))
     strictly_better = (
         c_energy > F.col("energy")
         if higher_is_better
