@@ -118,12 +118,20 @@ class SnapshotTable:
         for k in snaps:
             try:
                 with open(f"{self.root}/_lineage/snapshot={k}.json") as f:
-                    schemas.append(json.load(f).get("schema"))
+                    j = json.load(f)
             except FileNotFoundError:
                 schemas.append(None)
+                continue
+            if j.get("tombstone"):
+                # A tombstone squash contributes no data paths, so its
+                # (absent) schema is irrelevant to the read.
+                continue
+            schemas.append(j.get("schema"))
         if any(s is None for s in schemas):
             return True
-        uniq = {json.dumps(s) for s in schemas}
+        # Column ORDER may differ between append-time and squash
+        # read-back schemas; only name/type disagreements matter.
+        uniq = {json.dumps(sorted(s)) for s in schemas}
         return len(uniq) > 1
 
     def processed_urls(self) -> DataFrame | None:

@@ -71,11 +71,14 @@ def complex_score(h: Column, r: Column, t: Column) -> Column:
     the real half then the imaginary half (md5 digits 1–16 / 17–32), so
     the (h, r, t)-array hook contract is unchanged; the four bilinear
     terms reduce to Re(h∘r)·Re(t) + Im(h∘r)·Im(t), six ``zip_with`` and
-    one ``aggregate`` — still pure codegen."""
-    half = EMB_DIM
-    re_h, im_h = F.slice(h, 1, half), F.slice(h, half + 1, half)
-    re_r, im_r = F.slice(r, 1, half), F.slice(r, half + 1, half)
-    re_t, im_t = F.slice(t, 1, half), F.slice(t, half + 1, half)
+    one ``aggregate`` — still pure codegen. ``half`` derives from the
+    actual array width, so any even ``dim`` works (not just the
+    registered default)."""
+    half = (F.size(h) / F.lit(2)).cast("int")
+    one = F.lit(1)
+    re_h, im_h = F.slice(h, one, half), F.slice(h, half + one, half)
+    re_r, im_r = F.slice(r, one, half), F.slice(r, half + one, half)
+    re_t, im_t = F.slice(t, one, half), F.slice(t, half + one, half)
     hr_re = F.zip_with(
         F.zip_with(re_h, re_r, lambda a, b: a * b),
         F.zip_with(im_h, im_r, lambda a, b: a * b),
@@ -116,6 +119,10 @@ def score_triples(
     registered embedding width."""
     score_fn, _, model_dim = MODELS[model]
     dim = model_dim if dim is None else dim
+    if model == "complex" and dim % 2:
+        raise ValueError(
+            f"complex embeddings pack re\u2016im halves; dim must be even, got {dim}"
+        )
     return triples.withColumn(
         "energy",
         score_fn(
@@ -144,6 +151,10 @@ def rank_tails(
     """
     score_fn, higher_is_better, model_dim = MODELS[model]
     dim = model_dim if dim is None else dim
+    if model == "complex" and dim % 2:
+        raise ValueError(
+            f"complex embeddings pack re\u2016im halves; dim must be even, got {dim}"
+        )
     # Embeddings materialize as array columns BEFORE the corruption join:
     # the join emits |triples| × |candidates| rows, and recomputing the
     # md5→digit chains there would put ~3·dim hash+conv calls in the hot

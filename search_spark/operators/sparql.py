@@ -169,6 +169,25 @@ _EXPR_FNS = {"concat", "ucase", "lcase", "strlen", "str", "replace",
 _ARITH_OPS = ("+", "-", "*", "/")
 
 
+def _source_nonempty(path: str) -> bool:
+    """True when a LOAD source holds any bytes (file, or any file under a
+    directory) — used to distinguish a legitimately-empty document from a
+    format/suffix mismatch that parsed zero quads."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return any(
+                os.path.getsize(os.path.join(dp, f)) > 0
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(path) > 0
+    except OSError:
+        return False
+
+
 class SparqlError(ValueError):
     pass
 
@@ -2482,6 +2501,16 @@ def sparql_update(table, update: str) -> dict:
             # the source file may sit on slow/remote storage: checkpoint
             # the parse so the bucketed append reads it exactly once
             df = df.localCheckpoint(eager=True)
+            if df.isEmpty() and _source_nonempty(path):
+                # a non-empty document that parses to zero quads is a
+                # format/suffix mismatch (e.g. Turtle named .nt feeding
+                # the N-Triples regex) — surface it instead of silently
+                # committing an empty load
+                raise SparqlError(
+                    f"LOAD parsed 0 quads from non-empty source {src!r}; "
+                    "check the file format matches its suffix "
+                    "(.ttl → Turtle, otherwise N-Triples/N-Quads)"
+                )
         except Exception as e:
             if silent:
                 return {"op": "load", "n_rows": 0, "snapshot_id": None,
