@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import string
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PUNCTUATION = tuple(string.punctuation)
@@ -334,6 +334,106 @@ def model2df(
         for k in range(i + 1, j + 1):
             tags[k] = f"I-{etype}"
     return pd.DataFrame({"class": tags, "text": words})
+
+
+def token_iob_stage(
+    tokens: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame | None = None,
+    not_entity_symbol: str = "O",
+    excluded_entity_type: str | None = "NaE",
+) -> DataFrame:
+    """Distributed ``spacy2df`` (mining/eval.py:158-228): IOB2 tags for
+    every token of a PINNED tokenization, with spaCy ``filter_spans``
+    overlap semantics — longest span first, then earliest start.
+
+    ``tokens`` is ``(doc_id, tpos, tok)``; ``unigrams`` is a
+    ``(pattern, entity_type)`` dim; ``bigrams`` optionally adds
+    two-token patterns ``(first, second, entity_type)``. Span
+    competition mirrors the reference exactly:
+
+    * bigrams beat unigrams on any shared token (filter_spans sorts by
+      ``(-length, start)``),
+    * among overlapping bigram candidates, greedy-from-the-left wins —
+      a candidate chain of consecutive starts keeps its even positions.
+      That greedy scan is NON-LOCAL but window-expressible: consecutive
+      candidate starts group by ``tpos - row_number()`` and survive at
+      odd in-group rank. Zero UDF, two window passes + broadcast dims.
+    * ``excluded_entity_type`` spans compete (they claim tokens during
+      matching, exactly like a spaCy ruler pattern whose entities are
+      dropped from ``doc.ents`` only afterwards) but emit ``O``.
+
+    Returns ``(doc_id, tpos, text, class)``.
+    """
+    from pyspark.sql import Window
+
+    out_cols = [
+        F.col("doc_id"), F.col("tpos"), F.col("tok").alias("text")
+    ]
+    covered_b = None
+    covered_i = None
+    if bigrams is not None:
+        nxt = F.lead("tok").over(
+            Window.partitionBy("doc_id").orderBy("tpos")
+        )
+        cand = (
+            tokens.withColumn("_next", nxt)
+            .join(
+                F.broadcast(
+                    bigrams.select(
+                        F.col("first").alias("tok"),
+                        F.col("second").alias("_next"),
+                        F.col("entity_type").alias("_betype"),
+                    )
+                ),
+                on=["tok", "_next"],
+            )
+            .select("doc_id", "tpos", "_betype")
+        )
+        w_doc = Window.partitionBy("doc_id").orderBy("tpos")
+        grp = F.col("tpos") - F.row_number().over(w_doc)
+        cand = cand.withColumn("_grp", grp)
+        w_grp = Window.partitionBy("doc_id", "_grp").orderBy("tpos")
+        surv = cand.withColumn(
+            "_rn", F.row_number().over(w_grp)
+        ).filter((F.col("_rn") - 1) % 2 == 0)
+        covered_b = surv.select(
+            "doc_id", "tpos", F.col("_betype").alias("_btag_type")
+        )
+        covered_i = surv.select(
+            "doc_id",
+            (F.col("tpos") + 1).alias("tpos"),
+            F.col("_betype").alias("_itag_type"),
+        )
+    uni = unigrams.select(
+        F.col("pattern").alias("tok"),
+        F.col("entity_type").alias("_uetype"),
+    )
+    out = tokens.join(F.broadcast(uni), on="tok", how="left")
+    if covered_b is not None:
+        out = out.join(covered_b, on=["doc_id", "tpos"], how="left").join(
+            covered_i, on=["doc_id", "tpos"], how="left"
+        )
+    else:
+        out = out.withColumn("_btag_type", F.lit(None).cast("string"))
+        out = out.withColumn("_itag_type", F.lit(None).cast("string"))
+
+    def _tag(prefix: str, etype: Column) -> Column:
+        t = F.concat(F.lit(prefix), etype)
+        if excluded_entity_type is not None:
+            t = F.when(etype == excluded_entity_type,
+                       F.lit(not_entity_symbol)).otherwise(t)
+        return t
+
+    cls = (
+        F.when(F.col("_btag_type").isNotNull(),
+               _tag("B-", F.col("_btag_type")))
+        .when(F.col("_itag_type").isNotNull(),
+              _tag("I-", F.col("_itag_type")))
+        .when(F.col("_uetype").isNotNull(), _tag("B-", F.col("_uetype")))
+        .otherwise(F.lit(not_entity_symbol))
+    )
+    return out.select(*out_cols, cls.alias("class"))
 
 
 def ner_errors(

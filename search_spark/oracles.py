@@ -197,6 +197,89 @@ def kg_triples_oracle_sql(n_docs: int = 80, seed: int = 42) -> str:
 
 
 # --------------------------------------------------------------------------
+# kg_pipeline_learned — the flagship with the TRAINED relation model live
+# --------------------------------------------------------------------------
+
+
+def _re_model_probs(feature_rows: list[list[float]]) -> np.ndarray:
+    """Positive-class probabilities of the committed RE artifact, computed
+    with the exact numpy op sequence the deployed LinearREModel uses
+    (column-stacked float64 matrix @ w + b → sigmoid → round 6)."""
+    import json
+
+    from search_spark.operators.linear_models import RE_WEIGHTS_JSON
+
+    with open(RE_WEIGHTS_JSON) as f:
+        meta = json.load(f)
+    w = np.asarray(meta["weights"], dtype=np.float64)
+    b = float(meta["bias"])
+    x = np.asarray(feature_rows, dtype=np.float64)
+    if len(x) == 0:
+        return np.empty(0)
+    return np.round(1.0 / (1.0 + np.exp(-(x @ w + b))), 6)
+
+
+def kg_triples_learned_expected(n_docs: int, seed: int) -> set[tuple]:
+    """Expected triples for the pipeline with ``learned_models=True``:
+    identical to :func:`kg_triples_expected` except the relation predicate
+    comes from the trained LinearREModel (argmax of the per-class
+    probabilities; ties — p == 0.5 — resolve to the positive class first,
+    matching ``DataFrame.idxmax``). Feature values mirror RE_FEATURES from
+    the pair geometry the annotated sentence preserves exactly."""
+    from search_spark.operators.relations import DIFF, SAME
+
+    canon = canonical_map()
+    rel_pairs = set(datagen.RELATION_PAIRS)
+    pending: list[tuple] = []      # (subj, obj, prov) per feature row
+    feats: list[list[float]] = []
+    triples: set[tuple] = set()
+    for doc_id in range(n_docs):
+        row, exp = datagen.generate_doc(seed, doc_id)
+        if row["lang"] != "en":
+            continue
+        uid = hashlib.md5(row["url"].encode()).hexdigest()
+        sections = {p: s for p, s, _ in exp.paragraphs}
+        by_sentence: dict[tuple, list] = {}
+        for ppos, spos, start, end, term, etype in exp.mentions:
+            if etype == "NaE":
+                continue
+            by_sentence.setdefault((ppos, spos), []).append(
+                (start, end, term, etype)
+            )
+        for (ppos, spos), ments in by_sentence.items():
+            prov = f"{uid}:{sections[ppos]}:{ppos}"
+            for start, end, term, etype in ments:
+                subj = canon.get(term.lower(), term)
+                triples.add((subj, "has_type", etype, prov))
+                for start2, end2, term2, etype2 in ments:
+                    if (start, end) == (start2, end2):
+                        continue
+                    if (etype, etype2) not in rel_pairs:
+                        continue
+                    gap = max(start, start2) - min(end, end2)
+                    feats.append([
+                        float(term[0].lower() == term2[0].lower()),
+                        gap / 64.0,
+                        len(term) / 32.0,
+                        len(term2) / 32.0,
+                        float(start < start2),
+                    ])
+                    pending.append(
+                        (subj, canon.get(term2.lower(), term2), prov)
+                    )
+    probs = _re_model_probs(feats)
+    for (subj, obj, prov), p in zip(pending, probs):
+        pred = SAME if p >= 0.5 else DIFF
+        triples.add((subj, pred, obj, prov))
+    return triples
+
+
+def kg_triples_learned_oracle_sql(n_docs: int = 80, seed: int = 42) -> str:
+    rows = sorted(kg_triples_learned_expected(n_docs, seed))
+    return values_sql(rows, ["subj", "pred", "obj", "prov"])
+
+
+# --------------------------------------------------------------------------
 # multiformat_extract — expected paragraphs, hand-derived from the fixture
 # construction rules (not by running any parser)
 # --------------------------------------------------------------------------

@@ -86,6 +86,15 @@ class PipelineConfig:
     # |group|^2 pairs; keys larger than this are dropped, same default as
     # ifp_candidates)
     sameas_max_group: int = 50
+    # run the TRAINED linear artifacts (models/*.parquet — see
+    # tools/train_linear_models.py) through the model slots: the mention
+    # stream gains a learned confidence `score` via a broadcast join of
+    # the NER weight table (JVM dot product + sigmoid, no UDF), and —
+    # unless an explicit re_models registry is given — relation scoring
+    # runs the trained LinearREModel under the batched predict_probs
+    # contract (Arrow path) instead of the JVM rule. Off by default so
+    # the rule-path oracles see the identical stream.
+    learned_models: bool = False
 
 
 def build_triples(
@@ -132,6 +141,21 @@ def build_triples(
         raw_mentions = ner_stage(
             sentences, cfg.patterns, with_scores=cfg.ner_scoring
         )
+    if cfg.learned_models:
+        # learned mention confidence: sentence text joins back on (the
+        # co-partitioned) sentence key, then one broadcast join of the
+        # 1-row weight table + codegen dot/sigmoid — no Python
+        from search_spark.operators import linear_models as lm
+
+        key = ["url", "uid", "ppos", "spos"]
+        w = lm.weights_row(spark, lm.NER_WEIGHTS_PARQUET, lm.NER_FEATURES)
+        raw_mentions = lm.score_mentions_linear(
+            raw_mentions.drop("score").join(
+                sentences.select(*key, "text"), on=key
+            ),
+            w,
+            score_col="score",
+        ).drop("text")
     mentions = register(raw_mentions.persist())
     if cfg.link:
         # materialization barrier: the linking plan embeds this subtree both
@@ -142,10 +166,15 @@ def build_triples(
         # clean pass; every later consumer reads the cache.
         mentions.count()
     scorer = None
-    if cfg.re_models is not None:
+    re_models = cfg.re_models
+    if re_models is None and cfg.learned_models:
+        from search_spark.operators.linear_models import linear_re_registry
+
+        re_models = linear_re_registry()
+    if re_models is not None:
         from search_spark.operators.relations import remodel_scorer
 
-        scorer = remodel_scorer(cfg.re_models, sentences)
+        scorer = remodel_scorer(re_models, sentences)
     relations = relation_stage(
         mentions,
         datagen.relation_pairs_df(spark),

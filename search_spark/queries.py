@@ -8136,3 +8136,311 @@ def _register_round3_batch4() -> None:
 
 
 _register_round3_batch4()
+
+
+# -- learned linear artifacts (round 4) --------------------------------------
+#
+# The trained models (tools/train_linear_models.py → models/*.parquet) run
+# through the engine's model slots with FULL DuckDB value-hash oracles: the
+# mention/relation scorers inline the committed weights into the SQL
+# (features are Column-algebra-and-ANSI-SQL-expressible by construction),
+# and the flagship-with-models query uses a pure-Python mirror that loads
+# the same committed artifact (oracles.kg_triples_learned_expected).
+
+def _q_learned_mention_score(spark, sf_dir):
+    """Learned NER mention confidence over the documents gazetteer stream:
+    one BROADCAST join of the 1-row weight table (read from the parquet
+    artifact — the weights ship as data) then codegen dot-product+sigmoid
+    (operators/linear_models.py). Exercises the model slot the reference
+    fills with its spaCy scorer (mining_cache.py:84) — zero Python here."""
+    from search_spark.operators import linear_models as lm
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = _doc_mentions(spark, sf_dir).join(docs, on="doc_id")
+    w = lm.weights_row(spark, lm.NER_WEIGHTS_PARQUET, lm.NER_FEATURES)
+    feats = lm.ner_feature_array(
+        F.col("mention"), F.col("tpos"), F.col("text"),
+        F.col("entity_type"),
+    )
+    return m.join(F.broadcast(w)).select(
+        "doc_id",
+        "tpos",
+        "mention",
+        "entity_type",
+        F.round(
+            lm.dot_sigmoid(feats, F.col("_w"), F.col("_b")), 6
+        ).alias("score"),
+    )
+
+
+def _sql_learned_ner_z(mention: str, tpos: str, text: str, etype: str) -> str:
+    """The NER linear logit as DuckDB SQL, weights inlined from the
+    committed JSON sidecar — term order matches the Spark fold exactly."""
+    from search_spark.operators.linear_models import (
+        ETYPES,
+        NER_WEIGHTS_JSON,
+        load_weights_json,
+    )
+
+    meta = load_weights_json(NER_WEIGHTS_JSON)
+    w = meta["weights"]
+    b = meta["bias"]
+    mlen = f"greatest(length({mention}), 1)"
+    ntok = f"len(regexp_split_to_array({mention}, '\\s+'))"
+    feats = [
+        f"CAST(length({mention}) AS DOUBLE) / 32.0",
+        f"CAST({ntok} AS DOUBLE) / 8.0",
+        f"CASE WHEN regexp_matches(substr({mention}, 1, 1), '^[A-Z]')"
+        " THEN 1.0 ELSE 0.0 END",
+        f"CASE WHEN {mention} = upper({mention})"
+        f" AND regexp_matches({mention}, '[A-Za-z]')"
+        " THEN 1.0 ELSE 0.0 END",
+        f"CAST(length({mention}) -"
+        f" length(regexp_replace({mention}, '[0-9]', '', 'g')) AS DOUBLE)"
+        f" / CAST({mlen} AS DOUBLE)",
+        f"CAST(length({mention}) -"
+        f" length(regexp_replace({mention}, '[A-Z]', '', 'g')) AS DOUBLE)"
+        f" / CAST({mlen} AS DOUBLE)",
+        f"CASE WHEN contains({mention}, '-') THEN 1.0 ELSE 0.0 END",
+        f"CASE WHEN {ntok} > 1 THEN 1.0 ELSE 0.0 END",
+        f"CAST({tpos} AS DOUBLE)"
+        f" / CAST(greatest(length({text}), 1) AS DOUBLE)",
+    ] + [
+        f"CASE WHEN {etype} = '{t}' THEN 1.0 ELSE 0.0 END" for t in ETYPES
+    ]
+    terms = " + ".join(f"({wi!r}) * ({f})" for wi, f in zip(w, feats))
+    return f"(({terms}) + ({b!r}))"
+
+
+def _sql_learned_mention_score() -> str:
+    z = _sql_learned_ner_z("m.mention", "m.tpos", "d.text", "m.entity_type")
+    return f"""
+{_MENTIONS_SQL}
+SELECT m.doc_id, m.tpos, m.mention, m.entity_type,
+       round(1.0 / (1.0 + exp(-{z})), 6) AS score
+FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+"""
+
+
+def _q_learned_relation_extract(spark, sf_dir):
+    """Relation classification by the TRAINED linear model over pair
+    geometry (operators/linear_models.py RE_FEATURES), JVM path: pairs
+    from the ordered co-sentence self-join, weights broadcast, logit +
+    argmax as codegen. ``pred`` is the model's argmax class (ties to the
+    positive class, matching the Arrow path's ``idxmax``)."""
+    from search_spark.operators import linear_models as lm
+
+    m = _doc_mentions(spark, sf_dir)
+    s = m.select(
+        "doc_id",
+        F.col("tpos").alias("s_tpos"),
+        F.col("mention").alias("subj"),
+        F.col("entity_type").alias("s_type"),
+    )
+    o = m.select(
+        "doc_id",
+        F.col("tpos").alias("o_tpos"),
+        F.col("mention").alias("obj"),
+        F.col("entity_type").alias("o_type"),
+    )
+    pairs = (
+        s.join(o, on="doc_id")
+        .filter(
+            (F.col("s_type") == "OPERATOR")
+            & (F.col("o_type") == "OBJECT")
+            & (F.col("s_tpos") != F.col("o_tpos"))
+            & (F.abs(F.col("s_tpos") - F.col("o_tpos")) <= REL_DISTANCE)
+        )
+    )
+    w = lm.weights_row(spark, lm.RE_WEIGHTS_PARQUET, lm.RE_FEATURES)
+    feats = lm.re_feature_array({
+        "s_mention": F.col("subj"),
+        "o_mention": F.col("obj"),
+        "s_start": F.col("s_tpos"),
+        "s_end": F.col("s_tpos"),
+        "o_start": F.col("o_tpos"),
+        "o_end": F.col("o_tpos"),
+    })
+    return (
+        pairs.join(F.broadcast(w))
+        .withColumn(
+            "prob",
+            F.round(lm.dot_sigmoid(feats, F.col("_w"), F.col("_b")), 6),
+        )
+        .select(
+            "doc_id",
+            "s_tpos",
+            "o_tpos",
+            "subj",
+            "obj",
+            F.when(F.col("prob") >= 0.5, F.lit(SAME))
+            .otherwise(F.lit(DIFF))
+            .alias("pred"),
+            "prob",
+        )
+    )
+
+
+def _sql_learned_relation_extract() -> str:
+    from search_spark.operators.linear_models import (
+        RE_WEIGHTS_JSON,
+        load_weights_json,
+    )
+
+    meta = load_weights_json(RE_WEIGHTS_JSON)
+    w = meta["weights"]
+    b = meta["bias"]
+    feats = [
+        "CASE WHEN lower(substr(s.mention, 1, 1)) ="
+        " lower(substr(o.mention, 1, 1)) THEN 1.0 ELSE 0.0 END",
+        "CAST(greatest(s.tpos, o.tpos) - least(s.tpos, o.tpos) AS DOUBLE)"
+        " / 64.0",
+        "CAST(length(s.mention) AS DOUBLE) / 32.0",
+        "CAST(length(o.mention) AS DOUBLE) / 32.0",
+        "CASE WHEN s.tpos < o.tpos THEN 1.0 ELSE 0.0 END",
+    ]
+    terms = " + ".join(f"({wi!r}) * ({f})" for wi, f in zip(w, feats))
+    z = f"(({terms}) + ({b!r}))"
+    return f"""
+{_MENTIONS_SQL},
+scored AS (
+  SELECT s.doc_id, s.tpos AS s_tpos, o.tpos AS o_tpos,
+         s.mention AS subj, o.mention AS obj,
+         round(1.0 / (1.0 + exp(-{z})), 6) AS prob
+  FROM mentions s JOIN mentions o
+    ON s.doc_id = o.doc_id AND s.tpos <> o.tpos
+   AND abs(s.tpos - o.tpos) <= {REL_DISTANCE}
+  WHERE s.entity_type = 'OPERATOR' AND o.entity_type = 'OBJECT')
+SELECT doc_id, s_tpos, o_tpos, subj, obj,
+       CASE WHEN prob >= 0.5 THEN '{SAME}' ELSE '{DIFF}' END AS pred,
+       prob
+FROM scored
+"""
+
+
+def _q_kg_pipeline_learned(spark, sf_dir):
+    """The flagship KG pipeline with the trained artifacts LIVE in both
+    model slots (PipelineConfig(learned_models=True)): the mention stream
+    carries the learned confidence (broadcast weight join, JVM), and
+    relation scoring runs the trained LinearREModel under the batched
+    ``predict_probs_batch`` Arrow contract (reference predict_probs,
+    mining/relation.py:63-87). Oracle = pure-Python mirror loading the
+    SAME committed weight artifact (oracles.kg_triples_learned_expected)."""
+    from search_spark import datagen
+    from search_spark.pipeline import PipelineConfig, build_triples
+
+    pages = datagen.generate_web_pages(spark, 80, seed=42)
+    triples = build_triples(
+        spark, pages, PipelineConfig(learned_models=True)
+    )
+    return triples.select("subj", "pred", "obj", "prov").distinct()
+
+
+def _register_learned_models() -> None:
+    import os
+
+    from search_spark.operators.linear_models import (
+        NER_WEIGHTS_JSON,
+        NER_WEIGHTS_PARQUET,
+        RE_WEIGHTS_JSON,
+        RE_WEIGHTS_PARQUET,
+    )
+
+    if not all(
+        os.path.exists(p)
+        for p in (NER_WEIGHTS_JSON, NER_WEIGHTS_PARQUET,
+                  RE_WEIGHTS_JSON, RE_WEIGHTS_PARQUET)
+    ):
+        return  # artifacts not trained yet (tools/train_linear_models.py)
+    from search_spark import oracles
+
+    QUERIES["learned_mention_score"] = Q(
+        _q_learned_mention_score, _sql_learned_mention_score()
+    )
+    QUERIES["learned_relation_extract"] = Q(
+        _q_learned_relation_extract, _sql_learned_relation_extract()
+    )
+    QUERIES["kg_pipeline_learned"] = Q(
+        _q_kg_pipeline_learned,
+        oracles.kg_triples_learned_oracle_sql(80, 42),
+    )
+
+
+_register_learned_models()
+
+
+# -- distributed spacy2df: token-aligned IOB tagging (round 4) ---------------
+
+#: two-token patterns for the IOB query — includes an overlap chain
+#: ("sort merge" / "merge join" share a token: greedy-left wins, exactly
+#: spaCy filter_spans) and an excluded-type bigram that claims its tokens
+#: during matching but renders as O (reference doc.ents post-filter).
+EVAL_BIGRAMS: list[tuple[str, str, str]] = [
+    ("sort", "merge", "ALGO"),
+    ("merge", "join", "ALGO"),
+    ("table", "scan", "ALGO"),
+    ("hash", "scan", "NaE"),
+]
+
+
+def _q_token_iob_tags(spark, sf_dir):
+    """Distributed ``spacy2df`` over the documents tokenization
+    (operators/evaluation.py token_iob_stage): IOB2 tags pinned to the
+    whitespace tokenization, unigram gazetteer + bigram phrase patterns,
+    spaCy filter_spans overlap semantics via two window passes — the
+    token-mode-eval bridge at corpus scale (reference mining/eval.py:
+    158-228)."""
+    from search_spark.operators.evaluation import token_iob_stage
+
+    toks = _tokens(spark, sf_dir)
+    uni = spark.createDataFrame(DOC_GAZETTEER, ["pattern", "entity_type"])
+    bi = spark.createDataFrame(
+        EVAL_BIGRAMS, ["first", "second", "entity_type"]
+    )
+    return token_iob_stage(toks, uni, bi)
+
+
+_BIG_SQL = "big(first, second, entity_type) AS (VALUES {})".format(
+    ", ".join(f"('{a}', '{b}', '{e}')" for a, b, e in EVAL_BIGRAMS)
+)
+
+_SQL_TOKEN_IOB_TAGS = f"""
+WITH {_TOKS_SQL}, {_GAZ_SQL}, {_BIG_SQL},
+nxt AS (
+  SELECT doc_id, tpos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY tpos) AS next_tok
+  FROM toks),
+cand AS (
+  SELECT n.doc_id, n.tpos, b.entity_type
+  FROM nxt n JOIN big b ON n.tok = b.first AND n.next_tok = b.second),
+chained AS (
+  SELECT doc_id, tpos, entity_type,
+         tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+  FROM cand),
+surv AS (
+  SELECT doc_id, tpos, entity_type FROM (
+    SELECT *, row_number()
+             OVER (PARTITION BY doc_id, grp ORDER BY tpos) AS rn
+    FROM chained)
+  WHERE (rn - 1) % 2 = 0),
+itag AS (SELECT doc_id, tpos + 1 AS tpos, entity_type FROM surv)
+SELECT t.doc_id, t.tpos, t.tok AS text,
+  CASE
+    WHEN s.entity_type IS NOT NULL THEN
+      CASE WHEN s.entity_type = 'NaE' THEN 'O'
+           ELSE 'B-' || s.entity_type END
+    WHEN i.entity_type IS NOT NULL THEN
+      CASE WHEN i.entity_type = 'NaE' THEN 'O'
+           ELSE 'I-' || i.entity_type END
+    WHEN g.entity_type IS NOT NULL THEN
+      CASE WHEN g.entity_type = 'NaE' THEN 'O'
+           ELSE 'B-' || g.entity_type END
+    ELSE 'O'
+  END AS class
+FROM toks t
+LEFT JOIN surv s ON s.doc_id = t.doc_id AND s.tpos = t.tpos
+LEFT JOIN itag i ON i.doc_id = t.doc_id AND i.tpos = t.tpos
+LEFT JOIN gaz g ON t.tok = g.pattern
+"""
+
+QUERIES["token_iob_tags"] = Q(_q_token_iob_tags, _SQL_TOKEN_IOB_TAGS)

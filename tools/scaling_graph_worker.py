@@ -77,6 +77,13 @@ def main() -> int:
             "spark.ui.port": str(port),
             "spark.ui.retainedStages": "30000",
             "spark.ui.retainedJobs": "30000",
+            # iterative loops localCheckpoint edge-sized state every
+            # round; on a 10-50×-edges KG those MEMORY_AND_DISK blocks
+            # (plus skew-fattened single partitions) need real heap —
+            # size like a production executor, not the 8g test default
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM_SCALING", "48g"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -153,6 +160,18 @@ def main() -> int:
     # warmup: JIT/codegen/python pool + parquet footer cache
     pagerank(edges.limit(50000), n_iter=2, local_threshold=0).count()
 
+    def _release_blocks() -> None:
+        """Unpersist every cached/checkpointed RDD between measurements so
+        one op's blocks never crowd the next (the per-job analogue of job
+        teardown on a real cluster)."""
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     results = {}
     for name, (fn, meta) in ops.items():
         walls, n_rows = [], 0
@@ -162,6 +181,7 @@ def main() -> int:
             t0 = time.time()
             n_rows = fn().count()
             walls.append(round(time.time() - t0, 3))
+            _release_blocks()
             if rep == 0:
                 rb1, wb1 = _shuffle_totals(port)
                 if rb0 >= 0 and rb1 >= 0:
