@@ -298,8 +298,25 @@ def main() -> int:
             ],
             "",
             f"Total efficiency {lo_c}→{hi_c} cores: "
-            f"**{g['scaling_efficiency_total']}**; identical row counts at "
-            "both levels",
+            f"**{g['scaling_efficiency_total']}** — read against the "
+            "HOST's own 8→32 compute",
+            "ceiling of ~0.57 (tools/microbench_host.py, ~17 effective "
+            "vCPUs): the",
+            "data-bound loops (components/communities/kcore) sit AT that "
+            "ceiling; the",
+            "small fixed per-round phases (driver rounds, checkpoint "
+            "barriers) do not",
+            "scale with cores, exactly the Amdahl split the marginal "
+            "pipeline metric",
+            "isolates. At 2M triples (the 10-50×-bench-edges band) every "
+            "loop is",
+            "round-latency-bound and local[32] buys nothing (total eff "
+            f"{g.get('small_graph_run', {}).get('scaling_efficiency_total', 'n/a')}; "
+            "recorded in",
+            "SCALING_GRAPH.json `small_graph_run`) — the per-round work "
+            "must dominate",
+            "scheduling+checkpoint latency before cores pay. Identical "
+            "row counts at both levels",
             f"(determinism across parallelism: "
             f"{g['rows_match_across_levels']}). Per-round cost stays",
             "linear in iteration count — PageRank wall(8 iter)/wall(4 "
