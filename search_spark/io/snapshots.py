@@ -1,8 +1,10 @@
 """Snapshot-based table layout with lineage rows and anti-join resume.
 
 Production target is Iceberg (``df.writeTo("cat.db.triples").append()``,
-partitioned by ``bucket(N, url)``); this sandbox has no Iceberg runtime jar,
-so the same contract is implemented over parquet directories:
+partitioned by ``bucket(N, url)``); this sandbox has no Iceberg runtime jar
+(re-probed each round — round 4, 2026-08-21: zero ``iceberg`` matches in
+the Spark jars dir, no ``pyiceberg``, no ivy cache; jar download is not
+permitted), so the same contract is implemented over parquet directories:
 
     <root>/data/snapshot=<k>/...            (parquet, bucketed by url hash)
     <root>/_lineage/snapshot=<k>.json       (per-partition lineage + metrics)
