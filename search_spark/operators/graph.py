@@ -314,7 +314,15 @@ def personalized_pagerank(
         .persist()
     )
     n_nodes = nodes.count()
-    state_parts = max(1, -(-n_nodes // STATE_ROWS_PER_PARTITION))
+    state_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        -(-n_nodes // STATE_ROWS_PER_PARTITION),
+    )
+    # same gated co-partitioning as pagerank(): when the rank vector
+    # cannot broadcast, align edges/tele/has_out on one hash
+    # partitioning so the per-round joins never reshuffle the cached
+    # edge table (see pagerank() for the measured effect)
+    big_state = maybe_broadcast(nodes, n_nodes) is nodes
     n_seeds = seed_set.join(nodes, on="entity", how="left_semi").count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is in the graph")
@@ -324,7 +332,10 @@ def personalized_pagerank(
     e_od = e.join(
         maybe_broadcast(outdeg.withColumnRenamed("entity", "src"), n_nodes),
         on="src",
-    ).persist()
+    )
+    if big_state:
+        e_od = e_od.repartition(state_parts, "src")
+    e_od = e_od.persist()
     e_od.count()
 
     tele = (
@@ -347,6 +358,9 @@ def personalized_pagerank(
     tele.count()
     ranks = tele.select("entity", F.col("tele").alias("rank"))
     has_out = outdeg.select("entity")
+    if big_state:
+        has_out = has_out.repartition(state_parts, "entity").persist()
+        has_out.count()
     for i in range(n_iter):
         contrib = (
             e_od.join(
