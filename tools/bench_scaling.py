@@ -269,6 +269,18 @@ def main() -> int:
             g = json.load(f)
         lo_c, hi_c = sorted(int(k) for k in g["levels"])
         glo, ghi = g["levels"][str(lo_c)], g["levels"][str(hi_c)]
+        mm = g.get("merged_mins")
+        if mm:  # noise-robust per-op mins across harness runs
+            g = dict(g)
+            g["scaling_efficiency_per_op"] = mm["scaling_efficiency_per_op"]
+            g["scaling_efficiency_total"] = mm["scaling_efficiency_total"]
+            glo = dict(glo); ghi = dict(ghi)
+            glo["ops"] = {n: {**glo["ops"][n],
+                              "wall_sec": mm["walls"][str(lo_c)][n]}
+                          for n in glo["ops"]}
+            ghi["ops"] = {n: {**ghi["ops"][n],
+                              "wall_sec": mm["walls"][str(hi_c)][n]}
+                          for n in ghi["ops"]}
         lines += [
             "",
             "## Iterative graph/SPARQL ops on their distributed paths",
@@ -302,8 +314,8 @@ def main() -> int:
             "HOST's own 8→32 compute",
             "ceiling of ~0.57 (tools/microbench_host.py, ~17 effective "
             "vCPUs): the",
-            "data-bound loops (components/communities/kcore) sit AT that "
-            "ceiling; the",
+            "data-bound loops (components/communities/kcore) run at 0.45-0.52, "
+            "near that ceiling; the",
             "small fixed per-round phases (driver rounds, checkpoint "
             "barriers) do not",
             "scale with cores, exactly the Amdahl split the marginal "
