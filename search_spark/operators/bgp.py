@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from search_spark.checkpoints import chain as _ckpt
+
 _POSITIONS = ("subj", "pred", "obj")
 
 
@@ -340,14 +342,15 @@ def forward_chain(
     relies on exactly this.
 
     Per-round state is the distinct triple set: lineage truncates with an
-    eager ``localCheckpoint`` (the same loop discipline as
+    eager ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) (the same loop discipline as
     connected-components and PageRank) and the convergence check is one
     count per round — a scalar, not a collect of the data.
 
     Returns the closed triple set ``(subj, pred, obj)``.
     """
-    current = triples.select("subj", "pred", "obj").distinct().localCheckpoint(
-        eager=True
+    current = triples.select("subj", "pred", "obj").distinct().transform(
+        _ckpt(eager=True)
     )
     n = current.count()
     for _ in range(max_rounds):
@@ -358,7 +361,7 @@ def forward_chain(
         if derived is None:
             break
         current = (
-            current.unionByName(derived).distinct().localCheckpoint(eager=True)
+            current.unionByName(derived).distinct().transform(_ckpt(eager=True))
         )
         n_new = current.count()
         if n_new == n:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from search_spark.checkpoints import chain as _ckpt
+
 
 def global_rank(
     records: DataFrame, order_cols: list[str], out_col: str = "rank"
@@ -48,7 +50,7 @@ def global_rank(
     parts = (
         records.repartitionByRange(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     wp = Window.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_lrank", F.row_number().over(wp))

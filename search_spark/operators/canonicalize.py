@@ -12,7 +12,8 @@ in MapReduce and Beyond", SoCC'14 — the algorithm GraphFrames/GraphX use for
   * ``small_star``: every node points its not-larger neighbors (and itself)
     at that minimum;
   * iterate until the edge multiset stops changing. Each iteration ends in
-    ``localCheckpoint`` to cut the growing lineage (SURVEY.md §7.3).
+    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) to cut the growing lineage (SURVEY.md §7.3).
 
 Node ids are strings; ``min`` is lexicographic, which is a total order —
 all that convergence needs. The reference has no distributed equivalent
@@ -24,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from search_spark.checkpoints import chain as _ckpt
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -136,7 +139,8 @@ def connected_components(
     mapped to its component representative (the lexicographic minimum).
 
     The distributed path: each iteration materializes via
-    ``localCheckpoint`` (cuts lineage) and the loop's shuffle width adapts
+    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) (cuts lineage) and the loop's shuffle width adapts
     to the live edge count — a billion-edge alias graph gets hundreds of
     partitions, the sandbox's tiny graph gets one, so driver-loop overhead
     stays proportional to the data. Convergence test: (count, hash-sum)
@@ -154,7 +158,7 @@ def connected_components(
     cur = (
         _symmetrize(edges)
         .filter(F.col("u") > F.col("v"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     n_cur, h_cur = _fingerprint(cur)
     spark = edges.sparkSession
@@ -183,14 +187,14 @@ def connected_components(
     # session.get_spark) collapses them at runtime for tiny edge sets.
     p = max(1, min(width, -(-n_cur // _EDGES_PER_PARTITION)))
     if p < width:
-        cur = cur.repartition(p).localCheckpoint(eager=True)
+        cur = cur.repartition(p).transform(_ckpt(eager=True))
     for _ in range(max_iterations):
         after_large = _large_star(cur)
         # small-star output is always (greater → smaller), like `cur`
         after_small = (
-            _small_star(after_large).repartition(p).localCheckpoint(eager=True)
+            _small_star(after_large).repartition(p).transform(_ckpt(eager=True))
             if p < width
-            else _small_star(after_large).localCheckpoint(eager=True)
+            else _small_star(after_large).transform(_ckpt(eager=True))
         )
         n_new, h_new = _fingerprint(after_small)
         if (n_new, h_new) == (n_cur, h_cur):

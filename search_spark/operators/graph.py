@@ -12,7 +12,8 @@ they are implemented here as pure DataFrame compositions:
   entities this query exists to find).
 * :func:`pagerank` — the classic iterative rank computation expressed as a
   per-iteration join-aggregate plan; lineage is truncated with
-  ``localCheckpoint`` each round (same discipline as the large-star/
+  ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) each round (same discipline as the large-star/
   small-star connected-components loop in ``canonicalize.py``). Dangling
   mass is carried as a 1-row aggregate broadcast into the rank update —
   no scalar ever round-trips through the driver.
@@ -31,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from search_spark.checkpoints import chain as _ckpt
 
 
 def entity_degrees(edges: DataFrame) -> DataFrame:
@@ -95,7 +98,8 @@ def pagerank(
     join so the *edge table never reshuffles* when the state fits the
     session's broadcast threshold. The dangling total is a 1-row
     aggregate joined via broadcast-nested-loop; lineage is truncated with
-    ``localCheckpoint`` every ``checkpoint_every`` rounds. Nothing except
+    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) every ``checkpoint_every`` rounds. Nothing except
     the O(1) vocabulary count crosses the driver.
 
     ``init_ranks`` warm-starts the iteration (incremental recompute after
@@ -107,7 +111,7 @@ def pagerank(
     from search_spark.joins import maybe_broadcast
 
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().transform(_ckpt(eager=True))
     n_edges = e.count()
     if n_edges == 0:
         return spark.createDataFrame([], schema=_PR_SCHEMA)
@@ -135,7 +139,7 @@ def pagerank(
     # are then clustered on their join key at the same width, so
     # EnsureRequirements inserts NO exchange on the cached sides and a
     # round's shuffle traffic is STATE-sized (ranks + partial-aggregated
-    # contributions), never edge-sized. localCheckpoint preserves the
+    # contributions), never edge-sized. Both truncation strategies preserve the
     # physical partitioning (LogicalRDD carries it), so the property
     # survives the per-round lineage truncation. Measured at 12M edges,
     # local[32]: 72 -> 53 s for 8 rounds (-26%), identical ranks.
@@ -233,7 +237,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(_ckpt(eager=False))
     return ranks
 
 
@@ -283,14 +287,15 @@ def personalized_pagerank(
     dangling mass ``D`` also returns to the seeds. Ranks sum to 1;
     vertices unreachable from the seed set get exactly 0. The plan is
     the same join-aggregate loop as :func:`pagerank` (vocabulary-sized
-    state, gate-broadcast joins, per-round ``localCheckpoint``); small
+    state, gate-broadcast joins, per-round ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py)); small
     graphs short-circuit to a driver power iteration with identical
     double math. Returns ``(entity, rank)``.
     """
     from search_spark.joins import maybe_broadcast
 
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().transform(_ckpt(eager=True))
     n_edges = e.count()
     if n_edges == 0:
         return spark.createDataFrame([], schema=_PR_SCHEMA)
@@ -396,7 +401,7 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(_ckpt(eager=False))
     return ranks
 
 
@@ -466,7 +471,7 @@ def incremental_pagerank(
         )
         # truncate lineage between batches: the rank vector is
         # vocabulary-sized, the cumulative edge plan is not
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt(eager=True))
     return ranks
 
 
@@ -494,7 +499,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     deg = (
         und.select(F.col("u").alias("entity"))
@@ -515,7 +520,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     eo = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt(eager=True))
     # triangle with rank order a < b < c appears exactly once:
     # eo(a,b) ⋈ eo(b,c) closed by eo(a,c)
     wedge = eo.join(
@@ -578,8 +583,8 @@ def link_prediction(
         wund = wund.crossJoin(F.broadcast(mean_w)).filter(
             F.col("c") >= F.lit(weight_mult) * F.col("mean_c")
         )
-    und = wund.select("u", "v").localCheckpoint(
-        eager=True  # reused: neighbors, degrees, anti-join
+    und = wund.select("u", "v").transform(
+        _ckpt(eager=True)  # reused: neighbors, degrees, anti-join
     )
     nbr = und.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
         und.select(F.col("v").alias("z"), F.col("u").alias("x"))
@@ -652,7 +657,7 @@ def random_walks(
     nbr = (
         und.select(F.col("u").alias("z"), F.col("v").alias("x"))
         .unionByName(und.select(F.col("v").alias("z"), F.col("u").alias("x")))
-        .localCheckpoint(eager=True)  # reused by every step's join
+        .transform(_ckpt(eager=True))  # reused by every step's join
     )
     cur = (
         nbr.select(F.col("z").alias("entity"))
@@ -731,7 +736,7 @@ def node2vec_walks(
     nbr = (
         und.select(F.col("u").alias("z"), F.col("v").alias("x"))
         .unionByName(und.select(F.col("v").alias("z"), F.col("u").alias("x")))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     cur = (
         nbr.select(F.col("z").alias("entity"))
@@ -851,7 +856,8 @@ def hits(
     each normalizer is a 1-row aggregate broadcast into the update (no
     driver round-trip); per-iteration state is one row per entity
     (vocabulary-sized). Lineage is truncated per round with
-    ``localCheckpoint`` — same loop discipline as :func:`pagerank`.
+    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) — same loop discipline as :func:`pagerank`.
 
     Returns ``(entity, authority, hub)`` rounded to 6 dp.
     """
@@ -859,7 +865,7 @@ def hits(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # reused 2× per iteration
+        .transform(_ckpt(eager=True))  # reused 2× per iteration
     )
     # same adaptive gate as pagerank: entity vocabularies are usually
     # tiny even when the corpus is not, and 8 rounds of paired Spark
@@ -877,7 +883,7 @@ def hits(
         de.select(F.col("src").alias("entity"))
         .unionByName(de.select(F.col("dst").alias("entity")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     auth = nodes.select("entity", F.lit(1.0).alias("a"))
     hub = nodes.select("entity", F.lit(1.0).alias("h"))
@@ -902,7 +908,7 @@ def hits(
             "entity", (F.col("s") / F.col("n")).alias("a")
         )
         if ckpt:
-            auth = auth.localCheckpoint(eager=True)
+            auth = auth.transform(_ckpt(eager=True))
         raw_h = (
             de.join(auth.withColumnRenamed("entity", "dst"), "dst")
             .groupBy(F.col("src").alias("entity"))
@@ -916,7 +922,7 @@ def hits(
             "entity", (F.col("s") / F.col("n")).alias("h")
         )
         if ckpt:
-            hub = hub.localCheckpoint(eager=True)
+            hub = hub.transform(_ckpt(eager=True))
     return (
         auth.join(hub, "entity")
         .select(
@@ -979,7 +985,8 @@ def label_propagation(
     (entity, label) row per vertex — vocabulary-sized, like PageRank's
     rank vector — so ``joins.maybe_broadcast`` keeps the adjacency
     table from reshuffling whenever the label vector fits the broadcast
-    threshold; lineage truncates per round with ``localCheckpoint``.
+    threshold; lineage truncates per round with ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py).
 
     Returns ``(entity, community)`` for every vertex of the edge set;
     vertices with no non-self neighbor keep their own label.
@@ -995,7 +1002,7 @@ def label_propagation(
         )
         .filter(F.col("entity") != F.col("nbr"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     nodes = (
         edges.select(F.col("src").alias("entity"))
@@ -1052,7 +1059,7 @@ def label_propagation(
         # per-round lineage truncation; ``checkpoint=False`` keeps the
         # full (linear-depth) plan inspectable for plan audits
         if checkpoint:
-            labels = labels.localCheckpoint(eager=False)
+            labels = labels.transform(_ckpt(eager=False))
     if checkpoint:
         nodes.unpersist()
     return labels.select("entity", F.col("label").alias("community"))
@@ -1073,7 +1080,8 @@ def kcore_peel(
     Per-round plan: one degree aggregation (map-side partial combine)
     plus two semi-joins restricting the edge set to surviving endpoints
     — all hash-partitioned on the vertex key; the edge set only ever
-    shrinks, and lineage truncates per round (``localCheckpoint``).
+    shrinks, and lineage truncates per round (``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py)).
     """
     alive = (
         edges.select(
@@ -1082,7 +1090,7 @@ def kcore_peel(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
 
     def _degrees(e: DataFrame) -> DataFrame:
@@ -1106,7 +1114,7 @@ def kcore_peel(
                 on="v",
                 how="left_semi",
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt(eager=False))
         )
     return _degrees(alive)
 
@@ -1144,7 +1152,8 @@ def bfs_distances(
     first-discovery distances. State is one int per *reached* vertex —
     vocabulary-sized — while the edge table is hash-partitioned on ``src``
     once and persisted, so each round reuses its shuffle instead of
-    rescanning; lineage truncates per round (``localCheckpoint``), the
+    rescanning; lineage truncates per round (``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py)), the
     same loop discipline as :func:`pagerank` and the connected-components
     canonicalizer. Expanding only the newly-discovered frontier keeps the
     per-round join |frontier| × outdeg, not |reached| × outdeg.
@@ -1159,7 +1168,7 @@ def bfs_distances(
         seeds.select(F.col(seeds.columns[0]).alias("entity"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt(eager=True))
     )
     for k in range(1, max_hops + 1):
         frontier = dist.filter(F.col("dist") == k - 1).select(
@@ -1175,7 +1184,7 @@ def bfs_distances(
             .agg(F.min("dist").alias("dist"))
             # the last round materializes eagerly so the returned plan no
             # longer references the edge cache being unpersisted below
-            .localCheckpoint(eager=final)
+            .transform(_ckpt(eager=final))
         )
     e.unpersist()
     return dist.select("entity", F.col("dist").cast("int").alias("dist"))

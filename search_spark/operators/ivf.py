@@ -14,7 +14,8 @@ the connected-components canonicalizer:
 * update: new centroid = mean of assigned vectors via one hash
   aggregation per dimension-packed array (``posexplode`` only over the
   ASSIGNED pairs, never corpus × k);
-* each iteration ends in an eager ``localCheckpoint`` of the (tiny)
+* each iteration ends in an eager ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py) of the (tiny)
   centroid table — lineage stays flat however many iterations run;
 * stop when assignments stop changing (count of moved vectors = 0) or
   ``max_iterations`` is reached.
@@ -27,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from search_spark.checkpoints import chain as _ckpt
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -67,7 +70,7 @@ def train_ivf(
             "v_arr"
         ),
         F.lit(1).alias("k"),
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt(eager=True))
 
     seeds = vecs.orderBy("id").limit(n_cells).collect()
     if len(seeds) < n_cells:
@@ -75,13 +78,13 @@ def train_ivf(
     centroids = spark.createDataFrame(
         [(i, list(r["v_arr"]), 1) for i, r in enumerate(seeds)],
         ["cell", "c_arr", "k"],
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt(eager=True))
 
     prev_assign: DataFrame | None = None
     info: dict = {"moved": [], "inertia": []}
     assign = _assign(vecs, centroids)
     for _ in range(max_iterations):
-        assign = assign.localCheckpoint(eager=True)
+        assign = assign.transform(_ckpt(eager=True))
         agg = assign.select("id", "cell").join(vecs, on="id").select(
             "cell", F.posexplode("v_arr").alias("dim_i", "v")
         ).groupBy("cell", "dim_i").agg(
@@ -103,7 +106,7 @@ def train_ivf(
             .select(
                 "cell", F.coalesce("c_arr", "old").alias("c_arr"), "k"
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt(eager=True))
         )
         new_assign = _assign(vecs, centroids)
         moved = (

@@ -115,6 +115,22 @@ def normalize(expr: PathExpr, flip: bool = False) -> PathExpr:
     raise TypeError(f"unknown path expression: {expr!r}")
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Per-round materialization for the Repeat loops.
+
+    ``local`` strategy → ``cache()`` (executor memory; bounded lineage is
+    acceptable because rounds are bounded by ``max_hops`` — see the
+    Repeat comment for why localCheckpoint specifically is avoided);
+    ``reliable`` strategy → file checkpoint (disk-backed round state,
+    fault-tolerant on a real cluster, heap-bounded at stress scale).
+    """
+    from search_spark import checkpoints
+
+    if checkpoints.strategy(df.sparkSession) == "reliable":
+        return checkpoints.truncate(df, eager=False, strategy="reliable")
+    return df.cache()
+
+
 def _restrict(pairs: DataFrame, sources: DataFrame | None) -> DataFrame:
     if sources is None:
         return pairs
@@ -229,11 +245,14 @@ def _eval(
             .distinct()
         )
     if isinstance(expr, Repeat):
-        # per-round truncation uses cache() rather than localCheckpoint():
-        # rounds are bounded by max_hops so lineage depth is bounded too,
-        # and on this Spark build localCheckpoint of the round plan trips
-        # an attribute-resolution error when the triple input is itself a
-        # cached/checkpointed relation (key not found: src#N).
+        # per-round truncation uses _pin: cache() under the default
+        # "local" checkpoint strategy (rounds are bounded by max_hops so
+        # lineage depth is bounded too, and on this Spark build
+        # localCheckpoint of the round plan trips an attribute-resolution
+        # error when the triple input is itself a cached/checkpointed
+        # relation — key not found: src#N), a reliable file checkpoint
+        # under the "reliable" strategy (disk-backed, fault-tolerant,
+        # and free of that localCheckpoint-specific resolution bug).
         if _is_leafy(expr.inner):
             # build the step relation's plan ONCE — a pure union of leaf
             # scans with NO distinct and NO cache (duplicates collapse in
@@ -252,7 +271,7 @@ def _eval(
             step = base.select(
                 F.col("src").alias("mid"), F.col("dst").alias("step_dst")
             )
-            acc = _restrict(base, sources).distinct().cache()
+            acc = _restrict(base, sources).distinct().transform(_pin)
             delta = acc
             for _ in range(expr.max_hops - 1):
                 new_pairs = (
@@ -262,16 +281,16 @@ def _eval(
                 )
                 delta = new_pairs.join(
                     acc, on=["src", "dst"], how="left_anti"
-                ).cache()
+                ).transform(_pin)
                 if delta.isEmpty():
                     break
-                acc = acc.unionByName(delta).cache()
+                acc = acc.unionByName(delta).transform(_pin)
             if expr.min_hops == 0:
                 acc = _zero_pairs(triples, sources).unionByName(
                     acc
                 ).distinct()
             return acc
-        acc = _eval(triples, expr.inner, sources).cache()
+        acc = _eval(triples, expr.inner, sources).transform(_pin)
         delta = acc
         for _ in range(expr.max_hops - 1):
             frontier = delta.select(F.col("dst").alias("src")).distinct()
@@ -285,10 +304,10 @@ def _eval(
             )
             delta = new_pairs.join(
                 acc, on=["src", "dst"], how="left_anti"
-            ).cache()
+            ).transform(_pin)
             if delta.isEmpty():
                 break
-            acc = acc.unionByName(delta).cache()
+            acc = acc.unionByName(delta).transform(_pin)
         if expr.min_hops == 0:
             acc = _zero_pairs(triples, sources).unionByName(acc).distinct()
         return acc

@@ -113,6 +113,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from search_spark.checkpoints import chain as _ckpt
 from search_spark.operators.bgp import instantiate_template, match_bgp
 from search_spark.operators.paths import (
     Alt,
@@ -2500,7 +2501,7 @@ def sparql_update(table, update: str) -> dict:
             df = df.withColumn("url", F.lit(src))
             # the source file may sit on slow/remote storage: checkpoint
             # the parse so the bucketed append reads it exactly once
-            df = df.localCheckpoint(eager=True)
+            df = df.transform(_ckpt(eager=True))
             if df.isEmpty() and _source_nonempty(path):
                 # a non-empty document that parses to zero quads is a
                 # format/suffix mismatch (e.g. Turtle named .nt feeding
@@ -2605,7 +2606,7 @@ def sparql_update(table, update: str) -> dict:
             "prov", F.lit(dst).cast("string")
         ).withColumn(
             "url", F.lit(dst if dst is not None else "urn:sparql:update")
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt(eager=True))
         n_deleted = 0
         if head in ("copy", "move"):
             n_deleted += table.delete_where(dst_cond)
@@ -2773,7 +2774,8 @@ def _apply_modify(table, del_template: list[tuple],
     then the insert (SPARQL 1.1 Update §3.1.3 ordering).
 
     The derived doomed/new triples are eagerly materialized
-    (``localCheckpoint``) before any rewrite — their lazy plans read the
+    (``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
+    reliable file checkpoint — see search_spark/checkpoints.py)) before any rewrite — their lazy plans read the
     very snapshot directories the delete swaps out. Deletes match on
     ``(subj, pred, obj)`` across all graphs (the store's default-graph
     view is the union of its quads); inserts land under the default
@@ -2797,7 +2799,7 @@ def _apply_modify(table, del_template: list[tuple],
         ins_df = _instantiate(bindings, ins_template).withColumn(
             "prov", F.lit(with_graph).cast("string")
         ).withColumn("url", F.lit(with_graph or "urn:sparql:update"))
-        ins_df = ins_df.localCheckpoint(eager=True)
+        ins_df = ins_df.transform(_ckpt(eager=True))
     if with_graph is not None:
         # WITH restricts the modification to its graph: match prov too
         doomed = doomed.withColumn("prov", F.lit(with_graph))

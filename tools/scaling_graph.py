@@ -26,16 +26,22 @@ LEVELS = (8, 32)
 
 
 def main() -> int:
-    n_triples = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    strategy = "local"
+    for a in sys.argv[1:]:
+        if a.startswith("--strategy="):
+            strategy = a.split("=", 1)[1]
+    n_triples = int(argv[0]) if len(argv) > 0 else 2_000_000
+    reps = int(argv[1]) if len(argv) > 1 else 2
 
+    env = dict(os.environ, SPARK_GRAFT_CKPT_STRATEGY=strategy)
     levels = {}
     for cpus in LEVELS:
-        print(f"=== local[{cpus}] ===", flush=True)
+        print(f"=== local[{cpus}] strategy={strategy} ===", flush=True)
         out = subprocess.run(
             [sys.executable, "tools/scaling_graph_worker.py",
              str(cpus), str(n_triples), str(reps)],
-            capture_output=True, text=True, cwd=REPO,
+            capture_output=True, text=True, cwd=REPO, env=env,
         )
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
@@ -91,8 +97,27 @@ def main() -> int:
             "parquet, shuffle bytes from UI REST stage deltas (rep 1)"
         ),
     }
-    with open(os.path.join(REPO, "SCALING_GRAPH.json"), "w") as f:
-        json.dump(doc, f, indent=2)
+    out_path = os.path.join(REPO, "SCALING_GRAPH.json")
+    if strategy == "reliable":
+        # merge under a dedicated key, preserving the local-strategy
+        # record (the two runs together are the strategy-overhead
+        # evidence VERDICT r4 item 1 asks for)
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+        doc["purpose"] = (
+            "reliable-checkpoint-strategy rerun (file-backed round "
+            "state, driver heap at the ordinary default instead of "
+            "48g) — compare per-op walls vs the local-strategy record"
+        )
+        existing["reliable_run"] = doc
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+    else:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=2)
     print(json.dumps({
         "scaling_efficiency_total": eff_total,
         "per_op": per_op,
