@@ -336,6 +336,175 @@ def model2df(
     return pd.DataFrame({"class": tags, "text": words})
 
 
+def token_iob_stage_ngrams(
+    tokens: DataFrame,
+    patterns: DataFrame,
+    not_entity_symbol: str = "O",
+    excluded_entity_type: str | None = "NaE",
+) -> DataFrame:
+    """Distributed ``spacy2df`` for token patterns of ANY length — exact
+    spaCy ``filter_spans`` semantics (mining/eval.py:158-228 +
+    spacy.util.filter_spans: sort candidate spans by (-length, start),
+    greedily keep non-overlapping) as an iterate-by-length pass, zero
+    UDF throughout.
+
+    ``tokens`` is ``(doc_id, tpos, tok)`` with ``tpos`` dense per doc;
+    ``patterns`` is a broadcast-sized dim ``(pattern, entity_type)``
+    where ``pattern`` is the space-joined token sequence (an EntityRuler
+    phrase dim — reference mining/entity.py patterns). Per length L,
+    descending:
+
+    1. **match** — the L-token window join: ``lead(tok, i)`` chains
+       build the candidate starts, one broadcast join against the
+       length-L slice of the dim.
+    2. **eliminate** — candidates overlapping any token claimed by a
+       longer accepted span are dropped (they would lose to it in
+       filter_spans' sorted scan; rejected spans never block others, so
+       pre-elimination is exact).
+    3. **greedy within length** — remaining same-length candidates
+       overlap only within chains of starts closer than L; chains group
+       by a running-sum window over ``start - lag(start) >= L`` breaks,
+       and each chain's accepted starts come from one JVM
+       ``aggregate`` scan over the sorted start list (accept when
+       ``start >= last_accepted + L``) — the general form of the
+       bigram rank-parity trick, which it reproduces exactly at L=2.
+    4. **claim** — accepted spans emit ``B-``/``I-`` tags onto their
+       token positions and join the claimed set for shorter lengths.
+
+    The per-length loop is bounded by the number of distinct pattern
+    lengths in the dim (a broadcast-sized collect, like the TF-IDF
+    vocabulary). ``excluded_entity_type`` spans compete for tokens but
+    render ``O`` (the reference's post-hoc ``doc.ents`` filter). Ties —
+    two dim rows with the same token sequence — resolve to the
+    lexicographically smallest entity type, deterministically.
+
+    Returns ``(doc_id, tpos, text, class)``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("pattern"), " ")
+    pats = patterns.select(
+        toks.alias("_toks"),
+        F.size(toks).alias("_len"),
+        F.col("entity_type").alias("_etype"),
+    )
+    lengths = sorted(
+        {r["_len"] for r in pats.select("_len").distinct().collect()},
+        reverse=True,
+    )
+    claimed = None  # (doc_id, tpos, _tag) accumulated over lengths
+    for L in lengths:
+        dim = pats.filter(F.col("_len") == L).select(
+            *[F.col("_toks")[i].alias(f"_t{i}") for i in range(L)],
+            "_etype",
+        )
+        cand = tokens.select(
+            "doc_id", F.col("tpos").alias("_start"),
+            F.col("tok").alias("_t0"),
+            *[
+                F.lead("tok", i)
+                .over(Window.partitionBy("doc_id").orderBy("tpos"))
+                .alias(f"_t{i}")
+                for i in range(1, L)
+            ],
+        ).join(
+            F.broadcast(dim), on=[f"_t{i}" for i in range(L)]
+        ).groupBy("doc_id", "_start").agg(
+            F.min("_etype").alias("_etype")  # deterministic tie-break
+        )
+        if claimed is not None:
+            blocked = (
+                cand.select(
+                    "doc_id", "_start",
+                    F.explode(
+                        F.sequence(
+                            F.col("_start"), F.col("_start") + (L - 1)
+                        )
+                    ).alias("tpos"),
+                )
+                .join(claimed.select("doc_id", "tpos"), on=["doc_id", "tpos"],
+                      how="left_semi")
+                .select("doc_id", "_start")
+                .distinct()
+            )
+            cand = cand.join(blocked, on=["doc_id", "_start"],
+                             how="left_anti")
+        # overlap chains: same-length candidates closer than L link up
+        # (first row's null lag fails the >= test -> 0, starting chain 0)
+        w_doc = Window.partitionBy("doc_id").orderBy("_start")
+        gap_break = F.when(
+            F.col("_start") - F.lag("_start").over(w_doc) >= L, 1
+        ).otherwise(0)
+        chains = cand.withColumn("_chain", F.sum(gap_break).over(w_doc))
+        neg_inf = F.lit(-(1 << 40)).cast("long")
+        grouped = chains.groupBy("doc_id", "_chain").agg(
+            F.sort_array(
+                F.collect_list(F.struct("_start", "_etype"))
+            ).alias("_cands")
+        )
+        # one-pass greedy scan, JVM-side: accumulator = (last accepted
+        # start, accepted list); accept when start >= last + L
+        accepted = grouped.select(
+            "doc_id",
+            F.explode(
+                F.aggregate(
+                    F.col("_cands"),
+                    F.struct(
+                        neg_inf.alias("last"),
+                        F.array().cast(
+                            "array<struct<_start:long,_etype:string>>"
+                        ).alias("acc"),
+                    ),
+                    lambda acc, c: F.when(
+                        c["_start"].cast("long") >= acc["last"] + L,
+                        F.struct(
+                            c["_start"].cast("long").alias("last"),
+                            F.array_append(
+                                acc["acc"],
+                                F.struct(
+                                    c["_start"].cast("long")
+                                    .alias("_start"),
+                                    c["_etype"].alias("_etype"),
+                                ),
+                            ).alias("acc"),
+                        ),
+                    ).otherwise(acc),
+                    lambda acc: acc["acc"],
+                )
+            ).alias("_a"),
+        ).select(
+            "doc_id",
+            F.col("_a._start").alias("_start"),
+            F.col("_a._etype").alias("_etype"),
+        )
+        iob = F.concat(
+            F.when(F.col("tpos") == F.col("_start"), F.lit("B-"))
+            .otherwise(F.lit("I-")),
+            F.col("_etype"),
+        )
+        if excluded_entity_type is not None:
+            iob = F.when(
+                F.col("_etype") == excluded_entity_type,
+                F.lit(not_entity_symbol),
+            ).otherwise(iob)
+        spans = accepted.select(
+            "doc_id", "_start", "_etype",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (L - 1))
+            ).alias("tpos"),
+        ).select("doc_id", "tpos", iob.alias("_tag"))
+        claimed = spans if claimed is None else claimed.unionByName(spans)
+    out = tokens.select(
+        "doc_id", "tpos", F.col("tok").alias("text")
+    )
+    if claimed is None:
+        return out.withColumn("class", F.lit(not_entity_symbol))
+    return out.join(claimed, on=["doc_id", "tpos"], how="left").select(
+        "doc_id", "tpos", "text",
+        F.coalesce("_tag", F.lit(not_entity_symbol)).alias("class"),
+    )
+
+
 def token_iob_stage(
     tokens: DataFrame,
     unigrams: DataFrame,

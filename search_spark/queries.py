@@ -8444,3 +8444,126 @@ LEFT JOIN gaz g ON t.tok = g.pattern
 """
 
 QUERIES["token_iob_tags"] = Q(_q_token_iob_tags, _SQL_TOKEN_IOB_TAGS)
+
+
+# -- general n-token IOB tagging (round 5) -----------------------------------
+
+#: mixed-length phrase patterns for the general stage — trigrams that
+#: overlap the bigrams ("sort merge join" beats both "sort merge" and
+#: "merge join"), a self-overlapping trigram chain ("batch batch batch"
+#: over runs of "batch"), and an excluded-type trigram that claims its
+#: tokens but renders O. Unigrams reuse the document gazetteer.
+EVAL_NGRAMS: list[tuple[str, str]] = (
+    [(f"{a} {b}", e) for a, b, e in EVAL_BIGRAMS]
+    + [
+        ("sort merge join", "PIPE"),
+        ("table scan merge", "PLAN"),
+        ("batch batch batch", "REP"),
+        ("hash scan join", "NaE"),
+    ]
+    + list(DOC_GAZETTEER)
+)
+
+
+def _q_token_iob_ngrams(spark, sf_dir):
+    """General-length distributed ``spacy2df``
+    (operators/evaluation.py token_iob_stage_ngrams): exact spaCy
+    filter_spans semantics for 1/2/3-token patterns via the
+    iterate-by-length pass — candidates per length from lead-window
+    joins, claimed-token elimination, overlap-chain grouping, and a JVM
+    ``aggregate`` greedy scan per chain. Zero UDF (reference
+    mining/eval.py:158-228 + spacy.util.filter_spans)."""
+    from search_spark.operators.evaluation import token_iob_stage_ngrams
+
+    toks = _tokens(spark, sf_dir)
+    pats = spark.createDataFrame(EVAL_NGRAMS, ["pattern", "entity_type"])
+    return token_iob_stage_ngrams(toks, pats)
+
+
+_NGRAM_SQL = "pats(pattern, entity_type) AS (VALUES {})".format(
+    ", ".join(f"('{p}', '{e}')" for p, e in EVAL_NGRAMS)
+)
+
+
+def _ngram_oracle_len(L: int, eliminate_against: list[str]) -> str:
+    """One iterate-by-length pass of the filter_spans oracle, as DuckDB
+    CTEs (suffix ``{L}``): window-join candidates, elimination against
+    the already-claimed token positions, overlap-chain grouping, and the
+    same greedy scan the engine runs — here a nested-lambda
+    ``list_reduce`` (accept ``x`` iff the greedy last-accepted over the
+    prefix ending at ``x`` is ``x`` itself; greedy is prefix-stable so
+    the two formulations agree)."""
+    leads = ", ".join(
+        f"lead(tok, {i}) OVER w AS t{i}" for i in range(1, L)
+    )
+    join_on = " AND ".join(
+        ["t.tok = p.w[1]"] + [f"t.t{i} = p.w[{i + 1}]" for i in range(1, L)]
+    )
+    elim = ""
+    if eliminate_against:
+        claimed_union = " UNION ALL ".join(
+            f"SELECT doc_id, tpos FROM {c}" for c in eliminate_against
+        )
+        elim = f"""
+c{L}e AS (
+  SELECT c.* FROM c{L} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({claimed_union}) k
+    WHERE k.doc_id = c.doc_id AND k.tpos BETWEEN c.s AND c.s + {L - 1})),"""
+        src = f"c{L}e"
+    else:
+        src = f"c{L}"
+    lead_src = (
+        f"(SELECT doc_id, tpos, tok, {leads} FROM toks "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY tpos)) t"
+        if L > 1
+        else "(SELECT doc_id, tpos, tok FROM toks) t"
+    )
+    return f"""
+p{L} AS (SELECT string_split(pattern, ' ') AS w, entity_type FROM pats
+        WHERE len(string_split(pattern, ' ')) = {L}),
+c{L} AS (
+  SELECT t.doc_id, t.tpos AS s, min(p.entity_type) AS etype
+  FROM {lead_src}
+  JOIN p{L} p ON {join_on}
+  GROUP BY t.doc_id, t.tpos),{elim}
+ch{L} AS (
+  SELECT doc_id, s, etype,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS chain
+  FROM (SELECT doc_id, s, etype,
+          CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    >= {L} THEN 1 ELSE 0 END AS brk
+        FROM {src})),
+g{L} AS (SELECT doc_id, chain, list(s ORDER BY s) AS ss
+        FROM ch{L} GROUP BY doc_id, chain),
+a{L}s AS (
+  SELECT doc_id, unnest(list_filter(ss, x ->
+    x = list_reduce(list_filter(ss, y -> y <= x),
+                    (acc, y) -> CASE WHEN y >= acc + {L} THEN y
+                                     ELSE acc END))) AS s
+  FROM g{L}),
+cl{L} AS (
+  SELECT a.doc_id, c.s, c.etype,
+         unnest(range(c.s, c.s + {L})) AS tpos
+  FROM a{L}s a JOIN ch{L} c ON a.doc_id = c.doc_id AND a.s = c.s)"""
+
+
+_SQL_TOKEN_IOB_NGRAMS = f"""
+WITH {_TOKS_SQL}, {_NGRAM_SQL},
+{_ngram_oracle_len(3, [])},
+{_ngram_oracle_len(2, ["cl3"])},
+{_ngram_oracle_len(1, ["cl3", "cl2"])},
+tags AS (
+  SELECT doc_id, tpos,
+    CASE WHEN etype = 'NaE' THEN 'O'
+         WHEN tpos = s THEN 'B-' || etype
+         ELSE 'I-' || etype END AS tag
+  FROM (SELECT * FROM cl3 UNION ALL SELECT * FROM cl2
+        UNION ALL SELECT * FROM cl1))
+SELECT t.doc_id, t.tpos, t.tok AS text, coalesce(g.tag, 'O') AS class
+FROM toks t
+LEFT JOIN tags g ON g.doc_id = t.doc_id AND g.tpos = t.tpos
+"""
+
+QUERIES["token_iob_ngrams"] = Q(_q_token_iob_ngrams, _SQL_TOKEN_IOB_NGRAMS)

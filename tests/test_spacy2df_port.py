@@ -170,3 +170,127 @@ def test_token_iob_stage_chain_parity(spark):
         for r in token_iob_stage(tokens, uni, bi).collect()
     }
     assert out == {0: "B-ALGO", 1: "I-ALGO", 2: "B-OPERATOR"}
+
+
+# -- 4. general n-token stage: exact filter_spans on random streams ---------
+
+NGRAM_PATTERNS = [
+    ("sort merge join", "PIPE"),
+    ("merge join scan table", "QUAD"),
+    ("table scan merge", "PLAN"),
+    ("hash scan join", "NaE"),
+    ("sort merge", "ALGO"),
+    ("merge join", "ALGO"),
+    ("table scan", "ALGO"),
+    ("hash scan", "NaE"),
+    ("join", "OPERATOR"), ("sort", "OPERATOR"), ("scan", "OPERATOR"),
+    ("table", "OBJECT"), ("row", "OBJECT"), ("dup", "NaE"),
+]
+
+
+class FilterSpansMatcher:
+    """Token-sequence matcher with EXACT spacy.util.filter_spans overlap
+    resolution (sort candidate spans by (-length, start), greedily keep
+    non-overlapping) — the reference semantics `token_iob_stage_ngrams`
+    implements; GazetteerMatcher's leftmost-longest regex coincides with
+    it only up to 2-token patterns."""
+
+    def __init__(self, patterns):
+        self._pats = [(p.split(" "), e) for p, e in patterns]
+
+    def find(self, text):
+        words = text.split(" ")
+        bounds, cursor = [], 0
+        for w in words:
+            bounds.append((cursor, cursor + len(w)))
+            cursor += len(w) + 1
+        cands = {}
+        for toks, etype in self._pats:
+            L = len(toks)
+            for i in range(len(words) - L + 1):
+                if words[i:i + L] == toks:
+                    key = (i, i + L)
+                    if key not in cands or etype < cands[key]:
+                        cands[key] = etype
+        spans = sorted(
+            cands.items(), key=lambda kv: (-(kv[0][1] - kv[0][0]), kv[0][0])
+        )
+        taken, out = set(), []
+        for (i, j), etype in spans:
+            if any(k in taken for k in range(i, j)):
+                continue
+            taken.update(range(i, j))
+            out.append(
+                (bounds[i][0], bounds[j - 1][1],
+                 " ".join(words[i:j]), etype)
+            )
+        return out
+
+
+@pytest.mark.parametrize("seed", [17, 28, 39])
+def test_token_iob_ngrams_matches_model2df(spark, seed):
+    from search_spark.operators.evaluation import token_iob_stage_ngrams
+
+    rng = random.Random(seed)
+    docs = {
+        d: [rng.choice(VOCAB) for _ in range(rng.randint(4, 40))]
+        for d in range(25)
+    }
+    rows = [
+        (d, i, tok) for d, toks in docs.items()
+        for i, tok in enumerate(toks)
+    ]
+    tokens = spark.createDataFrame(
+        rows, "doc_id int, tpos long, tok string"
+    )
+    pats = spark.createDataFrame(
+        NGRAM_PATTERNS, ["pattern", "entity_type"]
+    )
+    got = {
+        (r.doc_id, r.tpos): (r.text, r["class"])
+        for r in token_iob_stage_ngrams(tokens, pats).collect()
+    }
+    matcher = FilterSpansMatcher(NGRAM_PATTERNS)
+    for d, toks in docs.items():
+        exp = model2df(matcher, toks)
+        for i, (cls, txt) in enumerate(zip(exp["class"], exp["text"])):
+            assert got[(d, i)] == (txt, cls), (
+                d, i, toks, got[(d, i)], (txt, cls)
+            )
+
+
+def test_token_iob_ngrams_trigram_beats_bigrams(spark):
+    """'sort merge join' trigram wins over both its bigram sub-spans;
+    a following 'table scan' bigram still matches."""
+    from search_spark.operators.evaluation import token_iob_stage_ngrams
+
+    toks = ["sort", "merge", "join", "table", "scan"]
+    tokens = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(toks)],
+        "doc_id int, tpos long, tok string",
+    )
+    pats = spark.createDataFrame(
+        NGRAM_PATTERNS, ["pattern", "entity_type"]
+    )
+    out = {
+        r.tpos: r["class"]
+        for r in token_iob_stage_ngrams(tokens, pats).collect()
+    }
+    assert out == {
+        0: "B-PIPE", 1: "I-PIPE", 2: "I-PIPE",
+        3: "B-ALGO", 4: "I-ALGO",
+    }
+
+
+def test_token_iob_ngrams_no_patterns(spark):
+    from search_spark.operators.evaluation import token_iob_stage_ngrams
+
+    tokens = spark.createDataFrame(
+        [(0, 0, "a"), (0, 1, "b")], "doc_id int, tpos long, tok string"
+    )
+    pats = spark.createDataFrame([], "pattern string, entity_type string")
+    out = {
+        r.tpos: r["class"]
+        for r in token_iob_stage_ngrams(tokens, pats).collect()
+    }
+    assert out == {0: "O", 1: "O"}
