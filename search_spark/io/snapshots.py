@@ -285,7 +285,8 @@ class SnapshotTable:
         SPARQL ``DELETE { ... } WHERE { ... }`` (where the doomed triples
         are derived, not enumerable as one predicate).
 
-        ``keys`` is deduplicated and eagerly ``localCheckpoint``-ed first:
+        ``keys`` is deduplicated and eagerly pinned first
+        (``checkpoints.truncate`` — strategy-switchable):
         the rewrite loop swaps the very directories a lazily-planned
         ``keys`` built from this table would re-read mid-loop. Each
         snapshot is then rewritten via ``LEFT ANTI`` join (AQE broadcasts
@@ -294,7 +295,9 @@ class SnapshotTable:
         join, so they are retained, consistent with
         :meth:`delete_where`'s NULL-predicate rule. Returns rows deleted.
         """
-        keys = keys.select(*on).distinct().localCheckpoint(eager=True)
+        from search_spark.checkpoints import truncate
+
+        keys = truncate(keys.select(*on).distinct(), eager=True)
         return self._rewrite_without(
             lambda df: df.join(keys, on=list(on), how="left_anti")
         )
@@ -621,3 +624,118 @@ class SnapshotTable:
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    # -- retention maintenance (Iceberg expire_snapshots /
+    #    remove_orphan_files analogues) ----------------------------------
+
+    def expire(self, keep_last: int = 5, sweep_orphans: bool = True) -> dict:
+        """Bound the table's history — the Iceberg ``expire_snapshots``
+        entry point. Two steps:
+
+        1. :meth:`squash_snapshots` merges every snapshot older than the
+           ``keep_last`` newest into one base snapshot (directory count,
+           and with it scan-planning cost, stays O(keep_last) no matter
+           how long the table lives).
+        2. ``remove_orphans`` (unless disabled) sweeps files no
+           committed snapshot references — the debris a crashed
+           ``append``/``compact``/``squash``/``delete_where`` leaves
+           behind (sibling temp dirs, ``.json.tmp`` metadata,
+           ``_temporary`` task dirs, data dirs whose lineage is gone).
+
+        Without this, the copy-on-write history accumulates forever: at
+        100-TB scale, every orphaned sibling directory is a full copy of
+        a snapshot's data. Returns the squash stats merged with the
+        orphan sweep stats.
+        """
+        stats = self.squash_snapshots(keep_last=keep_last)
+        if sweep_orphans:
+            stats.update(self.remove_orphans())
+        return stats
+
+    def remove_orphans(self, older_than_s: float = 0.0) -> dict:
+        """Delete files under the table root that no committed snapshot
+        references — the Iceberg ``remove_orphan_files`` analogue.
+
+        Orphans arise from interrupted operations: ``append`` dies after
+        writing data but before the lineage-JSON commit rename;
+        ``compact``/``squash_snapshots``/``_rewrite_without`` die between
+        writing the sibling temp dir and the swap; Spark's committer
+        leaves ``_temporary`` attempt dirs inside a snapshot on task
+        retry crashes. All are invisible to readers (load() resolves
+        through lineage ids) but hold real bytes.
+
+        Swept, relative to the committed lineage set:
+
+        * ``data/``・``processed/`` entries that are not
+          ``snapshot=<committed id>`` (dot-prefixed siblings, stray
+          files, uncommitted snapshot dirs),
+        * ``_temporary`` dirs and zero-value committer residue
+          (``_SUCCESS``, ``.crc``) inside committed snapshot dirs,
+        * ``_lineage/*.json.tmp`` half-written metadata.
+
+        ``older_than_s`` guards against racing an in-flight writer
+        (Iceberg's ``older_than`` timestamp): entries younger than this
+        many seconds are left alone — production would pass hours, tests
+        pass 0. Returns ``{"orphans_removed", "orphan_bytes"}``.
+        """
+        committed = set(self.snapshots())
+        now = time.time()
+        removed = 0
+        nbytes = 0
+
+        def _size(path: str) -> int:
+            if os.path.isfile(path):
+                return os.path.getsize(path)
+            total = 0
+            for dp, _, fs in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(dp, f)) for f in fs
+                )
+            return total
+
+        def _old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= older_than_s
+            except OSError:
+                return False
+
+        def _zap(path: str):
+            nonlocal removed, nbytes
+            if not _old_enough(path):
+                return
+            nbytes += _size(path)
+            removed += 1
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+        for sub in ("data", "processed"):
+            base = f"{self.root}/{sub}"
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                path = os.path.join(base, name)
+                if name.startswith("snapshot=") and os.path.isdir(path):
+                    tail = name[len("snapshot="):]
+                    if tail.isdigit() and int(tail) in committed:
+                        # committed — sweep only committer residue inside
+                        for dp, dns, fns in os.walk(path):
+                            for d in list(dns):
+                                if d == "_temporary":
+                                    _zap(os.path.join(dp, d))
+                                    dns.remove(d)
+                            for f in fns:
+                                if f == "_SUCCESS" or f.endswith(".crc"):
+                                    _zap(os.path.join(dp, f))
+                        continue
+                _zap(path)
+        lineage_dir = f"{self.root}/_lineage"
+        if os.path.isdir(lineage_dir):
+            for name in os.listdir(lineage_dir):
+                if name.endswith(".json.tmp"):
+                    _zap(os.path.join(lineage_dir, name))
+        return {"orphans_removed": removed, "orphan_bytes": nbytes}

@@ -310,3 +310,83 @@ def test_cli_merge_subcommand(spark, tmp_path):
     assert {
         r.subj for r in merged.filter(merged.pred == "city").collect()
     } == {"r1"}
+
+
+# -- retention: expire + orphan sweep (round 5) ------------------------------
+
+
+def _mk_orphans(table):
+    """Plant the debris every interrupted operation leaves behind."""
+    import os
+
+    root = table.root
+    # crashed compact/squash: sibling temp dirs full of data
+    os.makedirs(f"{root}/data/.snapshot=1.compact/bucket=0", exist_ok=True)
+    with open(f"{root}/data/.snapshot=1.compact/bucket=0/part-0.parquet",
+              "wb") as f:
+        f.write(b"x" * 128)
+    # crashed append: data dir with no lineage commit
+    os.makedirs(f"{root}/data/snapshot=99/bucket=0", exist_ok=True)
+    with open(f"{root}/data/snapshot=99/bucket=0/part-0.parquet",
+              "wb") as f:
+        f.write(b"y" * 256)
+    # committer residue inside a committed snapshot
+    os.makedirs(f"{root}/data/snapshot=1/_temporary/0", exist_ok=True)
+    with open(f"{root}/data/snapshot=1/_SUCCESS", "w"):
+        pass
+    # half-written lineage metadata
+    with open(f"{root}/_lineage/.snapshot=7.json.tmp", "w") as f:
+        f.write("{")
+
+
+def test_remove_orphans_sweeps_debris_only(table):
+    import os
+
+    before = _rows(table.load())
+    _mk_orphans(table)
+    # uncommitted snapshot=99 must be invisible to load() already
+    assert _rows(table.load()) == before
+    stats = table.remove_orphans()
+    # 5 planted debris entries + the committer residue (_SUCCESS/.crc)
+    # Spark's local writer leaves in every ordinary snapshot dir
+    assert stats["orphans_removed"] >= 5
+    assert stats["orphan_bytes"] >= 128 + 256
+    root = table.root
+    assert not os.path.exists(f"{root}/data/.snapshot=1.compact")
+    assert not os.path.exists(f"{root}/data/snapshot=99")
+    assert not os.path.exists(f"{root}/data/snapshot=1/_temporary")
+    assert not os.path.exists(f"{root}/data/snapshot=1/_SUCCESS")
+    assert not os.path.exists(f"{root}/_lineage/.snapshot=7.json.tmp")
+    # committed data untouched, resume state intact
+    assert _rows(table.load()) == before
+    assert table.snapshots() == [1, 2]
+
+
+def test_remove_orphans_age_guard(table):
+    import os
+
+    _mk_orphans(table)
+    # everything just created → a 1h age guard removes nothing
+    stats = table.remove_orphans(older_than_s=3600)
+    assert stats["orphans_removed"] == 0
+    assert os.path.exists(f"{table.root}/data/snapshot=99")
+    # and a zero guard then sweeps it
+    assert table.remove_orphans()["orphans_removed"] >= 5
+
+
+def test_expire_squashes_and_sweeps(table, spark):
+    import os
+
+    table.append(spark.createDataFrame(BATCH_3, COLS))
+    _mk_orphans(table)
+    before = _rows(table.load())
+    stats = table.expire(keep_last=1)
+    assert stats["squashed"] == 2 and stats["base_id"] == 2
+    assert stats["orphans_removed"] >= 4  # squash removed lineage=1 →
+    # snapshot=1's residue dirs were inside a dir squash deleted, or
+    # swept here; the uncommitted + tmp debris must be gone regardless
+    root = table.root
+    assert not os.path.exists(f"{root}/data/snapshot=99")
+    assert not os.path.exists(f"{root}/_lineage/.snapshot=7.json.tmp")
+    assert _rows(table.load()) == before
+    assert table.snapshots() == [2, 3]

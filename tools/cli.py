@@ -116,6 +116,8 @@ def main() -> int:
     p_exp.add_argument("--snapshot", required=True,
                        help="snapshot table root")
     p_exp.add_argument("--keep-last", type=int, default=5)
+    p_exp.add_argument("--no-orphan-sweep", action="store_true",
+                       help="skip the remove_orphan_files-style sweep")
 
     p_bm25 = sub.add_parser(
         "bm25",
@@ -476,8 +478,9 @@ def main() -> int:
 
         from search_spark.io.snapshots import SnapshotTable
 
-        stats = SnapshotTable(spark, args.snapshot).squash_snapshots(
-            keep_last=args.keep_last
+        stats = SnapshotTable(spark, args.snapshot).expire(
+            keep_last=args.keep_last,
+            sweep_orphans=not args.no_orphan_sweep,
         )
         print(_json.dumps(stats))
     elif args.cmd == "compact":
