@@ -176,24 +176,60 @@ _NQ_PATTERN = (
     r'^(<[^>]*>)\s+(<[^>]*>)\s+"((?:[^"\\]|\\.)*)"(?:\s+(<[^>]*>))?\s*\.\s*$'
 )
 
+# same productions with an IRI object (legal N-Triples the engine's own
+# exporter never emits — its object column is always a literal — but
+# external documents routinely carry; ADVICE r4)
+_NQ_PATTERN_IRI_OBJ = (
+    r'^(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>)(?:\s+(<[^>]*>))?\s*\.\s*$'
+)
+
+
+def _iri_obj_value(col: Column, base: str) -> Column:
+    """Object-position IRI → the engine's object string: engine-minted
+    entity IRIs decode back to their surface form (lossless round-trip
+    with :func:`to_nquad_lines` should an entity-valued object ever be
+    exported); foreign IRIs keep their full text (brackets stripped) —
+    no information is silently dropped either way."""
+    prefix = f"<{base}entity/"
+    return F.when(
+        col.startswith(prefix), _iri_value(col, "entity", base)
+    ).otherwise(col.substr(F.lit(2), F.length(col) - 2))
+
 
 def read_ntriples(
     spark: SparkSession, path: str, base: str = DEFAULT_BASE
 ) -> DataFrame:
     """Parse N-Quads/N-Triples text back to ``(subj, pred, obj, prov)``
     (``prov`` NULL for plain triples). Pure JVM regex over the text scan
-    — the same plan shape as the MeSH vocabulary reader."""
+    — the same plan shape as the MeSH vocabulary reader. Both object
+    productions parse: quoted literals (the engine's own export shape)
+    and IRIs (external documents; engine-minted entity IRIs decode to
+    their surface form, foreign IRIs pass through as their text)."""
     lines = spark.read.text(path)
-    parsed = lines.select(
+    lit = lines.select(
         F.regexp_extract("value", _NQ_PATTERN, 1).alias("s_iri"),
         F.regexp_extract("value", _NQ_PATTERN, 2).alias("p_iri"),
         F.regexp_extract("value", _NQ_PATTERN, 3).alias("o_lit"),
         F.regexp_extract("value", _NQ_PATTERN, 4).alias("g_iri"),
-    ).filter(F.col("s_iri") != "")
-    return parsed.select(
+    ).filter(F.col("s_iri") != "").select(
+        "s_iri", "p_iri",
+        _unescape_literal(F.col("o_lit")).alias("obj"),
+        "g_iri",
+    )
+    iri = lines.select(
+        F.regexp_extract("value", _NQ_PATTERN_IRI_OBJ, 1).alias("s_iri"),
+        F.regexp_extract("value", _NQ_PATTERN_IRI_OBJ, 2).alias("p_iri"),
+        F.regexp_extract("value", _NQ_PATTERN_IRI_OBJ, 3).alias("o_iri"),
+        F.regexp_extract("value", _NQ_PATTERN_IRI_OBJ, 4).alias("g_iri"),
+    ).filter(F.col("s_iri") != "").select(
+        "s_iri", "p_iri",
+        _iri_obj_value(F.col("o_iri"), base).alias("obj"),
+        "g_iri",
+    )
+    return lit.unionByName(iri).select(
         _iri_value(F.col("s_iri"), "entity", base).alias("subj"),
         _iri_value(F.col("p_iri"), "pred", base).alias("pred"),
-        _unescape_literal(F.col("o_lit")).alias("obj"),
+        F.col("obj"),
         F.when(
             F.col("g_iri") != "",
             _iri_value(F.col("g_iri"), "prov", base),

@@ -161,28 +161,43 @@ def load_weights_json(path: str) -> dict:
 def weights_row(spark, parquet_path: str, feature_order) -> DataFrame:
     """Read the ``(feature, weight)`` parquet table and fold it to ONE row
     ``(_w: array<double>, _b: double)`` in ``feature_order`` — the shape
-    the broadcast cross-join scorer consumes. The fold is a tiny Spark
-    job over the weight *table* (the artifact ships as data, not code)."""
-    w = spark.read.parquet(parquet_path)
-    order = {name: i for i, name in enumerate(feature_order)}
-    mapping = F.create_map(
-        *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
-    )
-    arr = (
-        w.filter(F.col("feature") != "__bias__")
-        .withColumn("_idx", mapping[F.col("feature")])
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_idx", "weight"))
-            ).alias("_s")
+    the broadcast cross-join scorer consumes. The artifact ships as data
+    (a parquet table), read through Spark; the fold itself is a
+    config-sized driver collect (one row per feature) so it can
+    **validate against artifact drift** instead of silently emitting
+    NULL scores (ADVICE r4): a parquet feature absent from
+    ``feature_order``, a ``feature_order`` name missing from the
+    parquet, a duplicated feature row, or a missing ``__bias__`` row all
+    raise with the exact delta."""
+    order = list(feature_order)
+    rows = spark.read.parquet(parquet_path).collect()
+    seen: dict[str, float] = {}
+    dupes = set()
+    for r in rows:
+        name = r["feature"]
+        if name in seen:
+            dupes.add(name)
+        seen[name] = float(r["weight"])
+    if dupes:
+        raise ValueError(
+            f"weights_row({parquet_path}): duplicated feature rows "
+            f"{sorted(dupes)}"
         )
-        .select(F.transform("_s", lambda s: s["weight"]).alias("_w"))
+    if "__bias__" not in seen:
+        raise ValueError(
+            f"weights_row({parquet_path}): no __bias__ row in artifact"
+        )
+    unknown = sorted(set(seen) - {"__bias__"} - set(order))
+    missing = sorted(set(order) - set(seen))
+    if unknown or missing:
+        raise ValueError(
+            f"weights_row({parquet_path}): artifact drift vs "
+            f"feature_order — unknown={unknown}, missing={missing}"
+        )
+    return spark.createDataFrame(
+        [([seen[f] for f in order], seen["__bias__"])],
+        "_w array<double>, _b double",
     )
-    bias = w.filter(F.col("feature") == "__bias__").select(
-        F.col("weight").alias("_b")
-    )
-    return arr.crossJoin(bias)
 
 
 def score_mentions_linear(
@@ -239,12 +254,31 @@ class LinearREModel:
         self.symbols: dict[str, tuple[str, str]] = {}
 
     def predict_probs_batch(self, annotated):
+        import re
+
         import numpy as np
         import pandas as pd
 
         s = annotated.astype(str)
-        subj = s.str.extract(r"\[\[ (.*?) \]\]", expand=False).fillna("")
-        obj = s.str.extract(r"<< (.*?) >>", expand=False).fillna("")
+        # Anchoring guard (ADVICE r4): the feature recovery below reads
+        # the spans back out of the annotation delimiters — if a raw
+        # sentence itself contains a delimiter sequence (or a span is
+        # missing), extraction would silently yield wrong features.
+        # Require each delimiter pair exactly once per row instead.
+        for d in ("[[ ", " ]]", "<< ", " >>"):
+            bad = s.str.count(re.escape(d)) != 1
+            if bad.any():
+                example = s[bad].iloc[0]
+                raise ValueError(
+                    "LinearREModel: annotated sentence must contain "
+                    f"delimiter {d!r} exactly once; offending row: "
+                    f"{example[:200]!r}"
+                )
+        # (?s): spans may contain newlines — '.*?' must cross them
+        subj = s.str.extract(
+            r"(?s)\[\[ (.*?) \]\]", expand=False
+        ).fillna("")
+        obj = s.str.extract(r"(?s)<< (.*?) >>", expand=False).fillna("")
         s_pos = s.str.find("[[ ").to_numpy()
         o_pos = s.str.find("<< ").to_numpy()
         s_len = subj.str.len().to_numpy()

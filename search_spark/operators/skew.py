@@ -66,3 +66,52 @@ def salted_count_sum(
     if value_col is not None:
         final_aggs.append(F.sum("_s").alias("sum_value"))
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_equi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    n_salt: int = DEFAULT_N_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join of a head-skewed probe stream against a
+    unique-per-key build table too big to broadcast.
+
+    The shuffled-join failure mode for head entities: every probe row
+    carrying the hot key hashes to ONE reducer, so the join runs at the
+    speed of its worst key. AQE's skew-join splitting
+    (``OptimizeSkewedJoin``) fixes this at runtime by splitting the
+    oversized probe partition and replicating the matching build
+    partition — when it fires. This operator is the explicit,
+    plan-guaranteed form of the same trade for the joins where a
+    straggler is not acceptable (the canonicalization mapping join on a
+    web-scale vocabulary — north rule: "salted, url-hash-partitioned
+    ... explicit skew handling for head entities"):
+
+    * probe rows get a uniform salt in ``[0, n_salt)`` (hash of a
+      per-row id — which rows share a salt never affects the result),
+    * the build side replicates ``n_salt``× via ``explode`` (the same
+      replication OptimizeSkewedJoin performs, paid explicitly),
+    * the join key becomes ``(on, _salt)``, so a hot key's rows spread
+      over ``n_salt`` reducers.
+
+    ``build`` must be unique per ``on`` (a mapping/dimension table —
+    duplicates would duplicate probe rows, same as any equi-join).
+    ``how`` supports ``inner``/``left``. Cost: build-side shuffle bytes
+    ×``n_salt`` — keep ``n_salt`` at tens, sized to the straggler ratio,
+    not hundreds.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join: unsupported how={how!r}")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    salted_probe = probe.withColumn("_salt", salt)
+    replicated = build.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+        ),
+    )
+    return salted_probe.join(
+        replicated, on=[on, "_salt"], how=how
+    ).drop("_salt")

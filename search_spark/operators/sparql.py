@@ -171,20 +171,33 @@ _ARITH_OPS = ("+", "-", "*", "/")
 
 
 def _source_nonempty(path: str) -> bool:
-    """True when a LOAD source holds any bytes (file, or any file under a
-    directory) — used to distinguish a legitimately-empty document from a
-    format/suffix mismatch that parsed zero quads."""
+    """True when a LOAD source holds any *content* line — non-blank and
+    not a ``#`` comment (file, or any file under a directory). Used to
+    distinguish a legitimately quad-free document (empty, or
+    comments/blank lines only — both valid N-Triples that must LOAD as
+    zero inserts) from a format/suffix mismatch that parsed zero quads
+    out of real statements (ADVICE r4)."""
     import os
+
+    def _file_has_content(p: str) -> bool:
+        try:
+            with open(p, encoding="utf-8", errors="replace") as f:
+                return any(
+                    line.strip() and not line.lstrip().startswith("#")
+                    for line in f
+                )
+        except OSError:
+            return False
 
     try:
         if os.path.isdir(path):
             return any(
-                os.path.getsize(os.path.join(dp, f)) > 0
+                _file_has_content(os.path.join(dp, f))
                 for dp, _, fs in os.walk(path)
                 for f in fs
                 if not f.startswith((".", "_"))
             )
-        return os.path.getsize(path) > 0
+        return _file_has_content(path)
     except OSError:
         return False
 

@@ -8227,7 +8227,17 @@ def _q_learned_relation_extract(spark, sf_dir):
     geometry (operators/linear_models.py RE_FEATURES), JVM path: pairs
     from the ordered co-sentence self-join, weights broadcast, logit +
     argmax as codegen. ``pred`` is the model's argmax class (ties to the
-    positive class, matching the Arrow path's ``idxmax``)."""
+    positive class, matching the Arrow path's ``idxmax``).
+
+    Feature-domain note (ADVICE r4): this doc-query mention stream
+    carries TOKEN positions (``s_tpos``/``o_tpos``), which feed the
+    ``gap_chars``/span-length features in token units rather than the
+    char geometry the weights were trained on — so this query checks
+    cross-engine parity of the full scoring PLAN (features → broadcast
+    weights → logit → argmax, mirrored exactly by the DuckDB oracle),
+    not model-quality semantics. The char-domain inference path is
+    exercised end-to-end by ``kg_pipeline_learned``, whose mention
+    stream has real char offsets."""
     from search_spark.operators import linear_models as lm
 
     m = _doc_mentions(spark, sf_dir)

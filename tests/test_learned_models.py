@@ -127,7 +127,6 @@ def test_linear_re_model_contract():
     assert model.classes == [SAME, DIFF]
     annotated = pd.Series([
         "The [[ Glucose ]] rises with << Gene2 >> daily.",
-        "Some << Insulin ]] like [[ Insulin ]] and << Insulin >> x.",
     ])
     probs = model.predict_probs_batch(annotated)
     assert list(probs.columns) == [SAME, DIFF]
@@ -135,6 +134,29 @@ def test_linear_re_model_contract():
     # row 0: Glucose vs Gene2 — same first letter, model trained on the
     # first-letter rule must say SAME
     assert probs.iloc[0][SAME] > 0.5
+
+
+def test_linear_re_model_rejects_ambiguous_delimiters():
+    """ADVICE r4: a row whose text collides with the annotation
+    delimiters must FAIL extraction loudly, not silently score wrong
+    features."""
+    import pytest
+
+    model = next(iter(lm.linear_re_registry().values()))
+    bad = pd.Series([
+        "Some << Insulin ]] like [[ Insulin ]] and << Insulin >> x.",
+    ])
+    with pytest.raises(ValueError, match="exactly once"):
+        model.predict_probs_batch(bad)
+
+
+def test_linear_re_model_newline_span():
+    """(?s) extraction: spans containing newlines recover exactly."""
+    model = next(iter(lm.linear_re_registry().values()))
+    probs = model.predict_probs_batch(pd.Series([
+        "A [[ Gluc\nose ]] near << Gene2 >> end.",
+    ]))
+    assert np.allclose(probs.sum(axis=1), 1.0)
 
 
 def test_linear_re_model_feature_recovery():

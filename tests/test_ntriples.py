@@ -188,3 +188,57 @@ def test_turtle_roundtrip_random_nasty_strings(spark, tmp_path):
         (r.subj, r.pred, r.obj) for r in read_turtle(spark, out).collect()
     }
     assert back == rows
+
+
+def test_read_ntriples_iri_objects_and_comments(spark, tmp_path):
+    """ADVICE r4: IRI-object triples are legal N-Triples and must parse
+    (engine entity IRIs decode, foreign IRIs keep their text); comment/
+    blank-only documents are legal zero-quad sources."""
+    from search_spark.io.ntriples import DEFAULT_BASE, read_ntriples
+
+    p = tmp_path / "mixed.nt"
+    p.write_text(
+        "# a comment line\n"
+        "\n"
+        f'<{DEFAULT_BASE}entity/Alice> <{DEFAULT_BASE}pred/knows> '
+        f"<{DEFAULT_BASE}entity/Bob> .\n"
+        f'<{DEFAULT_BASE}entity/Alice> <{DEFAULT_BASE}pred/site> '
+        "<http://example.org/a?x=1> .\n"
+        f'<{DEFAULT_BASE}entity/Alice> <{DEFAULT_BASE}pred/name> '
+        '"alice" .\n'
+    )
+    rows = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in read_ntriples(spark, str(p)).collect()
+    )
+    assert rows == [
+        ("Alice", "knows", "Bob"),
+        ("Alice", "name", "alice"),
+        ("Alice", "site", "http://example.org/a?x=1"),
+    ]
+
+
+def test_sparql_load_comment_only_source_is_zero_inserts(spark, tmp_path):
+    """A non-empty but comment/blank-only N-Triples document LOADs
+    successfully with zero inserts (no format-mismatch error)."""
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.operators.sparql import sparql_update
+
+    src = tmp_path / "comments.nt"
+    src.write_text("# only comments here\n\n# more\n")
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    res = sparql_update(table, f"LOAD <file://{src}>")
+    assert res["n_rows"] == 0
+
+
+def test_sparql_load_garbage_still_errors(spark, tmp_path):
+    from search_spark.io.snapshots import SnapshotTable
+    from search_spark.operators.sparql import SparqlError, sparql_update
+
+    src = tmp_path / "garbage.nt"
+    src.write_text("this is not ntriples at all\n")
+    table = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    import pytest as _pytest
+
+    with _pytest.raises(SparqlError):
+        sparql_update(table, f"LOAD <file://{src}>")
