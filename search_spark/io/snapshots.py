@@ -217,6 +217,16 @@ class SnapshotTable:
             "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets))
         )
         path = f"{self.root}/data/snapshot={snapshot_id}"
+        # self-healing commit protocol: a crash between the data write
+        # and the lineage-JSON rename leaves an UNCOMMITTED dir at
+        # exactly this id (the commit point is the rename; snapshots()
+        # never saw it). A restart must overwrite that debris, not
+        # error on it — the kill/rerun resumability path
+        # (tools/resume_probe.py). Committed ids can never be hit here
+        # (snapshot_id > every committed id by construction).
+        for debris in (path, f"{self.root}/processed/snapshot={snapshot_id}"):
+            if os.path.isdir(debris):
+                shutil.rmtree(debris)
         bucketed.write.partitionBy("bucket").mode("errorifexists").parquet(path)
         if processed_keys is not None:
             processed_keys.select("url").distinct().write.mode(

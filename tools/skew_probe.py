@@ -130,7 +130,34 @@ def main() -> int:
         datagen.generate_kg_triples(
             spark, n_triples, seed=42, partitions=128
         ).write.parquet(kg_path)
-    triples = spark.read.parquet(kg_path)
+    # The stress KG's zipf head (u**2) concentrates ~0.1% of rows on the
+    # top entity — skewed for aggregation variance but not enough to
+    # single out a join reducer. Head entities at web scale are far
+    # hotter (the engine's own doc corpus puts ~40% of mentions on one
+    # entity — datagen.HEAD_ENTITIES), so the probe table deterministically
+    # remaps ``hot_frac`` of all subjects onto one head entity: the
+    # worst-key regime where one reducer would receive hot_frac of the
+    # probe side.
+    hot_frac = float(os.environ.get("SPARK_GRAFT_SKEW_HOT", "0.3"))
+    hot_path = f"/tmp/skew_kg_{n_triples}_h{int(hot_frac * 100)}"
+    if not os.path.isdir(hot_path):
+        base = spark.read.parquet(kg_path)
+        (
+            base.withColumn(
+                "_u",
+                (F.pmod(F.xxhash64("subj", "obj"), F.lit(10_000)))
+                / 10_000.0,
+            )
+            .withColumn(
+                "subj",
+                F.when(F.col("_u") < hot_frac, F.lit("e0")).otherwise(
+                    F.col("subj")
+                ),
+            )
+            .drop("_u")
+            .write.parquet(hot_path)
+        )
+    triples = spark.read.parquet(hot_path)
     edges = triples.filter(F.col("pred") == "linked_to").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
@@ -236,6 +263,7 @@ def main() -> int:
         ),
         "n_triples": n_triples,
         "n_entities": n_entities,
+        "hot_key_fraction": hot_frac,
         "cpus": cpus,
         "method": (
             "autoBroadcastJoinThreshold=-1 (forced shuffle join, the "
