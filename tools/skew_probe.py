@@ -10,12 +10,18 @@ web scale the vocabulary doesn't broadcast, which is exactly when head
 skew bites), and measures the per-task run-time distribution of the
 join stage under three treatments:
 
-* ``aqe_skew_on``  — the engine default (OptimizeSkewedJoin splits the
-  oversized partitions at runtime),
-* ``aqe_skew_off`` — the straggler baseline,
-* ``salted``       — the explicit mitigation
+* ``shuffled_aqe_skew_on``  — both sides freshly shuffled (the one
+  shape OptimizeSkewedJoin can split) with the trigger threshold scaled
+  to the sandbox's partition sizes; the finalized plan's ``skew=true``
+  marker is recorded,
+* ``shuffled_aqe_skew_off`` — the straggler baseline,
+* ``cached_*_aqe_skew_on``  — the ENGINE's real shape (persisted
+  mapping / rank state): no shuffle stage on the cached side means the
+  rule can never fire, whatever the thresholds — recorded as the
+  honest negative that motivates the explicit operator,
+* ``salted``                — the explicit mitigation
   (operators/skew.salted_equi_join: probe salt + build replication),
-  plan-guaranteed rather than threshold-dependent.
+  plan-guaranteed in every shape, including the cached one.
 
 Per variant: wall, rows, and the join stage's task-time quantiles
 (p05/p50/p95/max from the UI REST ``taskSummary``) plus max/median —
@@ -162,20 +168,44 @@ def main() -> int:
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
 
-    # vocabulary-sized build sides, derived once and pinned
-    mapping = (
-        triples.select(F.col("subj").alias("entity"))
-        .union(triples.select(F.col("obj").alias("entity")))
-        .distinct()
-        .select(
-            "entity",
-            F.concat(
-                F.lit("c"), F.pmod(F.xxhash64("entity"), F.lit(100_000))
-            ).alias("component"),
+    # vocabulary-sized build sides. TWO physical shapes of the same
+    # mapping, because they behave differently under OptimizeSkewedJoin:
+    # * mapping_scan — written to parquet and re-read, so the join plans
+    #   Scan->Exchange->Sort on BOTH sides: the shuffle-stage pattern
+    #   AQE's skew rule requires;
+    # * mapping (cached) — the ENGINE's real shape (canonical mapping /
+    #   rank state is persisted and often pre-partitioned): the cached
+    #   side has NO shuffle stage for the rule to replicate, so AQE
+    #   skew-splitting can never fire there, whatever the thresholds.
+    mapping_path = f"/tmp/skew_mapping_{n_triples}_h{int(hot_frac * 100)}"
+    if not os.path.isdir(mapping_path):
+        (
+            triples.select(F.col("subj").alias("entity"))
+            .union(triples.select(F.col("obj").alias("entity")))
+            .distinct()
+            .select(
+                "entity",
+                F.concat(
+                    F.lit("c"),
+                    F.pmod(F.xxhash64("entity"), F.lit(100_000)),
+                ).alias("component"),
+            )
+            .write.parquet(mapping_path)
         )
+    mapping_scan = spark.read.parquet(mapping_path)
+    mapping = mapping_scan.persist()
+    n_entities = mapping.count()
+    # pre-partitioned cached mapping: hash-clustered on the join key and
+    # persisted — the co-partitioned loop-state shape (graph.py pagerank
+    # big_state regime). EnsureRequirements inserts NO exchange above
+    # it, so there is no shuffle stage for OptimizeSkewedJoin to split:
+    # the rule can never fire on this side, whatever the thresholds.
+    mapping_prepart = (
+        mapping_scan.withColumnRenamed("entity", "subj")
+        .repartition(2 * cpus, "subj")
         .persist()
     )
-    n_entities = mapping.count()
+    mapping_prepart.count()
     e = edges.distinct().persist()
     outdeg = e.groupBy(F.col("src").alias("entity")).agg(
         F.count(F.lit(1)).alias("od")
@@ -189,10 +219,23 @@ def main() -> int:
     ).persist()
     ranks.count()
 
-    def canon_join_plain():
+    def canon_join_shuffled():
+        return triples.join(
+            mapping_scan.withColumnRenamed("entity", "subj"), on="subj"
+        ).select("component", "pred", "obj")
+
+    def canon_join_cached():
+        # unpartitioned cache: the join still inserts an exchange above
+        # the cached scan, so the skew rule CAN fire here — recorded to
+        # show the boundary is the cached LAYOUT, not caching itself
         return triples.join(
             mapping.withColumnRenamed("entity", "subj"), on="subj"
         ).select("component", "pred", "obj")
+
+    def canon_join_prepart():
+        return triples.join(mapping_prepart, on="subj").select(
+            "component", "pred", "obj"
+        )
 
     def canon_join_salted():
         return salted_equi_join(
@@ -202,7 +245,21 @@ def main() -> int:
             n_salt=32,
         ).select("component", "pred", "obj")
 
-    def contrib_join_plain():
+    def contrib_join_shuffled():
+        return (
+            e_od.join(
+                mapping_scan.select(
+                    F.col("entity"),
+                    F.lit(1.0 / n_entities).alias("rank"),
+                ),
+                e_od["src"] == F.col("entity"),
+            )
+            .select("dst", (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+
+    def contrib_join_cached():
         return (
             e_od.join(ranks, e_od["src"] == ranks["entity"])
             .select("dst", (F.col("rank") / F.col("od")).alias("c"))
@@ -222,17 +279,21 @@ def main() -> int:
 
     cases = {
         "canonicalize_mapping_join": {
-            "aqe_skew_on": (canon_join_plain, True),
-            "aqe_skew_off": (canon_join_plain, False),
+            "shuffled_aqe_skew_on": (canon_join_shuffled, True),
+            "shuffled_aqe_skew_off": (canon_join_shuffled, False),
+            "cached_mapping_aqe_skew_on": (canon_join_cached, True),
+            "prepartitioned_state_aqe_skew_on": (canon_join_prepart, True),
             "salted": (canon_join_salted, False),
         },
         "pagerank_contribution_join": {
-            "aqe_skew_on": (contrib_join_plain, True),
-            "aqe_skew_off": (contrib_join_plain, False),
+            "shuffled_aqe_skew_on": (contrib_join_shuffled, True),
+            "shuffled_aqe_skew_off": (contrib_join_shuffled, False),
+            "cached_state_aqe_skew_on": (contrib_join_cached, True),
             "salted": (contrib_join_salted, False),
         },
     }
 
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "2"))
     results = {}
     for join_name, variants in cases.items():
         results[join_name] = {}
@@ -240,19 +301,44 @@ def main() -> int:
             spark.conf.set(
                 "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
             )
-            before = {s["stageId"] for s in _stages(port, app_id)}
-            t0 = time.time()
-            n_rows = fn().count()
-            wall = round(time.time() - t0, 2)
-            metrics = _join_stage_metrics(port, app_id, before)
-            results[join_name][var_name] = {
-                "wall_sec": wall,
-                "n_rows": n_rows,
-                **metrics,
-            }
+            # OptimizeSkewedJoin's absolute trigger
+            # (skewedPartitionThresholdInBytes, default 256M) is sized
+            # for production partitions; the sandbox's hot partition is
+            # ~60MB, so scale the trigger proportionally (hot ≈ 4× the
+            # 16M threshold, exactly the shape of a 1-GB-hot-partition
+            # cluster run against the 256M default). aqe_skew_off keeps
+            # the splitting disabled outright, so these only shape the
+            # ON variant.
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "16MB" if skew_on else "256MB",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "8MB" if skew_on else "64MB",
+            )
+            best = None
+            n_rows = 0
+            for _ in range(reps):
+                df = fn()
+                before = {s["stageId"] for s in _stages(port, app_id)}
+                t0 = time.time()
+                # rdd.count() executes df's OWN query execution, so the
+                # finalized adaptive plan is inspectable afterwards
+                n_rows = df.rdd.count()
+                wall = round(time.time() - t0, 2)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                metrics = _join_stage_metrics(port, app_id, before)
+                metrics["skew_split_fired"] = "skew=true" in plan
+                if best is None or wall < best["wall_sec"]:
+                    best = {"wall_sec": wall, "n_rows": n_rows, **metrics}
+            results[join_name][var_name] = best
             print(
-                f"# {join_name}/{var_name}: {wall}s, "
-                f"max/med={metrics.get('straggler_ratio_max_over_median')}",
+                f"# {join_name}/{var_name}: {best['wall_sec']}s, "
+                f"max/med="
+                f"{best.get('straggler_ratio_max_over_median')}, "
+                f"split={best.get('skew_split_fired')}",
                 file=sys.stderr, flush=True,
             )
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -266,10 +352,17 @@ def main() -> int:
         "hot_key_fraction": hot_frac,
         "cpus": cpus,
         "method": (
-            "autoBroadcastJoinThreshold=-1 (forced shuffle join, the "
-            "non-broadcastable-vocabulary regime); per-variant join-stage "
-            "task-time quantiles from UI REST taskSummary; salted = "
-            "operators/skew.salted_equi_join n_salt=32"
+            "min-of-reps walls; autoBroadcastJoinThreshold=-1 (forced "
+            "shuffle join, the non-broadcastable-vocabulary regime); "
+            "shuffled_* variants join the parquet-scan mapping (both "
+            "sides shuffle - the shape AQE skew-split supports; "
+            "thresholds scaled: 16MB trigger / 8MB advisory vs the "
+            "~60MB hot partition); cached_* variants join the persisted "
+            "mapping/state (the engine's real shape - no shuffle stage "
+            "to split, rule can never fire); per-variant join-stage "
+            "task-time quantiles from UI REST taskSummary; "
+            "skew_split_fired read from the finalized adaptive plan; "
+            "salted = operators/skew.salted_equi_join n_salt=32"
         ),
         "joins": results,
     }
