@@ -139,8 +139,7 @@ def connected_components(
     mapped to its component representative (the lexicographic minimum).
 
     The distributed path: each iteration materializes via
-    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py) (cuts lineage) and the loop's shuffle width adapts
+    ``checkpoints.truncate`` (cuts lineage) and the loop's shuffle width adapts
     to the live edge count — a billion-edge alias graph gets hundreds of
     partitions, the sandbox's tiny graph gets one, so driver-loop overhead
     stays proportional to the data. Convergence test: (count, hash-sum)

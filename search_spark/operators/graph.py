@@ -98,8 +98,7 @@ def pagerank(
     join so the *edge table never reshuffles* when the state fits the
     session's broadcast threshold. The dangling total is a 1-row
     aggregate joined via broadcast-nested-loop; lineage is truncated with
-    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py) every ``checkpoint_every`` rounds. Nothing except
+    ``checkpoints.truncate`` every ``checkpoint_every`` rounds. Nothing except
     the O(1) vocabulary count crosses the driver.
 
     ``init_ranks`` warm-starts the iteration (incremental recompute after
@@ -287,8 +286,7 @@ def personalized_pagerank(
     dangling mass ``D`` also returns to the seeds. Ranks sum to 1;
     vertices unreachable from the seed set get exactly 0. The plan is
     the same join-aggregate loop as :func:`pagerank` (vocabulary-sized
-    state, gate-broadcast joins, per-round ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py)); small
+    state, gate-broadcast joins, per-round ``checkpoints.truncate``); small
     graphs short-circuit to a driver power iteration with identical
     double math. Returns ``(entity, rank)``.
     """
@@ -856,8 +854,7 @@ def hits(
     each normalizer is a 1-row aggregate broadcast into the update (no
     driver round-trip); per-iteration state is one row per entity
     (vocabulary-sized). Lineage is truncated per round with
-    ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py) — same loop discipline as :func:`pagerank`.
+    ``checkpoints.truncate`` — same loop discipline as :func:`pagerank`.
 
     Returns ``(entity, authority, hub)`` rounded to 6 dp.
     """
@@ -985,8 +982,7 @@ def label_propagation(
     (entity, label) row per vertex — vocabulary-sized, like PageRank's
     rank vector — so ``joins.maybe_broadcast`` keeps the adjacency
     table from reshuffling whenever the label vector fits the broadcast
-    threshold; lineage truncates per round with ``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py).
+    threshold; lineage truncates per round with ``checkpoints.truncate``.
 
     Returns ``(entity, community)`` for every vertex of the edge set;
     vertices with no non-self neighbor keep their own label.
@@ -1080,8 +1076,7 @@ def kcore_peel(
     Per-round plan: one degree aggregation (map-side partial combine)
     plus two semi-joins restricting the edge set to surviving endpoints
     — all hash-partitioned on the vertex key; the edge set only ever
-    shrinks, and lineage truncates per round (``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py)).
+    shrinks, and lineage truncates per round (``checkpoints.truncate``).
     """
     alive = (
         edges.select(
@@ -1152,8 +1147,7 @@ def bfs_distances(
     first-discovery distances. State is one int per *reached* vertex —
     vocabulary-sized — while the edge table is hash-partitioned on ``src``
     once and persisted, so each round reuses its shuffle instead of
-    rescanning; lineage truncates per round (``checkpoints.truncate`` (strategy-switchable: localCheckpoint or
-    reliable file checkpoint — see search_spark/checkpoints.py)), the
+    rescanning; lineage truncates per round (``checkpoints.truncate``), the
     same loop discipline as :func:`pagerank` and the connected-components
     canonicalizer. Expanding only the newly-discovered frontier keeps the
     per-round join |frontier| × outdeg, not |reached| × outdeg.
