@@ -232,9 +232,12 @@ def test_mapping_join_survives_no_broadcast(spark):
     saved = {
         "spark.sql.autoBroadcastJoinThreshold":
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        # None when unset — restoring an unset conf to a made-up
+        # default would permanently enable runtime broadcast for the
+        # rest of the suite (found via test_skew_join in-suite failure)
         "spark.sql.adaptive.autoBroadcastJoinThreshold":
             spark.conf.get(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", None
             ),
     }
     try:
@@ -243,7 +246,10 @@ def test_mapping_join_survives_no_broadcast(spark):
         assert run() == baseline and len(baseline) > 0
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_flagship_large_vocabulary_completes_partitioned(spark):
@@ -269,7 +275,7 @@ def test_flagship_large_vocabulary_completes_partitioned(spark):
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
         "spark.sql.adaptive.autoBroadcastJoinThreshold":
             spark.conf.get(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", None
             ),
     }
     try:
@@ -286,7 +292,10 @@ def test_flagship_large_vocabulary_completes_partitioned(spark):
     finally:
         pages.unpersist()
         for key, v in saved.items():
-            spark.conf.set(key, v)
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
 
 
 def test_mapping_join_has_no_forced_broadcast_hint(spark):
@@ -302,7 +311,7 @@ def test_mapping_join_has_no_forced_broadcast_hint(spark):
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
         "spark.sql.adaptive.autoBroadcastJoinThreshold":
             spark.conf.get(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", None
             ),
     }
     try:
@@ -316,4 +325,7 @@ def test_mapping_join_has_no_forced_broadcast_hint(spark):
         assert "SortMergeJoin" in plan
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

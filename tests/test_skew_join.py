@@ -82,9 +82,14 @@ def test_aqe_skew_join_fires_on_head_key(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.coalescePartitions.enabled",
             "spark.sql.autoBroadcastJoinThreshold",
+            # AQE's RUNTIME broadcast threshold: if another test left it
+            # >0, AQE converts this SMJ to broadcast (no skew path at
+            # all) — pin it off so the test exercises the skew split
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
     }
     try:
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         conf.set(
@@ -106,4 +111,7 @@ def test_aqe_skew_join_fires_on_head_key(spark):
         assert "skew=true" in final, final[:2000]
     finally:
         for k, v in saved.items():
-            conf.set(k, v)
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
