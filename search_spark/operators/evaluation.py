@@ -392,21 +392,32 @@ def token_iob_stage_ngrams(
         {r["_len"] for r in pats.select("_len").distinct().collect()},
         reverse=True,
     )
+    # One window pass builds lead columns up to the LONGEST pattern;
+    # every length's candidate join (and the final tag join) derives
+    # from this persisted frame, so the token table is shuffled+sorted
+    # once total instead of once per distinct length (same
+    # loop-invariant-cache trade as bootstrap's pair-context table).
+    l_max = max(lengths) if lengths else 1
+    lead_frame = tokens.select(
+        "doc_id", F.col("tpos").alias("_start"),
+        F.col("tok").alias("_t0"),
+        *[
+            F.lead("tok", i)
+            .over(Window.partitionBy("doc_id").orderBy("tpos"))
+            .alias(f"_t{i}")
+            for i in range(1, l_max)
+        ],
+    )
+    if lengths:
+        lead_frame = lead_frame.persist()
     claimed = None  # (doc_id, tpos, _tag) accumulated over lengths
     for L in lengths:
         dim = pats.filter(F.col("_len") == L).select(
             *[F.col("_toks")[i].alias(f"_t{i}") for i in range(L)],
             "_etype",
         )
-        cand = tokens.select(
-            "doc_id", F.col("tpos").alias("_start"),
-            F.col("tok").alias("_t0"),
-            *[
-                F.lead("tok", i)
-                .over(Window.partitionBy("doc_id").orderBy("tpos"))
-                .alias(f"_t{i}")
-                for i in range(1, L)
-            ],
+        cand = lead_frame.select(
+            "doc_id", "_start", *[f"_t{i}" for i in range(L)]
         ).join(
             F.broadcast(dim), on=[f"_t{i}" for i in range(L)]
         ).groupBy("doc_id", "_start").agg(
@@ -494,11 +505,13 @@ def token_iob_stage_ngrams(
             ).alias("tpos"),
         ).select("doc_id", "tpos", iob.alias("_tag"))
         claimed = spans if claimed is None else claimed.unionByName(spans)
-    out = tokens.select(
-        "doc_id", "tpos", F.col("tok").alias("text")
-    )
     if claimed is None:
-        return out.withColumn("class", F.lit(not_entity_symbol))
+        return tokens.select(
+            "doc_id", "tpos", F.col("tok").alias("text")
+        ).withColumn("class", F.lit(not_entity_symbol))
+    out = lead_frame.select(
+        "doc_id", F.col("_start").alias("tpos"), F.col("_t0").alias("text")
+    )
     return out.join(claimed, on=["doc_id", "tpos"], how="left").select(
         "doc_id", "tpos", "text",
         F.coalesce("_tag", F.lit(not_entity_symbol)).alias("class"),
