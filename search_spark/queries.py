@@ -8229,29 +8229,54 @@ def _q_learned_relation_extract(spark, sf_dir):
     argmax as codegen. ``pred`` is the model's argmax class (ties to the
     positive class, matching the Arrow path's ``idxmax``).
 
-    Feature-domain note (ADVICE r4): this doc-query mention stream
-    carries TOKEN positions (``s_tpos``/``o_tpos``), which feed the
-    ``gap_chars``/span-length features in token units rather than the
-    char geometry the weights were trained on — so this query checks
-    cross-engine parity of the full scoring PLAN (features → broadcast
-    weights → logit → argmax, mirrored exactly by the DuckDB oracle),
-    not model-quality semantics. The char-domain inference path is
-    exercised end-to-end by ``kg_pipeline_learned``, whose mention
-    stream has real char offsets."""
+    Feature-domain note (ADVICE r4, resolved r5): the mention stream
+    here carries real CHAR offsets — ``cstart`` is a running window
+    sum of ``length(tok) + 1`` over the preceding tokens (the
+    whitespace-joined document geometry), ``cend = cstart +
+    length(mention)`` — so ``gap_chars`` and the span-length features
+    feed the trained weights in exactly the char domain they were
+    fitted on (the same geometry ``kg_pipeline_learned``'s pipeline
+    mention stream uses). Candidate pairing still windows on token
+    distance (REL_DISTANCE), as the pipeline does."""
+    from pyspark.sql import Window
+
     from search_spark.operators import linear_models as lm
 
-    m = _doc_mentions(spark, sf_dir)
+    wtok = Window.partitionBy("doc_id").orderBy("tpos")
+    gaz = spark.createDataFrame(DOC_GAZETTEER, ["pattern", "entity_type"])
+    m = (
+        _tokens(spark, sf_dir)
+        .withColumn(
+            "cstart",
+            F.coalesce(
+                F.sum(F.length("tok") + 1).over(
+                    wtok.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .join(F.broadcast(gaz), F.col("tok") == F.col("pattern"), "inner")
+        .filter(F.col("entity_type") != "NaE")
+        .select(
+            "doc_id", "tpos", F.col("tok").alias("mention"), "entity_type",
+            "cstart", (F.col("cstart") + F.length("tok")).alias("cend"),
+        )
+    )
     s = m.select(
         "doc_id",
         F.col("tpos").alias("s_tpos"),
         F.col("mention").alias("subj"),
         F.col("entity_type").alias("s_type"),
+        F.col("cstart").alias("s_cstart"),
+        F.col("cend").alias("s_cend"),
     )
     o = m.select(
         "doc_id",
         F.col("tpos").alias("o_tpos"),
         F.col("mention").alias("obj"),
         F.col("entity_type").alias("o_type"),
+        F.col("cstart").alias("o_cstart"),
+        F.col("cend").alias("o_cend"),
     )
     pairs = (
         s.join(o, on="doc_id")
@@ -8266,10 +8291,10 @@ def _q_learned_relation_extract(spark, sf_dir):
     feats = lm.re_feature_array({
         "s_mention": F.col("subj"),
         "o_mention": F.col("obj"),
-        "s_start": F.col("s_tpos"),
-        "s_end": F.col("s_tpos"),
-        "o_start": F.col("o_tpos"),
-        "o_end": F.col("o_tpos"),
+        "s_start": F.col("s_cstart"),
+        "s_end": F.col("s_cend"),
+        "o_start": F.col("o_cstart"),
+        "o_end": F.col("o_cend"),
     })
     return (
         pairs.join(F.broadcast(w))
@@ -8303,16 +8328,30 @@ def _sql_learned_relation_extract() -> str:
     feats = [
         "CASE WHEN lower(substr(s.mention, 1, 1)) ="
         " lower(substr(o.mention, 1, 1)) THEN 1.0 ELSE 0.0 END",
-        "CAST(greatest(s.tpos, o.tpos) - least(s.tpos, o.tpos) AS DOUBLE)"
-        " / 64.0",
+        "CAST(greatest(s.cstart, o.cstart) - least(s.cend, o.cend)"
+        " AS DOUBLE) / 64.0",
         "CAST(length(s.mention) AS DOUBLE) / 32.0",
         "CAST(length(o.mention) AS DOUBLE) / 32.0",
-        "CASE WHEN s.tpos < o.tpos THEN 1.0 ELSE 0.0 END",
+        "CASE WHEN s.cstart < o.cstart THEN 1.0 ELSE 0.0 END",
     ]
     terms = " + ".join(f"({wi!r}) * ({f})" for wi, f in zip(w, feats))
     z = f"(({terms}) + ({b!r}))"
+    # char-offset mentions: cstart = running sum of length(tok)+1 over
+    # the preceding tokens (whitespace-joined geometry), mirroring the
+    # Spark window exactly
+    mentions_c = (
+        f"WITH {_TOKS_SQL}, {_GAZ_SQL}, "
+        "toks_c AS (SELECT doc_id, tpos, tok,"
+        " COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
+        " ORDER BY tpos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        " 0) AS cstart FROM toks), "
+        "mentions AS (SELECT doc_id, tpos, tok AS mention, entity_type,"
+        " cstart, cstart + length(tok) AS cend"
+        " FROM toks_c JOIN gaz ON tok = pattern"
+        " WHERE entity_type <> 'NaE')"
+    )
     return f"""
-{_MENTIONS_SQL},
+{mentions_c},
 scored AS (
   SELECT s.doc_id, s.tpos AS s_tpos, o.tpos AS o_tpos,
          s.mention AS subj, o.mention AS obj,
