@@ -392,11 +392,13 @@ def token_iob_stage_ngrams(
         {r["_len"] for r in pats.select("_len").distinct().collect()},
         reverse=True,
     )
-    # One window pass builds lead columns up to the LONGEST pattern;
-    # every length's candidate join (and the final tag join) derives
-    # from this persisted frame, so the token table is shuffled+sorted
-    # once total instead of once per distinct length (same
-    # loop-invariant-cache trade as bootstrap's pair-context table).
+    # One lead-window frame built up to the LONGEST pattern feeds every
+    # length's candidate join and the final tag join. All branches then
+    # share an identical exchange subtree, so AQE reuses the single
+    # token-table shuffle (ReusedExchange) instead of re-shuffling per
+    # distinct length; deliberately NOT persisted — caching the full
+    # token table is a memory hazard at scale, while the reused shuffle
+    # stays in shuffle files and only the sort+lead re-run per branch.
     l_max = max(lengths) if lengths else 1
     lead_frame = tokens.select(
         "doc_id", F.col("tpos").alias("_start"),
@@ -408,8 +410,6 @@ def token_iob_stage_ngrams(
             for i in range(1, l_max)
         ],
     )
-    if lengths:
-        lead_frame = lead_frame.persist()
     claimed = None  # (doc_id, tpos, _tag) accumulated over lengths
     for L in lengths:
         dim = pats.filter(F.col("_len") == L).select(
