@@ -1182,3 +1182,130 @@ def bfs_distances(
         )
     e.unpersist()
     return dist.select("entity", F.col("dist").cast("int").alias("dist"))
+
+
+def multi_source_bfs(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Labeled BFS from every landmark at once: hop distances keyed by
+    ``(landmark, entity)``, bounded at ``max_hops``.
+
+    ``landmarks`` is a one-column DataFrame of starting entities; each
+    runs its own BFS, but all of them share ONE per-round frontier⋈edges
+    join — the landmark label just rides along in the state, so k
+    landmarks cost one loop, not k loops. Same loop discipline as
+    :func:`bfs_distances`: the edge table is hash-partitioned on ``src``
+    once and persisted (every round reuses its shuffle), the state is
+    one int per *(landmark, reached vertex)* pair — k × vocabulary-sized
+    at worst, still far smaller than the edge table — and lineage
+    truncates per round via ``checkpoints.truncate``. Only the newly
+    discovered frontier expands, keeping each round's join
+    |frontier| × outdeg.
+
+    Returns ``(landmark, entity, dist)`` for every vertex reachable
+    within ``max_hops`` directed hops of each landmark (the landmark
+    itself at distance 0).
+    """
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        landmarks.select(F.col(landmarks.columns[0]).alias("landmark"))
+        .distinct()
+        .select("landmark", F.col("landmark").alias("entity"))
+        .withColumn("dist", F.lit(0))
+        .transform(_ckpt(eager=True))
+    )
+    for k in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == k - 1).select(
+            "landmark", F.col("entity").alias("src")
+        )
+        reached = e.join(frontier, on="src").select(
+            "landmark", F.col("dst").alias("entity"), F.lit(k).alias("dist")
+        )
+        final = k == max_hops
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("landmark", "entity")
+            .agg(F.min("dist").alias("dist"))
+            # eager on the last round: the returned plan must not
+            # reference the edge cache unpersisted below
+            .transform(_ckpt(eager=final))
+        )
+    e.unpersist()
+    return dist.select(
+        "landmark", "entity", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def select_landmarks(edges: DataFrame, n_landmarks: int) -> DataFrame:
+    """The ``n_landmarks`` highest-out-degree vertices (distinct-neighbor
+    degree, ties by entity name ascending — deterministic). orderBy +
+    limit compiles to ``TakeOrderedAndProject`` over the
+    partial-aggregated degree table: a per-partition top-k merged on the
+    driver, never a full global sort."""
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("od"))
+    )
+    return (
+        deg.orderBy(F.col("od").desc(), F.col("entity").asc())
+        .limit(n_landmarks)
+        .select("entity")
+    )
+
+
+def landmark_closeness(
+    edges: DataFrame, n_landmarks: int = 8, max_hops: int = 4
+) -> DataFrame:
+    """Approximate harmonic closeness centrality from degree-chosen
+    landmarks — the standard sampled estimator when exact all-pairs
+    closeness (O(V·E)) is out of reach at web scale.
+
+    Landmarks are the ``n_landmarks`` highest-out-degree vertices
+    (distinct-neighbor degree; ties broken by entity name ascending, so
+    selection is deterministic on both engines). One
+    :func:`multi_source_bfs` pass computes ``dist(L, v)`` for every
+    landmark L, and each vertex's inbound harmonic score is::
+
+        harmonic(v) = Σ_L 1 / dist(L, v)        (dist > 0)
+
+    rounded to 6 dp. Vertices reached by no landmark (beyond
+    ``max_hops`` of all of them) are absent, like unreachable vertices
+    in :func:`bfs_distances`. Returns
+    ``(entity, n_reached, harmonic)`` where ``n_reached`` counts
+    landmarks that reach the vertex in 1..max_hops hops.
+
+    Scale shape: the landmark dim is a ``TakeOrderedAndProject`` over
+    the partial-aggregated degree table (top-k, never a full sort), the
+    BFS state is n_landmarks × vocabulary at worst, and the final
+    per-entity aggregate partial-combines. Nothing is driver-side.
+
+    Numeric determinism: the harmonic sum accumulates the INTEGER
+    ``lcm(1..max_hops) / dist`` per landmark (exact — every dist
+    divides the lcm) and divides once at the end, so the result is
+    bit-identical regardless of partial-aggregation order and across
+    engines; a float ``Σ 1/dist`` would be summation-order-dependent.
+    """
+    from math import lcm
+
+    unit = lcm(*range(1, max_hops + 1))
+    lmk = select_landmarks(edges, n_landmarks)
+    d = multi_source_bfs(edges, lmk, max_hops=max_hops)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_reached"),
+            F.round(
+                F.sum((F.lit(unit) / F.col("dist")).cast("long"))
+                / F.lit(float(unit)),
+                6,
+            ).alias("harmonic"),
+        )
+    )

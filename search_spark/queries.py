@@ -4551,6 +4551,55 @@ d{k} AS (SELECT entity, MIN(dist) AS dist
     )
 
 
+_N_LANDMARKS = 8
+
+
+def _q_kg_landmark_closeness(spark, sf_dir):
+    """Approximate harmonic closeness from the 8 highest-out-degree
+    landmark entities (ties by name — deterministic on both engines):
+    ONE labeled multi-source BFS pass carries all landmarks in its
+    state (operators/graph.py multi_source_bfs), then a per-entity
+    aggregate sums the exact integer ``lcm(1..hops)/dist`` so the
+    harmonic score is partial-aggregation-order-independent. The
+    unrolled-CTE oracle mirrors landmark selection, the labeled BFS,
+    and the integer-unit harmonic sum."""
+    from search_spark.operators.graph import landmark_closeness
+
+    return landmark_closeness(
+        _kg_edge_instances(spark, sf_dir),
+        n_landmarks=_N_LANDMARKS,
+        max_hops=_BFS_HOPS,
+    )
+
+
+def _landmark_closeness_oracle_sql(
+    n_landmarks: int = _N_LANDMARKS, max_hops: int = _BFS_HOPS
+) -> str:
+    from math import lcm
+
+    unit = lcm(*range(1, max_hops + 1))
+    parts = [f"""
+dedges AS (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT src AS entity, COUNT(*) AS od FROM dedges GROUP BY src),
+lmk AS (SELECT entity FROM deg
+        ORDER BY od DESC, entity ASC LIMIT {n_landmarks}),
+d0 AS (SELECT entity AS landmark, entity, 0 AS dist FROM lmk)"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f"""
+r{k} AS (SELECT p.landmark, e.dst AS entity, {k} AS dist
+  FROM dedges e JOIN d{k - 1} p ON p.entity = e.src AND p.dist = {k - 1}),
+d{k} AS (SELECT landmark, entity, MIN(dist) AS dist
+  FROM (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM r{k})
+  GROUP BY landmark, entity)""")
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {','.join(parts)}\n"
+        f"SELECT entity, CAST(COUNT(*) AS INT) AS n_reached,\n"
+        f"       round(SUM(CAST({unit} / dist AS BIGINT)) / {unit}.0, 6)"
+        f" AS harmonic\n"
+        f"FROM d{max_hops} WHERE dist > 0 GROUP BY entity"
+    )
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -6884,6 +6933,9 @@ QUERIES: dict[str, Q] = {
     ),
     "quality_resample": Q(_q_quality_resample, _SQL_QUALITY_RESAMPLE),
     "kg_bfs_distances": Q(_q_kg_bfs_distances, _bfs_oracle_sql()),
+    "kg_landmark_closeness": Q(
+        _q_kg_landmark_closeness, _landmark_closeness_oracle_sql()
+    ),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),

@@ -736,3 +736,100 @@ def test_node2vec_single_edge_oscillates(spark):
     assert seq[("a", 0)] == "a" and seq[("a", 1)] == "b"
     assert seq[("a", 2)] == "a" and seq[("a", 3)] == "b"
     assert seq[("b", 0)] == "b" and seq[("b", 1)] == "a"
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS + landmark closeness
+# ---------------------------------------------------------------------------
+
+def _py_bfs(pairs, source, max_hops):
+    """Pure-Python bounded BFS over the distinct directed edge set."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        if dist[u] == max_hops:
+            continue
+        for v in sorted(adj[u]):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_multi_source_bfs_fixture(spark):
+    from search_spark.operators.graph import multi_source_bfs
+
+    lmk = spark.createDataFrame([("a",), ("f",)], ["entity"])
+    got = {
+        (r["landmark"], r["entity"]): r["dist"]
+        for r in multi_source_bfs(
+            _edges_df(spark, EDGE_SET), lmk, max_hops=3
+        ).collect()
+    }
+    expected = {}
+    for s in ("a", "f"):
+        for v, d in _py_bfs(EDGE_SET, s, 3).items():
+            expected[(s, v)] = d
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_multi_source_bfs_random_vs_python(spark, seed):
+    import random
+
+    from search_spark.operators.graph import multi_source_bfs
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(18)]
+    pairs = sorted({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    })
+    pairs = [(u, v) for u, v in pairs if u != v]
+    sources = rng.sample(nodes, 3)
+    lmk = spark.createDataFrame([(s,) for s in sources], ["entity"])
+    got = {
+        (r["landmark"], r["entity"]): r["dist"]
+        for r in multi_source_bfs(
+            _edges_df(spark, pairs), lmk, max_hops=4
+        ).collect()
+    }
+    expected = {
+        (s, v): d
+        for s in sources
+        for v, d in _py_bfs(pairs, s, 4).items()
+    }
+    assert got == expected
+
+
+def test_landmark_closeness_matches_python(spark):
+    """Degree-ranked landmark selection + integer-unit harmonic sum,
+    mirrored in pure Python (lcm(1..4) = 12)."""
+    from collections import Counter
+
+    from search_spark.operators.graph import landmark_closeness
+
+    got = {
+        r["entity"]: (r["n_reached"], r["harmonic"])
+        for r in landmark_closeness(
+            _edges_df(spark, EDGE_SET), n_landmarks=3, max_hops=4
+        ).collect()
+    }
+    dedup = sorted(set(EDGE_SET))
+    od = Counter(u for u, _ in dedup)
+    lmks = sorted(od, key=lambda e: (-od[e], e))[:3]
+    acc = {}
+    for s in lmks:
+        for v, d in _py_bfs(dedup, s, 4).items():
+            if d > 0:
+                n, units = acc.get(v, (0, 0))
+                acc[v] = (n + 1, units + 12 // d)
+    expected = {
+        v: (n, round(units / 12.0, 6)) for v, (n, units) in acc.items()
+    }
+    assert got == expected
