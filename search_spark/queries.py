@@ -4600,6 +4600,40 @@ d{k} AS (SELECT landmark, entity, MIN(dist) AS dist
     )
 
 
+def _q_kg_hop_plot(spark, sf_dir):
+    """ANF-style hop plot (neighborhood function) from the degree-chosen
+    landmarks: how many ``(landmark, entity)`` pairs are first reached
+    at each hop count — the standard sampled effective-diameter
+    diagnostic (a web-scale KG whose mass sits at hop ≤ 2 behaves very
+    differently under expansion joins than one with a long tail). Same
+    labeled multi-source BFS state as ``kg_landmark_closeness``; the
+    aggregate partial-combines to max_hops+1 rows."""
+    from search_spark.operators.graph import (
+        multi_source_bfs,
+        select_landmarks,
+    )
+
+    edges = _kg_edge_instances(spark, sf_dir)
+    lmk = select_landmarks(edges, _N_LANDMARKS)
+    return (
+        multi_source_bfs(edges, lmk, max_hops=_BFS_HOPS)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _hop_plot_oracle_sql(
+    n_landmarks: int = _N_LANDMARKS, max_hops: int = _BFS_HOPS
+) -> str:
+    base = _landmark_closeness_oracle_sql(n_landmarks, max_hops)
+    head = base.rsplit("SELECT entity,", 1)[0]
+    return (
+        f"{head}SELECT CAST(dist AS INT) AS dist,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_pairs\n"
+        f"FROM d{max_hops} GROUP BY dist"
+    )
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -6936,6 +6970,7 @@ QUERIES: dict[str, Q] = {
     "kg_landmark_closeness": Q(
         _q_kg_landmark_closeness, _landmark_closeness_oracle_sql()
     ),
+    "kg_hop_plot": Q(_q_kg_hop_plot, _hop_plot_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),

@@ -833,3 +833,30 @@ def test_landmark_closeness_matches_python(spark):
         v: (n, round(units / 12.0, 6)) for v, (n, units) in acc.items()
     }
     assert got == expected
+
+
+def test_hop_plot_counts_match_python(spark):
+    from collections import Counter
+
+    from search_spark.operators.graph import (
+        multi_source_bfs,
+        select_landmarks,
+    )
+
+    edges = _edges_df(spark, EDGE_SET)
+    lmk = select_landmarks(edges, 3)
+    got = {
+        r["dist"]: r["n_pairs"]
+        for r in multi_source_bfs(edges, lmk, max_hops=4)
+        .groupBy("dist")
+        .count()
+        .withColumnRenamed("count", "n_pairs")
+        .collect()
+    }
+    dedup = sorted(set(EDGE_SET))
+    od = Counter(u for u, _ in dedup)
+    lmks = sorted(od, key=lambda e: (-od[e], e))[:3]
+    expected = Counter(
+        d for s in lmks for d in _py_bfs(dedup, s, 4).values()
+    )
+    assert got == dict(expected)
