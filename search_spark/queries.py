@@ -4634,6 +4634,71 @@ def _hop_plot_oracle_sql(
     )
 
 
+def _q_kg_assortativity(spark, sf_dir):
+    """Directed degree assortativity over the provenance-weighted
+    multigraph: the Pearson correlation between src out-degree and dst
+    in-degree (instance counts) across edge INSTANCES — positive =
+    hubs link to hubs (a KG whose expansion joins explode), negative =
+    hub-and-spoke (Newman 2002's mixing coefficient, instance-weighted
+    as for weighted graphs; the small-vocabulary DISTINCT edge set
+    saturates to constant degrees here, so the weighted form is the
+    informative one). All five moment sums are INTEGER aggregates over
+    (od, id) pairs — bit-exact regardless of partial-aggregation order
+    — and the correlation is assembled from the six scalars in one
+    final 1-row projection, so both engines compute identical doubles.
+    (At 10^12 edges the moment sums outgrow int64 — lift the same plan
+    to decimal(38,0)/HUGEINT; the shape is unchanged.) Two degree
+    aggregates + two joins back onto the edge table + one 1-row
+    reduce; nothing driver-side."""
+    e = _kg_edge_instances(spark, sf_dir).select("src", "dst")
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(od, "src").join(idg, "dst")
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            # NULL when either degree is constant across edges (zero
+            # variance — the coefficient is undefined)
+            F.when(den != 0.0, num.cast("double") / den),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+_SQL_KG_ASSORTATIVITY = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+od AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY src),
+idg AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY dst),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM edges e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                  THEN NULL
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6)
+       AS assortativity
+FROM s
+"""
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -6971,6 +7036,7 @@ QUERIES: dict[str, Q] = {
         _q_kg_landmark_closeness, _landmark_closeness_oracle_sql()
     ),
     "kg_hop_plot": Q(_q_kg_hop_plot, _hop_plot_oracle_sql()),
+    "kg_assortativity": Q(_q_kg_assortativity, _SQL_KG_ASSORTATIVITY),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
