@@ -1309,3 +1309,87 @@ def landmark_closeness(
             ).alias("harmonic"),
         )
     )
+
+
+def wl_role_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler–Leman role discovery: structural-equivalence classes
+    after ``rounds`` of neighborhood-label refinement over the directed
+    multigraph — the classic primitive behind KG schema induction and
+    role mining (two entities share a role iff their r-hop neighborhood
+    *shapes* agree, edge multiplicities included).
+
+    Refinement starts uniform and each round rewrites every vertex
+    label as::
+
+        md5(lab(v) | sorted in-multiset of "lab(u):n" | sorted out-...)
+
+    where ``n`` is the (src, dst) edge-instance count. The signature
+    multisets are ``sort_array(collect_list(...))`` concatenations —
+    deterministic under any partition order, and byte-identical to a
+    ``string_agg(... ORDER BY ...)`` mirror since every piece is ASCII
+    hex/digits/punctuation.
+
+    Per round: two joins of the label state onto the counted edge table
+    (in- and out-direction) + two partial-combined signature aggregates
+    + one assembly join — all keyed on entity/src/dst, state one short
+    string per vertex (vocabulary-sized). The counted edge table is
+    computed once and persisted; lineage truncates per round. Returns
+    ``(entity, role, class_size)`` where ``class_size`` is the number
+    of entities sharing the final label.
+    """
+    ecnt = (
+        edges.select("src", "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    nodes = (
+        ecnt.select(F.col("src").alias("entity"))
+        .unionByName(ecnt.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    lab = nodes.withColumn("lab", F.lit("")).transform(_ckpt(eager=True))
+    for _ in range(rounds):
+        piece = F.concat_ws(":", F.col("lab"), F.col("n"))
+        in_sig = (
+            ecnt.join(lab.withColumnRenamed("entity", "src"), on="src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(piece))
+                ).alias("in_sig")
+            )
+        )
+        out_sig = (
+            ecnt.join(lab.withColumnRenamed("entity", "dst"), on="dst")
+            .groupBy(F.col("src").alias("entity"))
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(piece))
+                ).alias("out_sig")
+            )
+        )
+        lab = (
+            lab.join(in_sig, on="entity", how="left")
+            .join(out_sig, on="entity", how="left")
+            .select(
+                "entity",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("lab"),
+                        F.coalesce("in_sig", F.lit("")),
+                        F.coalesce("out_sig", F.lit("")),
+                    )
+                ).alias("lab"),
+            )
+            .transform(_ckpt(eager=False))
+        )
+    sizes = lab.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    out = lab.join(sizes, on="lab").select(
+        "entity", F.col("lab").alias("role"), "class_size"
+    ).transform(_ckpt(eager=True))
+    ecnt.unpersist()
+    return out

@@ -4699,6 +4699,52 @@ FROM s
 """
 
 
+_WL_ROUNDS = 2
+
+
+def _q_kg_wl_roles(spark, sf_dir):
+    """Weisfeiler–Leman structural roles after 2 refinement rounds over
+    the directed co-occurrence multigraph (operators/graph.py
+    wl_role_labels): vertex label = md5 of (own label | sorted in-
+    multiset | sorted out-multiset of neighbor "label:count" pieces).
+    The sorted-signature construction makes every intermediate string
+    deterministic, so the DuckDB mirror (string_agg ORDER BY) produces
+    byte-identical md5 chains."""
+    from search_spark.operators.graph import wl_role_labels
+
+    return wl_role_labels(
+        _kg_edge_instances(spark, sf_dir), rounds=_WL_ROUNDS
+    )
+
+
+def _wl_roles_oracle_sql(rounds: int = _WL_ROUNDS) -> str:
+    parts = ["""
+ecnt AS (SELECT src, dst, COUNT(*) AS n FROM edges GROUP BY src, dst),
+nodes AS (SELECT src AS entity FROM ecnt UNION SELECT dst FROM ecnt),
+l0 AS (SELECT entity, '' AS lab FROM nodes)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+in{r} AS (SELECT e.dst AS entity,
+  string_agg(l.lab || ':' || e.n, ',' ORDER BY l.lab || ':' || e.n) AS sig
+  FROM ecnt e JOIN l{p} l ON l.entity = e.src GROUP BY e.dst),
+out{r} AS (SELECT e.src AS entity,
+  string_agg(l.lab || ':' || e.n, ',' ORDER BY l.lab || ':' || e.n) AS sig
+  FROM ecnt e JOIN l{p} l ON l.entity = e.dst GROUP BY e.src),
+l{r} AS (SELECT l.entity,
+  md5(l.lab || '|' || COALESCE(i.sig, '') || '|' || COALESCE(o.sig, ''))
+    AS lab
+  FROM l{p} l LEFT JOIN in{r} i ON i.entity = l.entity
+  LEFT JOIN out{r} o ON o.entity = l.entity)""")
+    return (
+        f"{_MENTIONS_SQL}, {_EDGES_SQL_BODY}, {','.join(parts)},\n"
+        f"sizes AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS class_size\n"
+        f"          FROM l{rounds} GROUP BY lab)\n"
+        f"SELECT l.entity, l.lab AS role, s.class_size\n"
+        f"FROM l{rounds} l JOIN sizes s ON s.lab = l.lab"
+    )
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -7037,6 +7083,7 @@ QUERIES: dict[str, Q] = {
     ),
     "kg_hop_plot": Q(_q_kg_hop_plot, _hop_plot_oracle_sql()),
     "kg_assortativity": Q(_q_kg_assortativity, _SQL_KG_ASSORTATIVITY),
+    "kg_wl_roles": Q(_q_kg_wl_roles, _wl_roles_oracle_sql()),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),

@@ -860,3 +860,49 @@ def test_hop_plot_counts_match_python(spark):
         d for s in lmks for d in _py_bfs(dedup, s, 4).values()
     )
     assert got == dict(expected)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_wl_roles_random_vs_python(spark, seed):
+    """2-round WL refinement parity against a pure-Python mirror —
+    md5 chains must be byte-identical, not just class-equivalent."""
+    import hashlib
+    import random
+    from collections import Counter, defaultdict
+
+    from search_spark.operators.graph import wl_role_labels
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(14)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+    ]
+    pairs = [(u, v) for u, v in pairs if u != v]
+
+    got = {
+        r["entity"]: (r["role"], r["class_size"])
+        for r in wl_role_labels(
+            _edges_df(spark, pairs), rounds=2
+        ).collect()
+    }
+
+    ecnt = Counter(pairs)
+    present = sorted({u for u, _ in ecnt} | {v for _, v in ecnt})
+    in_adj = defaultdict(list)
+    out_adj = defaultdict(list)
+    for (u, v), n in ecnt.items():
+        in_adj[v].append((u, n))
+        out_adj[u].append((v, n))
+    lab = {v: "" for v in present}
+    for _ in range(2):
+        nxt = {}
+        for v in present:
+            isig = ",".join(sorted(f"{lab[u]}:{n}" for u, n in in_adj[v]))
+            osig = ",".join(sorted(f"{lab[w]}:{n}" for w, n in out_adj[v]))
+            nxt[v] = hashlib.md5(
+                f"{lab[v]}|{isig}|{osig}".encode()
+            ).hexdigest()
+        lab = nxt
+    sizes = Counter(lab.values())
+    expected = {v: (lab[v], sizes[lab[v]]) for v in present}
+    assert got == expected
