@@ -4745,6 +4745,103 @@ l{r} AS (SELECT l.entity,
     )
 
 
+def _q_kg_katz_index(spark, sf_dir):
+    """Provenance-weighted truncated Katz relatedness (β = 0.1, paths
+    ≤ 3 hops) for ordered entity pairs: score(u,v) = Σ_k β^k ·
+    w_paths_k(u,v) where a k-path's weight is the product of its edge
+    instance counts — the multi-hop association strength a KG builder
+    ranks before proposing indirect links. (On a bounded vocabulary
+    the UNWEIGHTED distinct graph saturates — every pair directly
+    linked, all path counts equal — so as with ``kg_assortativity``
+    the instance-weighted form is the one that carries signal.) The
+    weighted path counts are exact integer aggregates of two
+    self-joins on the counted edge table (partial-combined per hop —
+    the expansion is Σ c·c over shared middles, never an unaggregated
+    all-pairs product), and the score is assembled from the scaled
+    integer ``100·w₁ + 10·w₂ + w₃`` in one projection so both engines
+    compute the identical double. Self-pairs are excluded."""
+    ecnt = (
+        _kg_edge_instances(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    e2 = (
+        ecnt.alias("a")
+        .join(ecnt.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.c") * F.col("b.c")).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w2"))
+    )
+    e3 = (
+        ecnt.alias("a")
+        .join(e2.alias("p"), F.col("a.dst") == F.col("p.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("p.dst").alias("dst"),
+            (F.col("a.c") * F.col("p.w2")).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w3"))
+    )
+    paths = (
+        e2.join(e3, on=["src", "dst"], how="full")
+        .join(ecnt.withColumnRenamed("c", "w1"), on=["src", "dst"],
+              how="full")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("w1", F.lit(0)).cast("long").alias("w1"),
+            F.coalesce("w2", F.lit(0)).cast("long").alias("w2"),
+            F.coalesce("w3", F.lit(0)).cast("long").alias("w3"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return paths.select(
+        "src",
+        "dst",
+        "w1",
+        "w2",
+        "w3",
+        (
+            (
+                F.lit(100) * F.col("w1")
+                + F.lit(10) * F.col("w2")
+                + F.col("w3")
+            ).cast("double")
+            / F.lit(1000.0)
+        ).alias("katz"),
+    )
+
+
+_SQL_KG_KATZ_INDEX = f"""
+{_MENTIONS_SQL}, {_EDGES_SQL_BODY},
+ecnt AS (SELECT src, dst, COUNT(*) AS c FROM edges GROUP BY src, dst),
+e2 AS (SELECT a.src, b.dst, SUM(a.c * b.c) AS w2
+       FROM ecnt a JOIN ecnt b ON a.dst = b.src GROUP BY a.src, b.dst),
+e3 AS (SELECT a.src, p.dst, SUM(a.c * p.w2) AS w3
+       FROM ecnt a JOIN e2 p ON a.dst = p.src GROUP BY a.src, p.dst),
+paths AS (
+  SELECT COALESCE(e2.src, e3.src, e1.src) AS src,
+         COALESCE(e2.dst, e3.dst, e1.dst) AS dst,
+         COALESCE(e1.c, 0) AS w1, COALESCE(w2, 0) AS w2,
+         COALESCE(w3, 0) AS w3
+  FROM e2
+  FULL JOIN e3 ON e2.src = e3.src AND e2.dst = e3.dst
+  FULL JOIN ecnt e1 ON COALESCE(e2.src, e3.src) = e1.src
+                   AND COALESCE(e2.dst, e3.dst) = e1.dst)
+SELECT src, dst, CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+       CAST(w3 AS BIGINT) AS w3,
+       CAST(100 * w1 + 10 * w2 + w3 AS DOUBLE) / 1000.0 AS katz
+FROM paths
+WHERE src <> dst
+"""
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -7084,6 +7181,7 @@ QUERIES: dict[str, Q] = {
     "kg_hop_plot": Q(_q_kg_hop_plot, _hop_plot_oracle_sql()),
     "kg_assortativity": Q(_q_kg_assortativity, _SQL_KG_ASSORTATIVITY),
     "kg_wl_roles": Q(_q_kg_wl_roles, _wl_roles_oracle_sql()),
+    "kg_katz_index": Q(_q_kg_katz_index, _SQL_KG_KATZ_INDEX),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
