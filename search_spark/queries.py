@@ -4842,6 +4842,90 @@ WHERE src <> dst
 """
 
 
+_ASSOC_MIN_DOCS = 5
+
+
+def _q_kg_assoc_rules(spark, sf_dir):
+    """Document-level association rules over distinct entity mentions —
+    the market-basket miner whose high-lift pairs seed pattern
+    bootstrap: for each ordered pair (x → y) co-occurring in ≥ 5 docs,
+    support = P(x,y), confidence = P(y|x), lift = P(x,y)/(P(x)·P(y)).
+    Baskets are per-doc DISTINCT mention sets (one semi-aggregated
+    dedup, then a per-doc self-join — bounded by the per-doc mention
+    vocabulary, never corpus-wide), marginals are two broadcast-sized
+    aggregates, and every ratio assembles from exact integer counts in
+    one final projection (round 6), so both engines agree bit-for-bit.
+    """
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .select("doc_id", "mention")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # corpus total rides as a 1-row broadcast, never a driver round-trip
+    # (same discipline as kg_edge_pmi)
+    nd_row = m.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    pair = (
+        m.alias("a")
+        .join(m.alias("b"), on="doc_id")
+        .filter(F.col("a.mention") != F.col("b.mention"))
+        .select(
+            F.col("a.mention").alias("x"), F.col("b.mention").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= _ASSOC_MIN_DOCS)
+    )
+    marg = m.groupBy(F.col("mention")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = (
+        pair.join(marg.withColumnRenamed("mention", "x"), on="x")
+        .withColumnRenamed("n", "n_x")
+        .join(marg.withColumnRenamed("mention", "y"), on="y")
+        .withColumnRenamed("n", "n_y")
+        .crossJoin(F.broadcast(nd_row))
+    )
+    nd = F.col("n_docs")
+    return out.select(
+        "x",
+        "y",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.round(F.col("n_xy") / nd, 6).alias("support"),
+        F.round(F.col("n_xy") / F.col("n_x").cast("double"), 6)
+        .alias("confidence"),
+        F.round(
+            (F.col("n_xy") * nd)
+            / (F.col("n_x") * F.col("n_y")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+_SQL_KG_ASSOC_RULES = f"""
+{_MENTIONS_SQL},
+m AS (SELECT DISTINCT doc_id, mention FROM mentions),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM m),
+pair AS (SELECT a.mention AS x, b.mention AS y, COUNT(*) AS n_xy
+         FROM m a JOIN m b ON a.doc_id = b.doc_id
+         WHERE a.mention <> b.mention
+         GROUP BY a.mention, b.mention
+         HAVING COUNT(*) >= {_ASSOC_MIN_DOCS}),
+marg AS (SELECT mention, COUNT(*) AS n FROM m GROUP BY mention)
+SELECT p.x, p.y, CAST(p.n_xy AS BIGINT) AS n_xy,
+       round(p.n_xy / CAST(nd.n_docs AS DOUBLE), 6) AS support,
+       round(p.n_xy / CAST(mx.n AS DOUBLE), 6) AS confidence,
+       round((p.n_xy * CAST(nd.n_docs AS DOUBLE))
+             / CAST(mx.n * my.n AS DOUBLE), 6) AS lift
+FROM pair p
+JOIN marg mx ON mx.mention = p.x
+JOIN marg my ON my.mention = p.y
+CROSS JOIN nd
+"""
+
+
 def _q_kg_edge_pmi(spark, sf_dir):
     """Pointwise mutual information per distinct co-occurrence edge —
     the standard association weight a KG builder attaches before
@@ -7182,6 +7266,7 @@ QUERIES: dict[str, Q] = {
     "kg_assortativity": Q(_q_kg_assortativity, _SQL_KG_ASSORTATIVITY),
     "kg_wl_roles": Q(_q_kg_wl_roles, _wl_roles_oracle_sql()),
     "kg_katz_index": Q(_q_kg_katz_index, _SQL_KG_KATZ_INDEX),
+    "kg_assoc_rules": Q(_q_kg_assoc_rules, _SQL_KG_ASSOC_RULES),
     "kg_edge_pmi": Q(_q_kg_edge_pmi, _SQL_KG_EDGE_PMI),
     "kg_mention_counts": Q(_q_kg_mention_counts, _SQL_KG_MENTION_COUNTS),
     "kg_ontology_join": Q(_q_kg_ontology_join, _SQL_KG_ONTOLOGY_JOIN),
