@@ -4662,13 +4662,17 @@ def _q_kg_assortativity(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # assemble in decimal(38,0): n·sxy outgrows int64 one SF above the
+    # gate scale (DuckDB's SUM(BIGINT) is already HUGEINT — this keeps
+    # the Spark side equally exact before the single cast to double)
+    def _d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = _d("n") * _d("sxy") - _d("sx") * _d("sy")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("double")
+        (_d("n") * _d("sxx") - _d("sx") * _d("sx")).cast("double")
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-        .cast("double")
+        (_d("n") * _d("syy") - _d("sy") * _d("sy")).cast("double")
     )
     return s.select(
         F.col("n").cast("long").alias("n_edges"),
