@@ -1311,7 +1311,9 @@ def landmark_closeness(
     )
 
 
-def wl_role_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def wl_role_labels(
+    edges: DataFrame, rounds: int = 2, signature: str = "sorted"
+) -> DataFrame:
     """Weisfeiler–Leman role discovery: structural-equivalence classes
     after ``rounds`` of neighborhood-label refinement over the directed
     multigraph — the classic primitive behind KG schema induction and
@@ -1321,13 +1323,26 @@ def wl_role_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
     Refinement starts uniform and each round rewrites every vertex
     label as::
 
-        md5(lab(v) | sorted in-multiset of "lab(u):n" | sorted out-...)
+        md5(lab(v) | in-multiset signature | out-multiset signature)
 
-    where ``n`` is the (src, dst) edge-instance count. The signature
-    multisets are ``sort_array(collect_list(...))`` concatenations —
-    deterministic under any partition order, and byte-identical to a
-    ``string_agg(... ORDER BY ...)`` mirror since every piece is ASCII
-    hex/digits/punctuation.
+    where each piece is a neighbor's ``lab(u):n`` with ``n`` the
+    (src, dst) edge-instance count. Two signature constructions:
+
+    * ``signature="sorted"`` (default, the ORACLE form):
+      ``sort_array(collect_list(...))`` concatenation — deterministic
+      under any partition order and byte-identical to a DuckDB
+      ``string_agg(... ORDER BY ...)`` mirror. Its cost is the
+      materialized neighbor array: a HUB vertex's signature is
+      O(degree) — fine at vocabulary scale, a straggler/memory hazard
+      on a head-skewed web graph.
+    * ``signature="hashsum"`` (the SCALE form): the multiset folds to
+      ``Σ xxhash64(piece)`` accumulated in decimal(38,0) (exact — the
+      same order-independent fingerprint discipline as the CC
+      convergence check, canonicalize.py) rendered as its decimal
+      string. Per-vertex state is O(1) regardless of degree, the
+      aggregate partial-combines, and hub skew collapses into partial
+      sums. Classes agree with ``sorted`` up to hash collisions
+      (astronomically unlikely; asserted on random graphs in tests).
 
     Per round: two joins of the label state onto the counted edge table
     (in- and out-direction) + two partial-combined signature aggregates
@@ -1337,6 +1352,8 @@ def wl_role_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
     ``(entity, role, class_size)`` where ``class_size`` is the number
     of entities sharing the final label.
     """
+    if signature not in ("sorted", "hashsum"):
+        raise ValueError(f"unknown signature mode: {signature!r}")
     ecnt = (
         edges.select("src", "dst")
         .groupBy("src", "dst")
@@ -1349,25 +1366,25 @@ def wl_role_labels(edges: DataFrame, rounds: int = 2) -> DataFrame:
         .distinct()
     )
     lab = nodes.withColumn("lab", F.lit("")).transform(_ckpt(eager=True))
+
+    def _sig(col):
+        if signature == "sorted":
+            return F.concat_ws(",", F.sort_array(F.collect_list(col)))
+        return F.sum(
+            F.xxhash64(col).cast("decimal(38,0)")
+        ).cast("string")
+
     for _ in range(rounds):
         piece = F.concat_ws(":", F.col("lab"), F.col("n"))
         in_sig = (
             ecnt.join(lab.withColumnRenamed("entity", "src"), on="src")
             .groupBy(F.col("dst").alias("entity"))
-            .agg(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(piece))
-                ).alias("in_sig")
-            )
+            .agg(_sig(piece).alias("in_sig"))
         )
         out_sig = (
             ecnt.join(lab.withColumnRenamed("entity", "dst"), on="dst")
             .groupBy(F.col("src").alias("entity"))
-            .agg(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(piece))
-                ).alias("out_sig")
-            )
+            .agg(_sig(piece).alias("out_sig"))
         )
         lab = (
             lab.join(in_sig, on="entity", how="left")

@@ -906,3 +906,31 @@ def test_wl_roles_random_vs_python(spark, seed):
     sizes = Counter(lab.values())
     expected = {v: (lab[v], sizes[lab[v]]) for v in present}
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_wl_hashsum_partition_matches_sorted(spark, seed):
+    """The O(1)-state hashsum signature (scale form) induces the SAME
+    role partition as the sorted-concat oracle form — labels differ,
+    equivalence classes must not."""
+    import random
+    from collections import defaultdict
+
+    from search_spark.operators.graph import wl_role_labels
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(16)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    edges = _edges_df(spark, pairs)
+
+    def classes(sig):
+        rows = wl_role_labels(edges, rounds=2, signature=sig).collect()
+        by_role = defaultdict(set)
+        for r in rows:
+            by_role[r["role"]].add(r["entity"])
+        return sorted(
+            tuple(sorted(c)) for c in by_role.values()
+        )
+
+    assert classes("sorted") == classes("hashsum")
