@@ -81,7 +81,11 @@ def main() -> int:
         ).collect()[0]
         return str(row["f"]), int(row["n"])
 
-    lmk = select_landmarks(edges, 8).localCheckpoint(eager=True)
+    # pin the 8-row landmark dim as driver literals: a shared
+    # localCheckpoint would lose its blocks to the inter-op
+    # _release_blocks sweep (checkpointRDDBlockIdNotFound)
+    lmk_rows = [(r["entity"],) for r in select_landmarks(edges, 8).collect()]
+    lmk = spark.createDataFrame(lmk_rows, "entity string")
     ops = {
         "multi_source_bfs_8x4": lambda: multi_source_bfs(
             edges, lmk, max_hops=4
