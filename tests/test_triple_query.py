@@ -327,3 +327,37 @@ def test_cli_sparql_subcommand(snapshot):
     )
     assert ask.returncode == 0, ask.stderr[-2000:]
     assert ask.stdout.strip().splitlines()[-1] == "true"
+
+
+def test_cli_graph_closeness_and_roles(snapshot):
+    """The round-5 analytics ride the same graph subcommand: closeness
+    prints a harmonic CSV (descending), roles prints role classes."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "tools/cli.py", "graph",
+         "--snapshot", snapshot.root, "--op", "closeness",
+         "--n-iter", "3", "--limit", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0] == "entity,n_reached,harmonic"
+    scores = [float(ln.rsplit(",", 1)[1]) for ln in lines[1:]]
+    assert scores == sorted(scores, reverse=True) and scores
+
+    out2 = subprocess.run(
+        [sys.executable, "tools/cli.py", "graph",
+         "--snapshot", snapshot.root, "--op", "roles",
+         "--n-iter", "2", "--limit", "8"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    lines2 = [ln for ln in out2.stdout.splitlines() if ln]
+    assert lines2[0] == "entity,role,class_size"
+    assert len(lines2) > 1

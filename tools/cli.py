@@ -183,7 +183,7 @@ def main() -> int:
     p_graph.add_argument("--op", required=True,
                          choices=["degrees", "pagerank", "triangles",
                                   "two-hop", "hits", "link-predict",
-                                  "walks"])
+                                  "walks", "closeness", "roles"])
     p_graph.add_argument("--n-iter", type=int, default=10)
     p_graph.add_argument("--limit", type=int, default=50)
     p_graph.add_argument("--n-walks", type=int, default=2,
@@ -532,6 +532,14 @@ def main() -> int:
             out = G.random_walks(
                 edges, n_walks=args.n_walks, walk_len=args.walk_len
             ).orderBy("entity", "walk_no", "step")
+        elif args.op == "closeness":
+            out = G.landmark_closeness(
+                edges, max_hops=min(args.n_iter, 8)
+            ).orderBy(F.desc("harmonic"), "entity")
+        elif args.op == "roles":
+            out = G.wl_role_labels(edges, rounds=min(args.n_iter, 4)).orderBy(
+                F.desc("class_size"), "role", "entity"
+            )
         else:
             out = G.two_hop(edges).orderBy(
                 F.desc("n_paths"), "src", "dst"
